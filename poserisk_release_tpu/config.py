@@ -1,0 +1,140 @@
+"""Frozen dataclass configuration with strict-key YAML/flag override.
+
+Key/value parity with the reference global config
+(/root/reference/lib/core/config.py:17-85): the same section names
+(DATASET / MODEL / SPIN / AUG / TEST) and defaults (workers=16, batch_size=8,
+min_frame_ratio=0.33, bbox_scale=1.2, input_shape=(224,224), FOCAL_LENGTH=5000,
+IMG_RES=224), and the same strict-key check on override (unknown keys raise
+ValueError, mirroring update_config at config.py:63-85).
+
+Unlike the reference's mutable global EasyDict, this is an immutable tree of
+dataclasses: jit-compiled functions can safely close over it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os.path as osp
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Tuple
+
+_REPO_ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    workers: int = 16
+    batch_size: int = 8
+    min_frame_ratio: float = 0.33
+    bbox_scale: float = 1.2
+    default_information: str = osp.join(
+        _REPO_ROOT, "poserisk_release_tpu", "default_information.json"
+    )
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    input_shape: Tuple[int, int] = (224, 224)
+
+
+@dataclass(frozen=True)
+class SpinConfig:
+    spin_dir: str = osp.join(_REPO_ROOT, "data", "spin_data")
+    smpl_mean_params: str = osp.join(_REPO_ROOT, "data", "spin_data", "smpl_mean_params.npz")
+    checkpoint: str = osp.join(_REPO_ROOT, "data", "spin_data", "model_checkpoint.pt")
+    smpl_model_dir: str = osp.join(_REPO_ROOT, "data", "human_models")
+    focal_length: float = 5000.0
+    img_res: int = 224
+    # Number of iterative-error-feedback refinement steps in the HMR head.
+    ief_iters: int = 3
+
+
+@dataclass(frozen=True)
+class AugConfig:
+    flip: bool = False
+    rotate_factor: float = 0.0
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    pass
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """YOLOv3 person detector settings (reference: lib/core/base.py:38-46)."""
+
+    img_size: int = 416
+    detection_threshold: float = 0.1
+    nms_threshold: float = 0.45
+    weights: str = osp.join(_REPO_ROOT, "data", "detector", "yolov3.weights")
+    batch_size: int = 8
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """TPU mesh layout. The frame axis of a clip is data-parallel over chips."""
+
+    data_axis: str = "data"
+    # 0 => use all visible devices.
+    num_devices: int = 0
+    # On-device micro-batch of crops per step (frames per chip per step).
+    frames_per_step: int = 64
+
+
+@dataclass(frozen=True)
+class Config:
+    DATASET: DatasetConfig = field(default_factory=DatasetConfig)
+    MODEL: ModelConfig = field(default_factory=ModelConfig)
+    SPIN: SpinConfig = field(default_factory=SpinConfig)
+    AUG: AugConfig = field(default_factory=AugConfig)
+    TEST: TestConfig = field(default_factory=TestConfig)
+    DETECTOR: DetectorConfig = field(default_factory=DetectorConfig)
+    PARALLEL: ParallelConfig = field(default_factory=ParallelConfig)
+
+    def replace(self, **sections: Mapping[str, Any]) -> "Config":
+        """Return a new Config with per-section field overrides.
+
+        Strict-key semantics: an unknown section or field raises ValueError,
+        matching the reference's update_config behaviour.
+        """
+        updates = {}
+        for section_name, section_overrides in sections.items():
+            if not hasattr(self, section_name):
+                raise ValueError(f"{section_name} not exist in config")
+            section = getattr(self, section_name)
+            if dataclasses.is_dataclass(section) and isinstance(section_overrides, Mapping):
+                valid = {f.name for f in dataclasses.fields(section)}
+                for key in section_overrides:
+                    if key not in valid:
+                        raise ValueError(f"{section_name}.{key} not exist in config")
+                updates[section_name] = dataclasses.replace(section, **section_overrides)
+            else:
+                raise ValueError(f"{section_name} override must be a mapping of fields")
+        return dataclasses.replace(self, **updates)
+
+
+def default_config() -> Config:
+    return Config()
+
+
+def load_yaml_config(path: str, base: Config | None = None) -> Config:
+    """Load a YAML override file onto the default config (strict keys).
+
+    Section keys are case-insensitive aliases of the dataclass sections so the
+    reference's upper-case YAML section names keep working.
+    """
+    import yaml
+
+    base = base or default_config()
+    with open(path) as f:
+        overrides = yaml.safe_load(f) or {}
+
+    canonical = {f.name.upper(): f.name for f in dataclasses.fields(base)}
+    mapped = {}
+    for key, value in overrides.items():
+        name = canonical.get(str(key).upper())
+        if name is None:
+            raise ValueError(f"{key} not exist in config")
+        mapped[name] = value
+    return base.replace(**mapped)
