@@ -1,0 +1,156 @@
+"""torch state_dict -> Flax variables converters (SPIN checkpoint ingestion).
+
+The reference loads the published SPIN checkpoint with
+`load_state_dict(torch.load(...)['model'], strict=False)`
+(/root/reference/lib/core/base.py:83-84). This module performs the one-time
+conversion of that checkpoint (or any state_dict with the same naming) into
+the Flax HMR parameter tree, so at runtime the TPU framework only ever loads
+a converted .npz/.msgpack -- no torch on the hot path.
+
+Layout rules:
+  conv  torch (O, I, kh, kw)  -> flax kernel (kh, kw, I, O)
+  linear torch (O, I)         -> flax kernel (I, O)
+  batchnorm weight/bias       -> params.scale / params.bias
+  batchnorm running_mean/var  -> batch_stats.mean / batch_stats.var
+
+torch module paths map to flax module names:
+  conv1, bn1                  -> backbone/conv1, backbone/bn1
+  layer{s}.{i}.conv{k}/bn{k}  -> backbone/layer{s}_{i}/conv{k},bn{k}
+  layer{s}.{i}.downsample.0/1 -> backbone/layer{s}_{i}/downsample_conv,_bn
+  fc1, fc2, decpose, decshape, deccam -> same names at the top level
+  init_pose/init_shape/init_cam buffers -> top-level params
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _linear_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def _set(tree: Dict, path: tuple, value: np.ndarray) -> None:
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = np.asarray(value, np.float32)
+
+
+_LAYER_RE = re.compile(r"^layer(\d+)\.(\d+)\.(.+)$")
+
+
+def spin_state_dict_to_flax(state: Mapping[str, "np.ndarray"]) -> Dict:
+    """Convert a SPIN hmr state_dict (tensor or ndarray values) to Flax variables.
+
+    Returns {'params': ..., 'batch_stats': ...} matching models.spin.HMR.
+    Unknown keys (e.g. the smpl sub-module SPIN sometimes bundles) are ignored,
+    mirroring the reference's strict=False load.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+
+    def to_np(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    for key, raw in state.items():
+        value = to_np(raw)
+        # ---- top-level regressor state buffers ----
+        if key in ("init_pose", "init_shape", "init_cam"):
+            _set(params, (key,), value.reshape(1, -1))
+            continue
+        # ---- head linears ----
+        m = re.match(r"^(fc1|fc2|decpose|decshape|deccam)\.(weight|bias)$", key)
+        if m:
+            name, kind = m.groups()
+            if kind == "weight":
+                _set(params, (name, "kernel"), _linear_kernel(value))
+            else:
+                _set(params, (name, "bias"), value)
+            continue
+        # ---- backbone stem ----
+        if key == "conv1.weight":
+            _set(params, ("backbone", "conv1", "kernel"), _conv_kernel(value))
+            continue
+        m = re.match(r"^bn1\.(weight|bias|running_mean|running_var)$", key)
+        if m:
+            _bn_assign(params, stats, ("backbone", "bn1"), m.group(1), value)
+            continue
+        # ---- residual stages ----
+        m = _LAYER_RE.match(key)
+        if m:
+            stage, block, rest = m.group(1), m.group(2), m.group(3)
+            base = ("backbone", f"layer{stage}_{block}")
+            cm = re.match(r"^conv(\d)\.weight$", rest)
+            if cm:
+                _set(params, base + (f"conv{cm.group(1)}", "kernel"), _conv_kernel(value))
+                continue
+            bm = re.match(r"^bn(\d)\.(weight|bias|running_mean|running_var)$", rest)
+            if bm:
+                _bn_assign(params, stats, base + (f"bn{bm.group(1)}",), bm.group(2), value)
+                continue
+            if rest == "downsample.0.weight":
+                _set(params, base + ("downsample_conv", "kernel"), _conv_kernel(value))
+                continue
+            dm = re.match(r"^downsample\.1\.(weight|bias|running_mean|running_var)$", rest)
+            if dm:
+                _bn_assign(params, stats, base + ("downsample_bn",), dm.group(1), value)
+                continue
+        # anything else (num_batches_tracked, bundled smpl buffers, fc of the
+        # original torchvision classifier...) is intentionally dropped.
+
+    return {"params": params, "batch_stats": stats}
+
+
+def _bn_assign(params: Dict, stats: Dict, base: tuple, kind: str, value: np.ndarray) -> None:
+    if kind == "weight":
+        _set(params, base + ("scale",), value)
+    elif kind == "bias":
+        _set(params, base + ("bias",), value)
+    elif kind == "running_mean":
+        _set(stats, base + ("mean",), value)
+    elif kind == "running_var":
+        _set(stats, base + ("var",), value)
+
+
+def load_spin_checkpoint(path: str):
+    """torch.load the reference checkpoint file and convert.
+
+    Accepts both {'model': state_dict} (SPIN's format) and a bare state_dict.
+    """
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    state = blob.get("model", blob) if isinstance(blob, dict) else blob
+    return spin_state_dict_to_flax(state)
+
+
+def save_flax_variables(variables: Dict, path: str) -> None:
+    """Flatten-and-save converted variables to npz for torch-free reload."""
+    flat = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            p = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, p)
+            else:
+                flat[p] = np.asarray(v)
+
+    walk(variables, "")
+    np.savez(path, **flat)
+
+
+def load_flax_variables(path: str) -> Dict:
+    tree: Dict = {}
+    with np.load(path) as data:
+        for key in data.files:
+            _set(tree, tuple(key.split("/")), data[key])
+    return tree

@@ -1,0 +1,112 @@
+"""SPIN human-mesh regressor (HMR): ResNet-50 + iterative-error-feedback head.
+
+TPU-native rebuild of the external SPIN model the reference constructs and
+queries at /root/reference/lib/core/base.py:81-84, 220 (contract in SURVEY.md
+section 2.10): input (B, 224, 224, 3) floats in [0, 1] (the reference applies
+NO ImageNet normalisation), output (pred_rotmat (B, 24, 3, 3), pred_betas
+(B, 10), pred_camera (B, 3)).
+
+Architecture (nkolot/SPIN models/hmr.py behavioural spec):
+  * ResNet-50 -> 2048-d pooled feature xf;
+  * regressor state (pose 24x6 rot6d, shape 10, cam 3) initialised from
+    smpl_mean_params.npz;
+  * n_iter=3 refinement steps: xc = [xf, pose, shape, cam] -> fc1(1024) ->
+    fc2(1024) -> three linear heads added residually to the state
+    (dropout layers are identity at inference);
+  * rot6d -> rotation matrices via Gram-Schmidt (ops.rotations.rot6d_to_rotmat).
+
+The IEF loop is unrolled (n_iter is a compile-time constant), so the whole
+model is one XLA graph; batch dimension shards across the device mesh.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from poserisk_release_tpu.models.resnet import ResNet50
+from poserisk_release_tpu.ops.rotations import rot6d_to_rotmat
+
+NPOSE = 24 * 6
+
+
+class HMR(nn.Module):
+    """SPIN regressor. __call__ returns (rotmat, betas, camera)."""
+
+    n_iter: int = 3
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        B = x.shape[0]
+        xf = ResNet50(name="backbone")(x)
+
+        init_pose = self.param("init_pose", nn.initializers.zeros, (1, NPOSE))
+        init_shape = self.param("init_shape", nn.initializers.zeros, (1, 10))
+        init_cam = self.param("init_cam", nn.initializers.zeros, (1, 3))
+
+        pred_pose = jnp.broadcast_to(init_pose, (B, NPOSE))
+        pred_shape = jnp.broadcast_to(init_shape, (B, 10))
+        pred_cam = jnp.broadcast_to(init_cam, (B, 3))
+
+        fc1 = nn.Dense(1024, name="fc1")
+        fc2 = nn.Dense(1024, name="fc2")
+        decpose = nn.Dense(NPOSE, name="decpose")
+        decshape = nn.Dense(10, name="decshape")
+        deccam = nn.Dense(3, name="deccam")
+
+        for _ in range(self.n_iter):
+            xc = jnp.concatenate([xf, pred_pose, pred_shape, pred_cam], axis=1)
+            # SPIN's regressor applies fc1 -> dropout -> fc2 -> dropout with
+            # NO activations; dropout is identity at inference.
+            xc = fc1(xc)
+            xc = fc2(xc)
+            pred_pose = decpose(xc) + pred_pose
+            pred_shape = decshape(xc) + pred_shape
+            pred_cam = deccam(xc) + pred_cam
+
+        rotmat = rot6d_to_rotmat(pred_pose.reshape(B * 24, 6)).reshape(B, 24, 3, 3)
+        return rotmat, pred_shape, pred_cam
+
+
+def load_mean_params(path: str) -> dict:
+    """smpl_mean_params.npz -> {init_pose (1,144), init_shape (1,10), init_cam (1,3)}.
+
+    Falls back to a deterministic synthetic set (neutral-ish rot6d identity
+    blocks) when the asset is absent, keeping every flow runnable.
+    """
+    if path and osp.isfile(path):
+        with np.load(path) as data:
+            return {
+                "init_pose": data["pose"].astype(np.float32).reshape(1, NPOSE),
+                "init_shape": data["shape"].astype(np.float32).reshape(1, 10),
+                "init_cam": data["cam"].astype(np.float32).reshape(1, 3),
+            }
+    # Identity rotation in 6D: first two columns of I3 -> (1,0,0, 0,1,0)
+    ident6 = np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32), 24)
+    return {
+        "init_pose": ident6.reshape(1, NPOSE),
+        "init_shape": np.zeros((1, 10), np.float32),
+        "init_cam": np.array([[0.9, 0.0, 0.0]], np.float32),
+    }
+
+
+def init_spin_params(rng_key, mean_params: dict, n_iter: int = 3):
+    """Random-init HMR params with the mean-params state injected."""
+    import jax
+
+    model = HMR(n_iter=n_iter)
+    dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    variables = model.init(rng_key, dummy)
+    params = variables["params"]
+    params = dict(params)
+    for key in ("init_pose", "init_shape", "init_cam"):
+        params[key] = jnp.asarray(mean_params[key])
+    variables = dict(variables)
+    variables["params"] = params
+    return jax.tree_util.tree_map(lambda x: x, variables)

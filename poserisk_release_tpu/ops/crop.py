@@ -1,0 +1,94 @@
+"""Device-side bbox crop/affine-resample to model input resolution.
+
+The reference crops one frame at a time on DataLoader workers with
+cv2.warpAffine (/root/reference/lib/utils/_img_utils.py:53-101, 219-252):
+bbox [cx, cy, w, h] scaled by cfg.DATASET.bbox_scale, warped to 224x224 with
+bilinear sampling and zero border, then ToTensor (range [0,1], NO ImageNet
+mean/std -- _img_utils.py:259-266). Here the whole clip's crops are a single
+vmapped gather-resample on device: for rot=0 the reference's affine reduces
+to an axis-aligned bilinear resample of the scaled bbox, sampling source
+coordinate  src = c + (dst - out/2) * (size * scale / out)  per axis, with
+out-of-bounds taps contributing zero (BORDER_CONSTANT parity).
+
+Output is NHWC float32 in [0, 1] (TPU-native layout; the SPIN model takes
+NHWC directly instead of the reference's NCHW).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather_axis(coords, size):
+    """For float sample coords (M,), return (idx0, idx1, w0, w1, valid0, valid1)."""
+    x0 = jnp.floor(coords)
+    frac = coords - x0
+    i0 = x0.astype(jnp.int32)
+    i1 = i0 + 1
+    valid0 = (i0 >= 0) & (i0 <= size - 1)
+    valid1 = (i1 >= 0) & (i1 <= size - 1)
+    return (
+        jnp.clip(i0, 0, size - 1),
+        jnp.clip(i1, 0, size - 1),
+        (1.0 - frac),
+        frac,
+        valid0,
+        valid1,
+    )
+
+
+def _crop_one(image: jnp.ndarray, bbox: jnp.ndarray, scale: float, out_size: int) -> jnp.ndarray:
+    """image: (H, W, C) float32; bbox: (4,) [cx, cy, w, h]. -> (out, out, C)."""
+    H, W = image.shape[0], image.shape[1]
+    cx, cy, bw, bh = bbox[0], bbox[1], bbox[2], bbox[3]
+    src_w = bw * scale
+    src_h = bh * scale
+    half = out_size * 0.5
+
+    xs = (jnp.arange(out_size, dtype=jnp.float32) - half) * (src_w / out_size) + cx
+    ys = (jnp.arange(out_size, dtype=jnp.float32) - half) * (src_h / out_size) + cy
+
+    x0, x1, wx0, wx1, vx0, vx1 = _bilinear_gather_axis(xs, W)
+    y0, y1, wy0, wy1, vy0, vy1 = _bilinear_gather_axis(ys, H)
+
+    # Gather the four tap planes; zero out taps that fall outside the image.
+    def tap(yi, xi, vy, vx):
+        plane = image[yi][:, xi]  # (out, out, C)
+        mask = (vy[:, None] & vx[None, :]).astype(image.dtype)
+        return plane * mask[..., None]
+
+    top = tap(y0, x0, vy0, vx0) * wx0[None, :, None] + tap(y0, x1, vy0, vx1) * wx1[None, :, None]
+    bot = tap(y1, x0, vy1, vx0) * wx0[None, :, None] + tap(y1, x1, vy1, vx1) * wx1[None, :, None]
+    return top * wy0[:, None, None] + bot * wy1[:, None, None]
+
+
+@partial(jax.jit, static_argnames=("scale", "out_size"))
+def crop_batch(
+    images: jnp.ndarray,  # (N, H, W, C) uint8 or float32
+    bboxes: jnp.ndarray,  # (N, 4) [cx, cy, w, h]
+    scale: float = 1.2,
+    out_size: int = 224,
+) -> jnp.ndarray:
+    """Batched device crop. Returns (N, out, out, C) float32 in [0, 1]."""
+    imgs = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        imgs = imgs / 255.0
+    out = jax.vmap(lambda im, bb: _crop_one(im, bb, scale, out_size))(
+        imgs, bboxes.astype(jnp.float32)
+    )
+    return out
+
+
+def crop_center_offset_reference_parity(out_size: int) -> float:
+    """The reference maps dst pixel x to src offset (x - out/2) * step.
+
+    cv2.getAffineTransform on the three (center, center+down, center+right)
+    point pairs yields exactly dst = center + (src - c) * out/(size*scale),
+    i.e. src = c + (x - out/2) * (size*scale)/out with NO half-pixel shift --
+    documented here (and pinned by tests) because resample parity with the
+    reference hinges on it.
+    """
+    return out_size * 0.5

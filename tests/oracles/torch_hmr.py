@@ -1,0 +1,125 @@
+"""Torch restatement of the SPIN hmr architecture, for converter/numerics tests.
+
+Implements the behavioural spec of nkolot/SPIN's models/hmr.py as used by the
+reference (SURVEY.md section 2.10): torchvision-style ResNet-50 (stride on the
+3x3 bottleneck conv) + 3-iteration IEF regressor with no activations between
+fc1/fc2, rot6d output head. Module/parameter names match the published
+checkpoint so models/convert.py maps them directly.
+"""
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class Bottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+        self.stride = stride
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+def rot6d_to_rotmat(x):
+    x = x.view(-1, 3, 2)
+    a1 = x[:, :, 0]
+    a2 = x[:, :, 1]
+    b1 = F.normalize(a1)
+    b2 = F.normalize(a2 - torch.einsum("bi,bi->b", b1, a2).unsqueeze(-1) * b1)
+    b3 = torch.cross(b1, b2, dim=1)
+    return torch.stack((b1, b2, b3), dim=-1)
+
+
+class TorchHMR(nn.Module):
+    def __init__(self, mean_params, layers=(3, 4, 6, 3)):
+        super().__init__()
+        npose = 24 * 6
+        self.inplanes = 64
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = self._make_layer(64, layers[0])
+        self.layer2 = self._make_layer(128, layers[1], stride=2)
+        self.layer3 = self._make_layer(256, layers[2], stride=2)
+        self.layer4 = self._make_layer(512, layers[3], stride=2)
+        self.avgpool = nn.AvgPool2d(7, stride=1)
+        self.fc1 = nn.Linear(512 * 4 + npose + 13, 1024)
+        self.drop1 = nn.Dropout()
+        self.fc2 = nn.Linear(1024, 1024)
+        self.drop2 = nn.Dropout()
+        self.decpose = nn.Linear(1024, npose)
+        self.decshape = nn.Linear(1024, 10)
+        self.deccam = nn.Linear(1024, 3)
+
+        self.register_buffer(
+            "init_pose", torch.from_numpy(np.asarray(mean_params["init_pose"], np.float32))
+        )
+        self.register_buffer(
+            "init_shape", torch.from_numpy(np.asarray(mean_params["init_shape"], np.float32))
+        )
+        self.register_buffer(
+            "init_cam", torch.from_numpy(np.asarray(mean_params["init_cam"], np.float32))
+        )
+
+    def _make_layer(self, planes, blocks, stride=1):
+        downsample = nn.Sequential(
+            nn.Conv2d(self.inplanes, planes * 4, 1, stride=stride, bias=False),
+            nn.BatchNorm2d(planes * 4),
+        )
+        layers = [Bottleneck(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * 4
+        for _ in range(1, blocks):
+            layers.append(Bottleneck(self.inplanes, planes))
+        return nn.Sequential(*layers)
+
+    def forward(self, x, n_iter=3):
+        B = x.shape[0]
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        xf = self.avgpool(x).view(B, -1)
+
+        pred_pose = self.init_pose.expand(B, -1)
+        pred_shape = self.init_shape.expand(B, -1)
+        pred_cam = self.init_cam.expand(B, -1)
+        for _ in range(n_iter):
+            xc = torch.cat([xf, pred_pose, pred_shape, pred_cam], 1)
+            xc = self.drop2(self.fc2(self.drop1(self.fc1(xc))))
+            pred_pose = self.decpose(xc) + pred_pose
+            pred_shape = self.decshape(xc) + pred_shape
+            pred_cam = self.deccam(xc) + pred_cam
+
+        rotmat = rot6d_to_rotmat(pred_pose).view(B, 24, 3, 3)
+        return rotmat, pred_shape, pred_cam
+
+
+def randomized_torch_hmr(mean_params, seed=0):
+    """Eval-mode TorchHMR with deterministic random weights and non-trivial
+    BN running stats (so the conversion test exercises mean/var plumbing)."""
+    torch.manual_seed(seed)
+    model = TorchHMR(mean_params)
+    with torch.no_grad():
+        for mod in model.modules():
+            if isinstance(mod, nn.BatchNorm2d):
+                mod.running_mean.normal_(0.0, 0.05)
+                mod.running_var.uniform_(0.8, 1.2)
+    model.eval()
+    return model
