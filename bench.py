@@ -1,0 +1,108 @@
+"""Throughput benchmark: end-to-end device pipeline frames/sec/chip.
+
+Measures the steady-state per-frame compute path on one chip -- detector
+forward (YOLOv3 @ 416), crop, SPIN (ResNet-50 + IEF), rotation conversions,
+SMPL joints, REBA+RULA scoring -- all fused in one jit graph per frame batch
+(video decode and host-side SORT are excluded; both are overlappable and
+sub-millisecond per frame).
+
+Baseline: the reference publishes no numbers (BASELINE.md). Its GPU pipeline
+is bottlenecked by serial per-frame host work (batch-1 SMPL forwards, 48
+cv2.Rodrigues calls per frame, Python scoring loops -- SURVEY.md section 3.3);
+30 fps end-to-end is a generous estimate of what it sustains on a modern GPU.
+vs_baseline is measured_fps / 30.0, and the north-star 10x target therefore
+corresponds to vs_baseline >= 10.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_FPS_ESTIMATE = 30.0
+BATCH = 128
+WARMUP_STEPS = 2
+MEASURE_STEPS = 8
+FRAME_HW = (450, 800)  # reference ingest cap (funcs_utils.py:26-31)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from poserisk_release_tpu.body.smpl import SMPLFamily
+    from poserisk_release_tpu.config import default_config
+    from poserisk_release_tpu.models.detector import init_yolo_params
+    from poserisk_release_tpu.pipeline import PoseEstimator
+    from poserisk_release_tpu.throughput import (
+        default_packed_infos,
+        make_full_frame_step,
+    )
+
+    cfg = default_config()
+    family = SMPLFamily(cfg.SPIN.smpl_model_dir)
+    estimator = PoseEstimator(cfg, family)
+    yolo_params = jax.device_put(
+        jax.tree_util.tree_map(jnp.asarray, init_yolo_params())
+    )
+    info_reba, info_rula = default_packed_infos()
+    info_reba, info_rula = jnp.asarray(info_reba), jnp.asarray(info_rula)
+
+    step = jax.jit(
+        make_full_frame_step(cfg.SPIN.ief_iters, estimator.parents, FRAME_HW)
+    )
+
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(
+        rng.randint(0, 256, size=(BATCH, *FRAME_HW, 3), dtype=np.uint8)
+    )
+    bboxes = jnp.asarray(
+        np.tile(np.array([400.0, 225.0, 220.0, 220.0], np.float32), (BATCH, 1))
+    )
+
+    def sync(out):
+        # NOTE: through the remote-TPU relay used in this environment,
+        # block_until_ready is unreliable (async dispatch returns early); a
+        # device-side reduce + 4-byte scalar readback is the only trustworthy
+        # completion barrier. See .claude/skills/verify/SKILL.md.
+        reba, rula, det_best = out
+        return float(jnp.sum(reba) + jnp.sum(rula) + jnp.sum(det_best))
+
+    def run_once():
+        return step(
+            yolo_params, estimator.variables, estimator.smpl_params,
+            frames, bboxes, info_reba, info_rula,
+        )
+
+    for _ in range(WARMUP_STEPS):
+        sync(run_once())
+
+    t0 = time.perf_counter()
+    outs = [run_once() for _ in range(MEASURE_STEPS)]
+    # One device-side accumulation over every step's outputs, then a single
+    # 4-byte readback: the float() can't resolve until all steps finished.
+    acc = jnp.float32(0)
+    for reba, rula, det_best in outs:
+        acc = acc + jnp.sum(reba) + jnp.sum(det_best)
+    float(acc)
+    elapsed = time.perf_counter() - t0
+
+    fps = (MEASURE_STEPS * BATCH) / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_device_pipeline_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip (detector+crop+SPIN+angles+joints+REBA+RULA)",
+                "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

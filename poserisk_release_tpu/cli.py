@@ -1,0 +1,72 @@
+"""CLI entry point, flag-compatible with the reference's main/run.py.
+
+    python -m poserisk_release_tpu.cli --type REBA,RULA --input video.mp4 \
+        --info additional_information.json --output out [--gpu 0] \
+        [--visualize] [--debug] [--debug_joints "Neck,L_Hip"] [--debug_frame K]
+
+Flags and defaults mirror /root/reference/main/run.py:10-20. `--gpu` selects
+the visible accelerator (the reference sets CUDA_VISIBLE_DEVICES; here it
+picks the JAX device index / mesh size). `--cpu` forces the host platform
+(useful on machines without TPU).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Estimate RULA and REBA score")
+    parser.add_argument("--gpu", type=str, default="0",
+                        help="assign device(s); comma concat mirrors the reference flag")
+    parser.add_argument("--type", type=str, default="REBA,RULA", help="Score type")
+    parser.add_argument("--input", type=str, default="example/input.mp4", help="input video")
+    parser.add_argument("--info", type=str, default="example/additional_information.json",
+                        help="input additional_information.json")
+    parser.add_argument("--output", type=str, default="output", help="output directory")
+    parser.add_argument("--visualize", type=bool, default=True, help="do result visualization")
+    parser.add_argument("--debug", action="store_true", help="for debuging")
+    parser.add_argument("--debug_joints", type=str, default="",
+                        help='for debuging, input joint names (i.e. "Neck,L_Hip")')
+    parser.add_argument("--debug_frame", type=int, default=-1,
+                        help="for debuging, input frame number")
+    parser.add_argument("--cfg", type=str, default=None, help="YAML config override")
+    parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument("--num_devices", type=int, default=0,
+                        help="devices in the data mesh (0 = all visible)")
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from poserisk_release_tpu.config import default_config, load_yaml_config
+    from poserisk_release_tpu.parallel.mesh import make_mesh
+    from poserisk_release_tpu.pipeline import Predictor
+
+    cfg = load_yaml_config(args.cfg) if args.cfg else default_config()
+
+    n_devices = args.num_devices or len(jax.devices())
+    mesh = make_mesh(n_devices) if n_devices > 1 else None
+    print("Work on devices: ", jax.devices()[: n_devices or None])
+
+    predictor = Predictor(
+        cfg=cfg,
+        score_type=args.type,
+        debug=args.debug,
+        debug_joints=args.debug_joints,
+        debug_frame=args.debug_frame,
+        visualize=args.visualize,
+        mesh=mesh,
+    )
+    predictor(args.input, args.info, args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,90 @@
+"""Host-side video ingest: decode + the reference's resize rule, in memory.
+
+The reference decodes with cv2.VideoCapture and round-trips EVERY frame
+through a jpg on disk (/root/reference/lib/utils/funcs_utils.py:18-53,
+SURVEY.md flags the jpg round-trip as a key bottleneck). Here frames stay in
+one contiguous RGB ndarray feeding device batches directly; an optional
+dump writes the reference-format '%09d.jpg' tree for debugging parity.
+
+Resize rule parity (funcs_utils.py:26-31): if width > 800 scale to 800 wide,
+elif height > 450 scale to 450 tall; always resize (even when unchanged).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from dataclasses import dataclass
+
+import numpy as np
+
+
+def reference_resize_dims(width: int, height: int) -> tuple[int, int]:
+    if width > 800:
+        height = int(height * 800 / width)
+        width = 800
+    elif height > 450:
+        width = int(width * 450 / height)
+        height = 450
+    return width, height
+
+
+@dataclass
+class VideoClip:
+    frames: np.ndarray  # (N, H, W, 3) uint8 RGB
+    fps: float
+
+    @property
+    def num_frames(self) -> int:
+        return int(self.frames.shape[0])
+
+
+def read_video(path: str, max_frames: int | None = None) -> VideoClip:
+    """Decode a video to in-memory RGB frames with the reference resize rule."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {path}")
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    src_w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    src_h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    width, height = reference_resize_dims(src_w, src_h)
+
+    frames = []
+    while True:
+        ret, frame_bgr = cap.read()
+        if not ret:
+            break
+        frame_bgr = cv2.resize(frame_bgr, (width, height))
+        frames.append(cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB))
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    cap.release()
+    if not frames:
+        raise ValueError(f"video decoded to zero frames: {path}")
+    return VideoClip(frames=np.stack(frames), fps=float(fps))
+
+
+def dump_frames(clip: VideoClip, tmp_path: str) -> int:
+    """Write the reference-format '%09d.jpg' frame tree (debug parity only)."""
+    import cv2
+
+    os.makedirs(tmp_path, exist_ok=True)
+    for idx, frame in enumerate(clip.frames):
+        cv2.imwrite(
+            osp.join(tmp_path, "{0:09d}.jpg".format(idx)),
+            cv2.cvtColor(frame, cv2.COLOR_RGB2BGR),
+        )
+    return clip.num_frames
+
+
+def write_video(frames_bgr, fps: float, file_path: str) -> None:
+    """mp4 writer with the reference's fourcc (0x7634706d, base.py:301)."""
+    import cv2
+
+    h, w = frames_bgr[0].shape[0], frames_bgr[0].shape[1]
+    writer = cv2.VideoWriter(file_path, 0x7634706D, fps, (w, h))
+    for frame in frames_bgr:
+        writer.write(np.uint8(frame))
+    writer.release()

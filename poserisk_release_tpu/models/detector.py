@@ -1,0 +1,365 @@
+"""YOLOv3 person detector (functional JAX) + darknet-weights ingestion.
+
+The reference delegates detection to the external multi-person-tracker's
+YOLOv3 (constructed at /root/reference/lib/core/base.py:38-46 with
+yolo_img_size=416, detection_threshold=0.1; behavioural contract in SURVEY.md
+section 2.9). This is a TPU-native rebuild:
+
+  * the 75-conv YOLOv3 graph is expressed as a data-driven spec mirroring the
+    canonical yolov3.cfg (Darknet-53 + 3 detection heads), executed as pure
+    functions over a parameter pytree -- whole batches of frames jit in one
+    XLA graph, NHWC, MXU-friendly;
+  * weights load from the standard `yolov3.weights` darknet binary (the same
+    file the reference's pip dependency downloads); with no weights file a
+    deterministic random init keeps the pipeline runnable (plus StubDetector
+    for tests);
+  * box decode (sigmoid xy + grid, exp wh * anchor) runs on device; the
+    score filter + NMS run on host per frame (tiny).
+
+Detections are returned as (x1, y1, x2, y2, score) in ORIGINAL image
+coordinates for the person class only, matching what SORT consumes upstream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Architecture spec (canonical yolov3.cfg).
+# Each entry: ("conv", filters, ksize, stride, batch_norm) | ("shortcut", from)
+#           | ("route", [idxs]) | ("upsample",) | ("yolo", anchor_set)
+# Indices in route/shortcut refer to entry positions in this list.
+# ---------------------------------------------------------------------------
+def _residual(filters: int, n: int) -> List[tuple]:
+    out = []
+    for _ in range(n):
+        out.append(("conv", filters // 2, 1, 1, True))
+        out.append(("conv", filters, 3, 1, True))
+        out.append(("shortcut", -3))
+    return out
+
+
+YOLOV3_SPEC: List[tuple] = (
+    [
+        ("conv", 32, 3, 1, True),
+        ("conv", 64, 3, 2, True),
+        *_residual(64, 1),
+        ("conv", 128, 3, 2, True),
+        *_residual(128, 2),
+        ("conv", 256, 3, 2, True),
+        *_residual(256, 8),  # ends at spec index 36 (route point)
+        ("conv", 512, 3, 2, True),
+        *_residual(512, 8),  # ends at spec index 61 (route point)
+        ("conv", 1024, 3, 2, True),
+        *_residual(1024, 4),
+        # Head 1 (stride 32)
+        ("conv", 512, 1, 1, True),
+        ("conv", 1024, 3, 1, True),
+        ("conv", 512, 1, 1, True),
+        ("conv", 1024, 3, 1, True),
+        ("conv", 512, 1, 1, True),  # spec index 79: branch point
+        ("conv", 1024, 3, 1, True),
+        ("conv", 255, 1, 1, False),
+        ("yolo", 2),
+        # Head 2 (stride 16)
+        ("route", [79]),
+        ("conv", 256, 1, 1, True),
+        ("upsample",),
+        ("route", [-1, 61]),
+        ("conv", 256, 1, 1, True),
+        ("conv", 512, 3, 1, True),
+        ("conv", 256, 1, 1, True),
+        ("conv", 512, 3, 1, True),
+        ("conv", 256, 1, 1, True),  # branch point (spec index 91)
+        ("conv", 512, 3, 1, True),
+        ("conv", 255, 1, 1, False),
+        ("yolo", 1),
+        # Head 3 (stride 8)
+        ("route", [91]),
+        ("conv", 128, 1, 1, True),
+        ("upsample",),
+        ("route", [-1, 36]),
+        ("conv", 128, 1, 1, True),
+        ("conv", 256, 3, 1, True),
+        ("conv", 128, 1, 1, True),
+        ("conv", 256, 3, 1, True),
+        ("conv", 128, 1, 1, True),
+        ("conv", 256, 3, 1, True),
+        ("conv", 255, 1, 1, False),
+        ("yolo", 0),
+    ]
+)
+
+ANCHORS = (
+    ((10, 13), (16, 30), (33, 23)),  # stride 8
+    ((30, 61), (62, 45), (59, 119)),  # stride 16
+    ((116, 90), (156, 198), (373, 326)),  # stride 32
+)
+NUM_CLASSES = 80
+PERSON_CLASS = 0
+BN_EPS = 1e-5
+LEAKY_SLOPE = 0.1
+
+
+def conv_indices() -> List[int]:
+    """Spec positions that are conv layers, in darknet weight-file order."""
+    return [i for i, e in enumerate(YOLOV3_SPEC) if e[0] == "conv"]
+
+
+def init_yolo_params(seed: int = 0, img_size: int = 416) -> Dict[str, Dict]:
+    """Deterministic random init (He-style) for weight-free environments."""
+    rng = np.random.RandomState(seed)
+    params: Dict[str, Dict] = {}
+    in_ch = 3
+    channels: List[int] = []
+    for i, entry in enumerate(YOLOV3_SPEC):
+        kind = entry[0]
+        if kind == "conv":
+            _, filters, ksize, stride, bn = entry
+            fan_in = in_ch * ksize * ksize
+            kernel = rng.normal(0, np.sqrt(2.0 / fan_in), (ksize, ksize, in_ch, filters))
+            layer = {"kernel": kernel.astype(np.float32)}
+            if bn:
+                layer.update(
+                    scale=np.ones(filters, np.float32),
+                    bias=np.zeros(filters, np.float32),
+                    mean=np.zeros(filters, np.float32),
+                    var=np.ones(filters, np.float32),
+                )
+            else:
+                layer["conv_bias"] = np.zeros(filters, np.float32)
+            params[f"conv_{i}"] = layer
+            in_ch = filters
+        elif kind == "shortcut":
+            pass  # channels unchanged
+        elif kind == "route":
+            refs = [r if r >= 0 else i + r for r in entry[1]]
+            in_ch = sum(channels[r] for r in refs)
+        elif kind == "upsample":
+            pass
+        elif kind == "yolo":
+            pass
+        channels.append(in_ch)
+    return params
+
+
+def load_darknet_weights(path: str) -> Dict[str, Dict]:
+    """Parse the standard darknet binary: 5 int32 header, then per conv layer
+    [bn_bias, bn_scale, bn_mean, bn_var] or [conv_bias], then kernel (OIHW)."""
+    with open(path, "rb") as f:
+        np.fromfile(f, np.int32, 5)  # header (major, minor, revision, seen)
+        blob = np.fromfile(f, np.float32)
+
+    params: Dict[str, Dict] = {}
+    ptr = 0
+    in_ch = 3
+    channels: List[int] = []
+    for i, entry in enumerate(YOLOV3_SPEC):
+        kind = entry[0]
+        if kind == "conv":
+            _, filters, ksize, stride, bn = entry
+            layer: Dict[str, np.ndarray] = {}
+            if bn:
+                for name in ("bias", "scale", "mean", "var"):
+                    layer[name] = blob[ptr : ptr + filters].copy()
+                    ptr += filters
+            else:
+                layer["conv_bias"] = blob[ptr : ptr + filters].copy()
+                ptr += filters
+            n_w = filters * in_ch * ksize * ksize
+            kernel = blob[ptr : ptr + n_w].reshape(filters, in_ch, ksize, ksize)
+            ptr += n_w
+            layer["kernel"] = np.transpose(kernel, (2, 3, 1, 0)).copy()  # -> HWIO
+            params[f"conv_{i}"] = layer
+            in_ch = filters
+        elif kind == "route":
+            refs = [r if r >= 0 else i + r for r in entry[1]]
+            in_ch = sum(channels[r] for r in refs)
+        channels.append(in_ch)
+    if ptr != blob.size:
+        raise ValueError(f"darknet weight size mismatch: used {ptr} of {blob.size}")
+    return params
+
+
+def _conv_block(x, layer, entry):
+    _, filters, ksize, stride, bn = entry
+    pad = (ksize - 1) // 2
+    x = jax.lax.conv_general_dilated(
+        x,
+        jnp.asarray(layer["kernel"]),
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bn:
+        inv = jax.lax.rsqrt(jnp.asarray(layer["var"]) + BN_EPS)
+        x = (x - jnp.asarray(layer["mean"])) * inv * jnp.asarray(layer["scale"]) + jnp.asarray(
+            layer["bias"]
+        )
+        x = jnp.where(x > 0, x, LEAKY_SLOPE * x)
+    else:
+        x = x + jnp.asarray(layer["conv_bias"])
+    return x
+
+
+def _decode_head(raw, anchor_set, img_size):
+    """raw: (B, g, g, 255) -> (B, g*g*3, 5) [cx, cy, w, h, person_score] in
+    img_size pixel units."""
+    B, g = raw.shape[0], raw.shape[1]
+    stride = img_size // g
+    raw = raw.reshape(B, g, g, 3, 5 + NUM_CLASSES)
+    xy = jax.nn.sigmoid(raw[..., 0:2])
+    wh = raw[..., 2:4]
+    obj = jax.nn.sigmoid(raw[..., 4:5])
+    cls_person = jax.nn.sigmoid(raw[..., 5 + PERSON_CLASS : 6 + PERSON_CLASS])
+
+    gy = jax.lax.broadcasted_iota(jnp.float32, (g, g), 0)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (g, g), 1)
+    grid = jnp.stack([gx, gy], axis=-1)[None, :, :, None, :]  # (1,g,g,1,2)
+    anchors = jnp.asarray(ANCHORS[anchor_set], jnp.float32)[None, None, None, :, :]
+
+    cxcy = (xy + grid) * stride
+    pwh = jnp.exp(jnp.clip(wh, -20.0, 20.0)) * anchors
+    score = obj * cls_person
+    out = jnp.concatenate([cxcy, pwh, score], axis=-1)
+    return out.reshape(B, g * g * 3, 5)
+
+
+@partial(jax.jit, static_argnames=("img_size",))
+def yolo_forward(params: Dict, images: jnp.ndarray, img_size: int = 416) -> jnp.ndarray:
+    """images: (B, S, S, 3) float32 in [0,1] letterboxed. Returns
+    (B, total_anchors, 5) decoded [cx, cy, w, h, person_score]."""
+    outputs: List[jnp.ndarray] = []
+    detections: List[jnp.ndarray] = []
+    x = images
+    for i, entry in enumerate(YOLOV3_SPEC):
+        kind = entry[0]
+        if kind == "conv":
+            x = _conv_block(x, params[f"conv_{i}"], entry)
+        elif kind == "shortcut":
+            x = x + outputs[i + entry[1]]
+        elif kind == "route":
+            refs = [r if r >= 0 else i + r for r in entry[1]]
+            parts = [outputs[r] for r in refs]
+            x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+        elif kind == "upsample":
+            B, H, W, C = x.shape
+            x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        elif kind == "yolo":
+            detections.append(_decode_head(x, entry[1], img_size))
+        outputs.append(x)
+    return jnp.concatenate(detections, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Host-side letterbox + NMS wrapper
+# ---------------------------------------------------------------------------
+def letterbox_batch(frames: np.ndarray, img_size: int = 416) -> Tuple[np.ndarray, float, Tuple[int, int]]:
+    """frames: (N, H, W, 3) uint8 RGB -> (N, S, S, 3) float32 [0,1] plus the
+    scale ratio and (pad_x, pad_y) needed to unmap boxes."""
+    import cv2
+
+    N, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
+    ratio = img_size / max(H, W)
+    new_w, new_h = int(round(W * ratio)), int(round(H * ratio))
+    pad_x = (img_size - new_w) // 2
+    pad_y = (img_size - new_h) // 2
+    out = np.full((N, img_size, img_size, 3), 128, np.uint8)
+    for i in range(N):
+        out[i, pad_y : pad_y + new_h, pad_x : pad_x + new_w] = cv2.resize(
+            frames[i], (new_w, new_h), interpolation=cv2.INTER_LINEAR
+        )
+    return out.astype(np.float32) / 255.0, ratio, (pad_x, pad_y)
+
+
+def nms_xyxy(boxes: np.ndarray, scores: np.ndarray, iou_thr: float) -> np.ndarray:
+    """Greedy IoU NMS; returns kept indices sorted by descending score."""
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(i)
+        if order.size == 1:
+            break
+        rest = order[1:]
+        xx1 = np.maximum(boxes[i, 0], boxes[rest, 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[rest, 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[rest, 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[rest, 3])
+        inter = np.maximum(0, xx2 - xx1) * np.maximum(0, yy2 - yy1)
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        area_r = (boxes[rest, 2] - boxes[rest, 0]) * (boxes[rest, 3] - boxes[rest, 1])
+        iou = inter / np.maximum(area_i + area_r - inter, 1e-9)
+        order = rest[iou <= iou_thr]
+    return np.array(keep, np.int64)
+
+
+@dataclass
+class YoloDetector:
+    """Batched person detector with the MPT-era calling convention."""
+
+    params: Dict
+    img_size: int = 416
+    detection_threshold: float = 0.1
+    nms_threshold: float = 0.45
+    batch_size: int = 8
+
+    @classmethod
+    def from_weights(cls, weights_path: str | None, **kwargs) -> "YoloDetector":
+        import os.path as osp
+
+        if weights_path and osp.isfile(weights_path):
+            params = load_darknet_weights(weights_path)
+        else:
+            params = init_yolo_params()
+        return cls(params=params, **kwargs)
+
+    def __call__(self, frames_rgb: np.ndarray) -> List[np.ndarray]:
+        """frames_rgb: (N, H, W, 3) uint8. Returns per-frame ndarray
+        (k, 5) [x1, y1, x2, y2, score] person detections in frame coords."""
+        N, H, W = frames_rgb.shape[0], frames_rgb.shape[1], frames_rgb.shape[2]
+        letter, ratio, (pad_x, pad_y) = letterbox_batch(frames_rgb, self.img_size)
+
+        results: List[np.ndarray] = []
+        for start in range(0, N, self.batch_size):
+            chunk = letter[start : start + self.batch_size]
+            raw = np.asarray(yolo_forward(self.params, jnp.asarray(chunk), self.img_size))
+            for det in raw:
+                mask = det[:, 4] > self.detection_threshold
+                det = det[mask]
+                if det.size == 0:
+                    results.append(np.zeros((0, 5), np.float32))
+                    continue
+                cx = (det[:, 0] - pad_x) / ratio
+                cy = (det[:, 1] - pad_y) / ratio
+                w = det[:, 2] / ratio
+                h = det[:, 3] / ratio
+                boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=1)
+                boxes[:, 0::2] = boxes[:, 0::2].clip(0, W - 1)
+                boxes[:, 1::2] = boxes[:, 1::2].clip(0, H - 1)
+                keep = nms_xyxy(boxes, det[:, 4], self.nms_threshold)
+                results.append(
+                    np.concatenate([boxes[keep], det[keep, 4:5]], axis=1).astype(np.float32)
+                )
+        return results
+
+
+@dataclass
+class StubDetector:
+    """Deterministic detector for weight-free tests/pipelines: returns either
+    scripted per-frame boxes or one full-frame box per frame."""
+
+    scripted: List[np.ndarray] | None = None
+
+    def __call__(self, frames_rgb: np.ndarray) -> List[np.ndarray]:
+        if self.scripted is not None:
+            return [np.asarray(b, np.float32).reshape(-1, 5) for b in self.scripted]
+        N, H, W = frames_rgb.shape[0], frames_rgb.shape[1], frames_rgb.shape[2]
+        box = np.array([[W * 0.25, H * 0.1, W * 0.75, H * 0.95, 0.99]], np.float32)
+        return [box.copy() for _ in range(N)]

@@ -1,0 +1,128 @@
+"""Annotated result video + 3D pose figure, behaviour-parity renderers.
+
+visualize_result parity (/root/reference/lib/core/base.py:284-327): 720-wide
+resized frame + 280px black side panel; per-frame texts; score/box read at
+the even-snapped track index idx//2*2 (base.py:312 quirk); 'Not detected
+target' on frames outside the track; green bbox drawn with the reference's
+corner math (vis_utils.py:278-294). Frames come from memory (no jpg re-read).
+
+vis_3d_pose parity (vis_utils.py:181-236): matplotlib 3D skeleton, red lines,
+green/blue joints by side, +-800mm limits, (x, z, -y) axis mapping.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+
+def draw_box_cxcywh(img_bgr: np.ndarray, box: np.ndarray) -> np.ndarray:
+    import cv2
+
+    img = img_bgr.copy()
+    color, thickness = (0, 255, 0), 2
+    x_min = int(box[0]) - int(box[2]) // 2
+    y_min = int(box[1]) - int(box[3]) // 2
+    x_max = int(box[0]) + int(box[2]) // 2
+    y_max = int(box[1]) + int(box[3]) // 2
+    img = cv2.line(img, (x_min, y_min), (x_min, y_max), color, thickness)
+    img = cv2.line(img, (x_min, y_min), (x_max, y_min), color, thickness)
+    img = cv2.line(img, (x_min, y_max), (x_max, y_max), color, thickness)
+    img = cv2.line(img, (x_max, y_min), (x_max, y_max), color, thickness)
+    return img
+
+
+def render_result_video(
+    frames_rgb: np.ndarray,  # (N, H, W, 3) uint8, ALL frames of the clip
+    bboxes: np.ndarray,  # (T, 4) cxcywh of the target track
+    timestamp,  # (0, track_frames, total_frames)
+    fps: float,
+    scores: np.ndarray,  # (T,) per-track-frame final scores
+    joint_names: Sequence[str],
+    logs: np.ndarray,  # (T, len(joint_names)) log entries
+    output_path: str,
+    title: str = "REBA",
+) -> str:
+    import cv2
+
+    height, width = frames_rgb.shape[1], frames_rgb.shape[2]
+    resize_w = 720
+    resize_h = int(height * resize_w / width)
+    canvas_w = resize_w + 280
+    canvas_h = resize_h
+
+    out_file = osp.join(output_path, title + "_video.mp4")
+    writer = cv2.VideoWriter(out_file, 0x7634706D, fps, (canvas_w, canvas_h))
+    font = cv2.FONT_HERSHEY_SIMPLEX
+    color = (255, 255, 255)
+    track_frames = timestamp[1]
+
+    for i in range(frames_rgb.shape[0]):
+        # (reference builds a float canvas and casts at write time; OpenCV 5
+        # putText requires uint8 -- same final pixels either way)
+        canvas = np.zeros((canvas_h, canvas_w, 3), np.uint8)
+        img = cv2.cvtColor(frames_rgb[i], cv2.COLOR_RGB2BGR)
+
+        cv2.putText(canvas, "frame: " + str(i), (resize_w + 15, canvas_h - 14),
+                    font, 0.5, color, 1, cv2.LINE_AA)
+
+        if i in track_frames:
+            idx = int(np.where(track_frames == i)[0][0])
+            idx = idx // 2 * 2  # reference quirk: even-index snap
+            img = draw_box_cxcywh(img, bboxes[idx])
+            cv2.putText(canvas, title + " Score: " + str(scores[idx]),
+                        (resize_w + 15, 35), font, 0.7, (0, 255, 0), 1, cv2.LINE_AA)
+            cv2.putText(canvas, "- Score per Joints ", (resize_w + 15, 122),
+                        font, 0.6, color, 1, cv2.LINE_AA)
+            for j, joint in enumerate(joint_names):
+                cv2.putText(canvas, joint + ": " + str(logs[idx][j]),
+                            (resize_w + 15, 153 + 24 * j), font, 0.5, color, 1, cv2.LINE_AA)
+        else:
+            cv2.putText(canvas, "Not detected target", (resize_w + 15, canvas_h - 65),
+                        font, 0.6, color, 1, cv2.LINE_AA)
+
+        img = cv2.resize(img, (resize_w, resize_h), interpolation=cv2.INTER_AREA)
+        canvas[:resize_h, :resize_w, :] = img
+        writer.write(np.uint8(canvas))
+    writer.release()
+    return out_file
+
+
+SMPL_RIGHT_JOINTS = (2, 5, 8, 11, 14, 17, 19, 21, 23)
+
+
+def vis_3d_pose(
+    kps_3d: np.ndarray,
+    skeleton: Sequence,
+    file_path: str,
+    frame: int = 0,
+) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection="3d")
+    fig.set_size_inches(5, 3.75)
+
+    for i1, i2 in skeleton:
+        xs = np.array([kps_3d[i1, 0], kps_3d[i2, 0]])
+        ys = np.array([kps_3d[i1, 1], kps_3d[i2, 1]])
+        zs = np.array([kps_3d[i1, 2], kps_3d[i2, 2]])
+        ax.plot(xs, zs, -ys, c="r", linewidth=1)
+        for j in (i1, i2):
+            c = "g" if j in SMPL_RIGHT_JOINTS else "b"
+            ax.scatter(kps_3d[j, 0], kps_3d[j, 2], -kps_3d[j, 1], c=c, marker="o")
+
+    ax.set_xlabel("X axis")
+    ax.set_ylabel("Z axis")
+    ax.set_zlabel("Y axis")
+    ax.set_xlim3d(-800, 800)
+    ax.set_ylim3d(-800, 800)
+    ax.set_zlim3d(-800, 800)
+    ax.set_title(f"3D Skeleton - frame: {frame}")
+    fig.savefig(file_path)
+    plt.close(fig=fig)

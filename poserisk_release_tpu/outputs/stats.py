@@ -1,0 +1,63 @@
+"""Score post-processing: stats + plot, byte-parity with the reference.
+
+Mirrors Predictor.post_processing (/root/reference/lib/core/base.py:242-271):
+sort scores DESCENDING, then avg / top-50% / top-10% / max rounded to 3dp and
+scipy mode (smallest modal value on ties); the unsorted copy feeds the CSV
+and video paths. The matplotlib plot reproduces title/labels/xlim.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import List, Sequence, Tuple
+
+import numpy as np
+from scipy.stats import mode
+
+
+def post_process_scores(
+    results: List[dict],
+    timestamp: Tuple[int, np.ndarray, int],
+    output_path: str,
+    title: str,
+    make_plot: bool = True,
+):
+    """results: scorer output dicts. Returns (final_scores_5tuple,
+    scores_in_frame_order, log_scores)."""
+    scores = np.array([r["score"] for r in results])
+    logs = np.array([r["log_score"] for r in results], dtype=object)
+
+    if make_plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.title(title + " Score")
+        plt.xlim([timestamp[0], timestamp[2]])
+        plt.xlabel("frames")
+        plt.ylabel("score")
+        plt.plot(timestamp[1], scores)
+        plt.savefig(osp.join(output_path, title + "_score.png"))
+        plt.clf()
+
+    scores_log = np.copy(scores)
+    scores = np.sort(scores)[::-1]
+    score_avg = round(float(scores.mean()), 3)
+    score50 = round(float(scores[: len(scores) // 2].mean()), 3)
+    score10 = round(float(scores[: len(scores) // 10].mean()), 3)
+    score_max = round(float(scores.max()), 3)
+    score_mode = mode(scores).mode.item()
+    return (score_avg, score50, score10, score_max, score_mode), scores_log, logs
+
+
+def format_result_txt(final_scores: Sequence, action_level, action_name, trailing_space: bool) -> str:
+    """The reference result-file body (base.py:162-163 / 179-180), including
+    the line-continuation whitespace its f-string embeds (21 spaces before
+    MAX) and REBA's trailing space after the action name."""
+    tail = " " if trailing_space else ""
+    return (
+        f"AVG Score: {final_scores[0]} \n%50 Score: {final_scores[1]} \n%10 Score: {final_scores[2]} "
+        f"                    \nMAX Score: {final_scores[3]} \nMODE Score: {final_scores[4]} "
+        f"\nAction level: {action_level} \nAction: {action_name}{tail}"
+    )

@@ -1,0 +1,310 @@
+"""End-to-end video -> ergonomic-risk pipeline (the reference Predictor, TPU-native).
+
+Reference contract: Predictor.__init__/__call__
+(/root/reference/lib/core/base.py:76-209) -- video ingest, multi-person
+tracking, target selection, 224x224 crops, SPIN pose regression, joint-angle
+extraction, neutral-SMPL joint positions, REBA/RULA scoring, stats, plots,
+annotated video, result txts, and the three debug dump families.
+
+TPU-native differences (behaviour-preserving):
+  * frames stay in memory (no per-frame jpg round trip);
+  * crop -> SPIN -> rotation conversions -> SMPL joints run as ONE jitted
+    graph per fixed-size frame chunk (static shapes; last chunk padded);
+  * with a device mesh, the chunk's frame axis shards across chips
+    (parallel.mesh), parameters replicated;
+  * scoring is vectorised over all frames (scoring.reba / scoring.rula).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import shutil
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from poserisk_release_tpu.body.smpl import SMPLFamily
+from poserisk_release_tpu.config import Config, default_config
+from poserisk_release_tpu.io.video import read_video
+from poserisk_release_tpu.models import convert as model_convert
+from poserisk_release_tpu.models.detector import StubDetector, YoloDetector
+from poserisk_release_tpu.models.spin import HMR, init_spin_params, load_mean_params
+from poserisk_release_tpu.ops.crop import crop_batch
+from poserisk_release_tpu.ops.lbs import LBS, joints_only, smpl_params_to_jax
+from poserisk_release_tpu.ops.rotations import rotmat_to_axis_angle, rotmat_to_euler_deg
+from poserisk_release_tpu.outputs.render import render_result_video, vis_3d_pose
+from poserisk_release_tpu.outputs.stats import format_result_txt, post_process_scores
+from poserisk_release_tpu.outputs.writers import (
+    pose_to_str,
+    save_csv_pose_log,
+    save_eval_pose_log_csv,
+    save_obj,
+    save_score_log_csv,
+)
+from poserisk_release_tpu.parallel import mesh as pmesh
+from poserisk_release_tpu.scoring.reba import REBAScorer
+from poserisk_release_tpu.scoring.rula import RULAScorer
+from poserisk_release_tpu.tracking.mpt import MultiPersonTracker, filter_and_select_target
+
+ROOT_POSE = (3.14, 0.0, 0.0)  # forced root orientation (coord_utils.py:10-13)
+
+
+class PoseEstimator:
+    """Crops -> (euler deg, joint_cam mm, axis-angle) in one jitted graph."""
+
+    def __init__(self, cfg: Config, smpl_family: SMPLFamily,
+                 mesh: Optional[object] = None, variables: Optional[Dict] = None):
+        self.cfg = cfg
+        self.model = HMR(n_iter=cfg.SPIN.ief_iters)
+        self.mesh = mesh
+        neutral = smpl_family["neutral"]
+        self.smpl_params = smpl_params_to_jax(neutral)
+        parents = np.asarray(neutral.kintree_parents).copy()
+        parents[0] = 0
+        self.parents = tuple(int(p) for p in parents)
+        self.variables = variables if variables is not None else self._load_variables(cfg)
+        if mesh is not None:
+            self.variables = pmesh.replicate_tree(mesh, self.variables)
+            self.smpl_params = pmesh.replicate_tree(mesh, self.smpl_params)
+        self._step = jax.jit(self._pose_step)
+
+    def _load_variables(self, cfg: Config) -> Dict:
+        """Converted-npz > torch checkpoint > random init with mean params."""
+        npz_path = cfg.SPIN.checkpoint + ".flax.npz"
+        if osp.isfile(npz_path):
+            return model_convert.load_flax_variables(npz_path)
+        if osp.isfile(cfg.SPIN.checkpoint):
+            variables = model_convert.load_spin_checkpoint(cfg.SPIN.checkpoint)
+            mean = load_mean_params(cfg.SPIN.smpl_mean_params)
+            params = dict(variables["params"])
+            for key in ("init_pose", "init_shape", "init_cam"):
+                params.setdefault(key, jnp.asarray(mean[key]))
+            variables["params"] = params
+            model_convert.save_flax_variables(variables, npz_path)
+            return variables
+        return init_spin_params(
+            jax.random.PRNGKey(0), load_mean_params(cfg.SPIN.smpl_mean_params),
+            n_iter=cfg.SPIN.ief_iters,
+        )
+
+    def _pose_step(self, variables, smpl_params, crops):
+        rotmat, _betas, _cam = self.model.apply(variables, crops)
+        euler = rotmat_to_euler_deg(rotmat)  # (B, 24, 3)
+        aa = rotmat_to_axis_angle(rotmat)  # (B, 24, 3)
+        # get_joint_cam parity: root pose forced to (3.14, 0, 0); note the
+        # reference mutates its axis-angle buffer in place, so the returned
+        # axis-angle ALSO carries the forced root (coord_utils.py:12-13).
+        aa_forced = aa.at[:, 0, :].set(jnp.asarray(ROOT_POSE, aa.dtype))
+        joints = joints_only(smpl_params, aa_forced.reshape(aa.shape[0], -1), self.parents)
+        joints = joints * 1000.0
+        joint_cam = joints - joints[:, :1]
+        return euler, joint_cam, aa_forced
+
+    def run(self, crops: np.ndarray, chunk: int = 0):
+        """crops: (F, 224, 224, 3) float32 [0,1]. Chunked + padded execution.
+
+        chunk == 0 picks frames_per_step * mesh_size (static shapes, one
+        compile); the final partial chunk is edge-padded then trimmed.
+        """
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
+        if chunk <= 0:
+            chunk = self.cfg.PARALLEL.frames_per_step * n_dev
+        F = crops.shape[0]
+        eulers, jcams, aas = [], [], []
+        for start in range(0, F, chunk):
+            part = crops[start : start + chunk]
+            padded, n_valid = pmesh.pad_to_multiple(np.asarray(part), chunk)
+            batch = jnp.asarray(padded)
+            if self.mesh is not None:
+                batch = pmesh.shard_batch(self.mesh, batch)
+            e, jc, aa = self._step(self.variables, self.smpl_params, batch)
+            eulers.append(np.asarray(e)[:n_valid])
+            jcams.append(np.asarray(jc)[:n_valid])
+            aas.append(np.asarray(aa)[:n_valid])
+        return (
+            np.concatenate(eulers),
+            np.concatenate(jcams),
+            np.concatenate(aas),
+        )
+
+
+class Predictor:
+    """Reference-compatible orchestrator. See module docstring."""
+
+    def __init__(
+        self,
+        cfg: Config | None = None,
+        score_type: str = "REBA,RULA",
+        debug: bool = False,
+        debug_joints: str = "",
+        debug_frame: int = -1,
+        visualize: bool = True,
+        detector=None,
+        mesh=None,
+        spin_variables=None,
+        allow_synthetic_assets: bool = True,
+    ):
+        self.cfg = cfg or default_config()
+        self.smpl = SMPLFamily(self.cfg.SPIN.smpl_model_dir, allow_synthetic=allow_synthetic_assets)
+        self.lbs_neutral = LBS(self.smpl["neutral"])
+        self.pose_estimator = PoseEstimator(self.cfg, self.smpl, mesh=mesh, variables=spin_variables)
+
+        if detector is None:
+            if osp.isfile(self.cfg.DETECTOR.weights):
+                detector = YoloDetector.from_weights(
+                    self.cfg.DETECTOR.weights,
+                    img_size=self.cfg.DETECTOR.img_size,
+                    detection_threshold=self.cfg.DETECTOR.detection_threshold,
+                    nms_threshold=self.cfg.DETECTOR.nms_threshold,
+                    batch_size=self.cfg.DETECTOR.batch_size,
+                )
+            else:
+                print("[poserisk] no detector weights found; using full-frame stub detector")
+                detector = StubDetector()
+        self.tracker = MultiPersonTracker(detector)
+
+        self.reba, self.rula = REBAScorer(debug), RULAScorer(debug)
+        scores = score_type.replace(" ", "").upper().split(",")
+        self.run_reba = "REBA" in scores
+        self.run_rula = "RULA" in scores
+
+        self.debugging = debug
+        self.debug_frame = debug_frame
+        self.visualize = visualize
+        joints = debug_joints.replace(" ", "").split(",")
+        if joints == [""]:
+            self.debug_joints = None
+        else:
+            for joint in joints:
+                if joint.upper() not in self.smpl.joints_name_upper:
+                    raise ValueError(f"Invalid Joint name: {joint}")
+            self.debug_joints = joints
+
+        self.timings: Dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+    def __call__(self, input_path: str, info_path: str, output_path: str):
+        os.makedirs(output_path, exist_ok=True)
+        debug_path = osp.join(output_path, "debug")
+        shutil.rmtree(debug_path, ignore_errors=True)
+        os.makedirs(debug_path, exist_ok=True)
+
+        # --- ingest + tracking -------------------------------------------
+        t0 = time.time()
+        print("\n===> Data preprocessing...")
+        clip = read_video(input_path)
+        self.timings["decode"] = time.time() - t0
+
+        t0 = time.time()
+        print("\n===> Get human tracking results...")
+        tracking_results = self.tracker(clip.frames)
+        bboxes, frames = filter_and_select_target(
+            tracking_results, clip.num_frames,
+            self.cfg.DATASET.min_frame_ratio,
+        )
+        self.timings["track"] = time.time() - t0
+        timestamp = (0, frames, clip.num_frames)
+
+        # --- crops + pose estimation --------------------------------------
+        t0 = time.time()
+        print("\n===> Estimate human pose...")
+        crops = self._crops_for_track(clip.frames, frames, bboxes)
+        result, joint_cam, axis_angles = self.pose_estimator.run(crops)
+        self.timings["pose"] = time.time() - t0
+
+        # --- single-frame debug branch ------------------------------------
+        if self.debugging and self.debug_frame >= 0:
+            print(f"\n===> Debug Result at frame #{self.debug_frame}")
+            self._visualize_joint_cam_mesh(axis_angles, joint_cam, frames, debug_path)
+            print("\n Debug files are saved in : ", debug_path)
+            return None
+
+        # --- additional info ------------------------------------------------
+        if osp.isfile(info_path):
+            with open(info_path) as f:
+                add_info = json.load(f)
+        else:
+            with open(self.cfg.DATASET.default_information) as f:
+                add_info = json.load(f)
+
+        pose_str = pose_to_str(result)
+        if self.debugging and self.debug_joints is not None:
+            save_csv_pose_log(
+                pose_str, timestamp, self.debug_joints,
+                self.smpl.joints_name_upper, debug_path,
+            )
+
+        print("\n===> Post Processing...")
+        summary = {}
+        t0 = time.time()
+        for title, scorer, enabled in (
+            ("REBA", self.reba, self.run_reba),
+            ("RULA", self.rula, self.run_rula),
+        ):
+            if not enabled:
+                continue
+            results = scorer(result, joint_cam, add_info)
+            final_scores, scores, logs = post_process_scores(
+                results, timestamp, output_path, title=title
+            )
+            if self.visualize:
+                render_result_video(
+                    clip.frames, bboxes, timestamp, clip.fps,
+                    scores, scorer.eval_items, logs, output_path, title=title,
+                )
+            if self.debugging:
+                save_score_log_csv(timestamp, scores, scorer.eval_items, logs, debug_path, title)
+                save_eval_pose_log_csv(timestamp, scorer.log, debug_path, title)
+
+            action_level, action_name = scorer.action_level(final_scores[4])
+            body = format_result_txt(
+                final_scores, action_level, action_name, trailing_space=(title == "REBA")
+            )
+            with open(osp.join(output_path, title.lower() + "_result.txt"), "w") as f:
+                f.write(body)
+            summary[title] = (final_scores, action_level, action_name)
+        self.timings["score"] = time.time() - t0
+
+        print("\n\n===> DONE!")
+        print("Result files saved in ", output_path)
+        for title, (final_scores, action_level, action_name) in summary.items():
+            print(f"\n----- {title} -----")
+            print("AVG Score:\t", final_scores[0])
+            print("%50 Score:\t", final_scores[1])
+            print("%10 Score:\t", final_scores[2])
+            print("MAX Score:\t", final_scores[3])
+            print("MODE Score:\t", final_scores[4])
+            print("\nAction Level:\t", action_level)
+            print("Action:\t\t", action_name)
+            print()
+        return summary
+
+    # ------------------------------------------------------------------
+    def _crops_for_track(self, frames_rgb: np.ndarray, frame_ids: np.ndarray,
+                         bboxes: np.ndarray) -> np.ndarray:
+        selected = frames_rgb[frame_ids]
+        return np.asarray(
+            crop_batch(
+                jnp.asarray(selected),
+                jnp.asarray(bboxes.astype(np.float32)),
+                scale=float(self.cfg.DATASET.bbox_scale),
+                out_size=int(self.cfg.MODEL.input_shape[0]),
+            )
+        )
+
+    def _visualize_joint_cam_mesh(self, axis_angles, joint_cam, frames, output_path):
+        idx = int(np.where(frames == self.debug_frame)[0][0])
+        pose = axis_angles[idx].reshape(1, -1)
+        verts, _ = self.lbs_neutral(jnp.asarray(pose, jnp.float32))
+        verts = np.asarray(verts, np.float32).reshape(-1, 3) * 1000
+        save_obj(verts, self.smpl.face, osp.join(output_path, "smpl_model.obj"))
+        vis_3d_pose(
+            joint_cam[idx], self.smpl.skeleton,
+            osp.join(output_path, "joint_3d.png"), frame=self.debug_frame,
+        )

@@ -1,0 +1,114 @@
+"""Fused whole-clip device graphs for benchmarking and mesh dry-runs.
+
+This is the "long-video throughput mode" (BASELINE.json config 5): the
+per-frame compute path -- detector forward, crop, SPIN, rotation conversions,
+SMPL joints, REBA+RULA scoring -- expressed as ONE jit graph over a frame
+batch, with the batch axis sharded across the device mesh. The host only
+does video decode and SORT association between the two device stages.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from poserisk_release_tpu.models.spin import HMR
+from poserisk_release_tpu.ops.crop import crop_batch
+from poserisk_release_tpu.ops.lbs import joints_only
+from poserisk_release_tpu.ops.rotations import rotmat_to_axis_angle, rotmat_to_euler_deg
+from poserisk_release_tpu.scoring.reba import reba_frame_scores
+from poserisk_release_tpu.scoring.rula import rula_frame_scores
+
+ROOT_POSE = (3.14, 0.0, 0.0)
+
+
+def make_pose_and_score_step(n_iter: int, parents: Tuple[int, ...]):
+    """Returns step(spin_variables, smpl_params, crops, info_reba, info_rula)
+    -> (reba_scores, rula_scores, euler_deg, joint_cam_mm). Jittable; the
+    crops batch axis is the sharding axis."""
+
+    model = HMR(n_iter=n_iter)
+
+    def step(spin_variables, smpl_params, crops, info_reba, info_rula):
+        rotmat, _betas, _cam = model.apply(spin_variables, crops)
+        euler = rotmat_to_euler_deg(rotmat)
+        aa = rotmat_to_axis_angle(rotmat)
+        aa = aa.at[:, 0, :].set(jnp.asarray(ROOT_POSE, aa.dtype))
+        joints = joints_only(smpl_params, aa.reshape(aa.shape[0], -1), parents) * 1000.0
+        joint_cam = joints - joints[:, :1]
+        reba = reba_frame_scores(euler, info_reba)["score"]
+        rula = rula_frame_scores(euler, info_rula)["score"]
+        return reba, rula, euler, joint_cam
+
+    return step
+
+
+def make_full_frame_step(n_iter: int, parents: Tuple[int, ...], frame_hw: Tuple[int, int],
+                         yolo_params: Dict | None = None, img_size: int = 416):
+    """Full per-frame device path including the detector forward.
+
+    step(yolo_params, spin_variables, smpl_params, frames_u8, bboxes,
+    info_reba, info_rula) -> (reba, rula, det_best_score). frames are raw
+    clip frames; the detector runs on a device-side letterbox; crops use the
+    provided (tracked) bboxes -- mirroring the real two-stage pipeline where
+    SORT sits between detection and cropping on host.
+    """
+    from poserisk_release_tpu.models.detector import yolo_forward
+
+    H, W = frame_hw
+    ratio = img_size / max(H, W)
+    new_h, new_w = int(round(H * ratio)), int(round(W * ratio))
+    pad_y = (img_size - new_h) // 2
+    pad_x = (img_size - new_w) // 2
+    pose_step = make_pose_and_score_step(n_iter, parents)
+
+    def step(yolo_p, spin_variables, smpl_params, frames, bboxes, info_reba, info_rula):
+        imgs = frames.astype(jnp.float32) / 255.0
+        resized = jax.image.resize(
+            imgs, (imgs.shape[0], new_h, new_w, 3), method="bilinear"
+        )
+        letter = jnp.full(
+            (imgs.shape[0], img_size, img_size, 3), 128.0 / 255.0, jnp.float32
+        )
+        letter = jax.lax.dynamic_update_slice(letter, resized, (0, pad_y, pad_x, 0))
+        det = yolo_forward(yolo_p, letter, img_size)
+        det_best = jnp.max(det[..., 4], axis=1)
+
+        crops = crop_batch(imgs, bboxes, scale=1.2, out_size=224)
+        reba, rula, _euler, _jc = pose_step(
+            spin_variables, smpl_params, crops, info_reba, info_rula
+        )
+        return reba, rula, det_best
+
+    if yolo_params is None:
+        return step
+
+    def bound(spin_variables, smpl_params, frames, bboxes, info_reba, info_rula):
+        return step(yolo_params, spin_variables, smpl_params, frames, bboxes,
+                    info_reba, info_rula)
+
+    return bound
+
+
+def score_histogram_psum(scores: jnp.ndarray, axis_name: str, max_score: int = 12) -> jnp.ndarray:
+    """Per-shard score histogram reduced across the mesh with psum -- the
+    metric-reduction collective of the distributed design (SURVEY.md 5.8)."""
+    onehot = jax.nn.one_hot(jnp.clip(scores - 1, 0, max_score - 1), max_score)
+    local = jnp.sum(onehot, axis=0)
+    return jax.lax.psum(local, axis_name)
+
+
+def default_packed_infos() -> Tuple[np.ndarray, np.ndarray]:
+    import json
+    import os.path as osp
+
+    from poserisk_release_tpu.scoring import reba as reba_mod
+    from poserisk_release_tpu.scoring import rula as rula_mod
+
+    path = osp.join(osp.dirname(__file__), "default_information.json")
+    with open(path) as f:
+        info = json.load(f)
+    return reba_mod.pack_info(info), rula_mod.pack_info(info)

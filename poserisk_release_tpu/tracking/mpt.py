@@ -1,0 +1,88 @@
+"""Multi-person tracking orchestration with the reference MPT's output contract.
+
+Reproduces what the external multi-person-tracker returns to the reference
+(consumed at /root/reference/lib/core/base.py:59-74; contract in SURVEY.md
+section 2.9): a dict
+
+    {person_id: {'bbox': ndarray (N, 4) [cx, cy, w, h], 'frames': ndarray (N,)}}
+
+where each bbox is SQUARED to max(w, h) on both sides (the upstream tracker's
+prepare_output_tracks does `w = h = max(w, h)`), which is what keeps the
+224x224 crops aspect-correct downstream.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List
+
+import numpy as np
+
+from poserisk_release_tpu.tracking.sort import Sort
+
+
+class MultiPersonTracker:
+    """detector: frames (N, H, W, 3) uint8 RGB -> per-frame (k, 5) xyxy+score."""
+
+    def __init__(
+        self,
+        detector: Callable[[np.ndarray], List[np.ndarray]],
+        max_age: int = 1,
+        min_hits: int = 3,
+        iou_threshold: float = 0.3,
+    ):
+        self.detector = detector
+        self.max_age = max_age
+        self.min_hits = min_hits
+        self.iou_threshold = iou_threshold
+
+    def __call__(self, frames_rgb: np.ndarray) -> Dict[int, Dict[str, np.ndarray]]:
+        detections = self.detector(frames_rgb)
+        tracker = Sort(
+            max_age=self.max_age, min_hits=self.min_hits, iou_threshold=self.iou_threshold
+        )
+
+        people: Dict[int, Dict[str, list]] = {}
+        for frame_idx, dets in enumerate(detections):
+            tracks = tracker.update(np.asarray(dets, np.float64).reshape(-1, 5))
+            for row in tracks:
+                x1, y1, x2, y2, tid = row
+                w, h = x2 - x1, y2 - y1
+                cx, cy = x1 + w / 2.0, y1 + h / 2.0
+                side = max(w, h)
+                entry = people.setdefault(int(tid), {"bbox": [], "frames": []})
+                entry["bbox"].append(np.array([cx, cy, side, side], np.float64))
+                entry["frames"].append(frame_idx)
+
+        return {
+            pid: {
+                "bbox": np.stack(v["bbox"]),
+                "frames": np.asarray(v["frames"], np.int64),
+            }
+            for pid, v in people.items()
+        }
+
+
+def filter_and_select_target(
+    tracking_results: Dict[int, Dict[str, np.ndarray]],
+    total_frames: int,
+    min_frame_ratio: float = 0.33,
+    max_min_frames: int = 1000,
+):
+    """Track filtering + target selection, parity with the reference:
+    drop tracks shorter than min(min_frame_ratio * total, 1000) (falling back
+    to keeping all when none survive, base.py:66-68), then pick the track
+    with the largest mean bbox area (funcs_utils.py:55-64).
+
+    Returns (bbox (N, 4) cxcywh, frames (N,)).
+    """
+    min_frames = min(total_frames * min_frame_ratio, max_min_frames)
+
+    kept = [t for t in tracking_results.values() if t["frames"].shape[0] >= min_frames]
+    if not kept:
+        kept = list(tracking_results.values())
+    if not kept:
+        raise ValueError("no person tracks found in the clip")
+
+    areas = [float((t["bbox"][:, 2] * t["bbox"][:, 3]).mean()) for t in kept]
+    best = kept[int(np.argmax(areas))]
+    return best["bbox"], best["frames"]

@@ -1,0 +1,146 @@
+"""End-to-end pipeline tests on synthetic video with the stub detector."""
+
+import json
+import os.path as osp
+
+import numpy as np
+import pytest
+
+import jax
+
+from poserisk_release_tpu.config import default_config
+from poserisk_release_tpu.io.video import write_video
+from poserisk_release_tpu.models.detector import StubDetector
+from poserisk_release_tpu.parallel.mesh import make_mesh
+from poserisk_release_tpu.pipeline import Predictor
+
+
+@pytest.fixture(scope="module")
+def synthetic_video(tmp_path_factory, rng):
+    """A small clip with a moving bright 'person' rectangle."""
+    import cv2
+
+    path = tmp_path_factory.mktemp("clip") / "input.mp4"
+    frames = []
+    for i in range(24):
+        img = np.full((240, 320, 3), 30, np.uint8)
+        x = 100 + 2 * i
+        cv2.rectangle(img, (x, 60), (x + 60, 200), (180, 150, 120), -1)
+        frames.append(img)
+    write_video(frames, fps=12.0, file_path=str(path))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def info_path(tmp_path_factory):
+    info = {
+        "REBA": {
+            "Legs_bilateral_weight_bearing/walking": 1, "Sitting": 1,
+            "Load/Force Score": 0, "Arm_supported_leaning_L": 0,
+            "Arm_supported_leaning_R": 0, "Coupling": 0, "Activity_Score": 0,
+        },
+        "RULA": {
+            "Arm_supported_leaning_L": 0, "Arm_supported_leaning_R": 0,
+            "A_Muscle_use_L": 0, "A_Muscle_use_R": 0, "A_Load/Force_L": 0,
+            "A_Load/Force_R": 0, "Legs_bilateral_weight_bearing": 0,
+            "B_Muscle_use": 0, "B_Load/Force": 0,
+        },
+    }
+    path = tmp_path_factory.mktemp("info") / "additional_information.json"
+    path.write_text(json.dumps(info))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    return Predictor(
+        cfg=default_config(),
+        score_type="REBA,RULA",
+        debug=True,
+        debug_joints="Neck,L_Hip",
+        detector=StubDetector(),
+        visualize=True,
+    )
+
+
+def test_full_run_outputs(predictor, synthetic_video, info_path, tmp_path):
+    out = str(tmp_path / "out")
+    summary = predictor(synthetic_video, info_path, out)
+
+    assert set(summary.keys()) == {"REBA", "RULA"}
+    for title in ("reba", "rula"):
+        txt = open(osp.join(out, f"{title}_result.txt")).read()
+        assert txt.startswith("AVG Score: ")
+        assert "\nMODE Score: " in txt
+        assert "\nAction level: " in txt
+    # REBA has a trailing space after the action name; RULA doesn't.
+    assert open(osp.join(out, "reba_result.txt")).read().endswith(" ")
+    assert not open(osp.join(out, "rula_result.txt")).read().endswith(" ")
+
+    for f in ("REBA_score.png", "RULA_score.png", "REBA_video.mp4", "RULA_video.mp4"):
+        assert osp.isfile(osp.join(out, f)), f
+
+    debug = osp.join(out, "debug")
+    for f in (
+        "pose_log.csv", "REBA_score_log.csv", "REBA_eval_pose_log.csv",
+        "RULA_score_log.csv", "RULA_eval_pose_log.csv",
+    ):
+        assert osp.isfile(osp.join(debug, f)), f
+
+    # score_log rows cover all clip frames; header matches eval_items.
+    lines = open(osp.join(debug, "REBA_score_log.csv")).read().splitlines()
+    assert lines[0].split(",")[:3] == ["Frame", "Final_score", "Joint Score"]
+    assert len(lines) == 1 + 24
+
+    # pose_log has the two requested joints.
+    header = open(osp.join(debug, "pose_log.csv")).readline().strip().split(",")
+    assert header[:2] == ["Frame", "Joint Pose"]
+    assert header[2:] == ["Neck", "L_Hip"]
+
+
+def test_debug_frame_branch(synthetic_video, info_path, tmp_path):
+    predictor = Predictor(
+        cfg=default_config(), debug=True, debug_frame=5,
+        detector=StubDetector(), visualize=False,
+    )
+    out = str(tmp_path / "dbg")
+    result = predictor(synthetic_video, info_path, out)
+    assert result is None  # early return, no scoring
+    assert osp.isfile(osp.join(out, "debug", "smpl_model.obj"))
+    assert osp.isfile(osp.join(out, "debug", "joint_3d.png"))
+    assert not osp.isfile(osp.join(out, "reba_result.txt"))
+    first = open(osp.join(out, "debug", "smpl_model.obj")).readline()
+    assert first.startswith("v ")
+
+
+def test_missing_info_falls_back_to_default(predictor, synthetic_video, tmp_path):
+    out = str(tmp_path / "fallback")
+    summary = predictor(synthetic_video, "/nonexistent/info.json", out)
+    assert "REBA" in summary
+
+
+def test_invalid_debug_joint_rejected():
+    with pytest.raises(ValueError, match="Invalid Joint name"):
+        Predictor(cfg=default_config(), debug_joints="NotAJoint", detector=StubDetector())
+
+
+def test_multichip_mesh_run(synthetic_video, info_path, tmp_path):
+    """Same pipeline sharded over the virtual 8-device CPU mesh."""
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8)
+    predictor = Predictor(
+        cfg=default_config(), score_type="REBA",
+        detector=StubDetector(), visualize=False, mesh=mesh,
+    )
+    out = str(tmp_path / "mesh_out")
+    summary = predictor(synthetic_video, info_path, out)
+    assert "REBA" in summary
+
+    # Single-device result must match the sharded one exactly.
+    single = Predictor(
+        cfg=default_config(), score_type="REBA",
+        detector=StubDetector(), visualize=False,
+    )
+    out2 = str(tmp_path / "single_out")
+    summary2 = single(synthetic_video, info_path, out2)
+    assert summary["REBA"][0] == summary2["REBA"][0]
