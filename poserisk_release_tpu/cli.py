@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="for debuging, input frame number")
     parser.add_argument("--cfg", type=str, default=None, help="YAML config override")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument("--gender", type=str, default="neutral",
+                        choices=("neutral", "male", "female"),
+                        help="SMPL body model used for joint positions/mesh")
+    parser.add_argument("--multi_person", action="store_true",
+                        help="score every tracked person (one output dir each)")
     parser.add_argument("--num_devices", type=int, default=0,
                         help="devices in the data mesh (0 = all visible)")
     return parser
@@ -63,6 +68,8 @@ def main(argv=None) -> int:
         debug_frame=args.debug_frame,
         visualize=args.visualize,
         mesh=mesh,
+        gender=args.gender,
+        multi_person=args.multi_person,
     )
     predictor(args.input, args.info, args.output)
     return 0

@@ -59,11 +59,12 @@ class PoseEstimator:
     """Crops -> (euler deg, joint_cam mm, axis-angle) in one jitted graph."""
 
     def __init__(self, cfg: Config, smpl_family: SMPLFamily,
-                 mesh: Optional[object] = None, variables: Optional[Dict] = None):
+                 mesh: Optional[object] = None, variables: Optional[Dict] = None,
+                 gender: str = "neutral"):
         self.cfg = cfg
         self.model = HMR(n_iter=cfg.SPIN.ief_iters)
         self.mesh = mesh
-        neutral = smpl_family["neutral"]
+        neutral = smpl_family[gender]
         self.smpl_params = smpl_params_to_jax(neutral)
         parents = np.asarray(neutral.kintree_parents).copy()
         parents[0] = 0
@@ -149,11 +150,17 @@ class Predictor:
         mesh=None,
         spin_variables=None,
         allow_synthetic_assets: bool = True,
+        gender: str = "neutral",
+        multi_person: bool = False,
     ):
         self.cfg = cfg or default_config()
         self.smpl = SMPLFamily(self.cfg.SPIN.smpl_model_dir, allow_synthetic=allow_synthetic_assets)
-        self.lbs_neutral = LBS(self.smpl["neutral"])
-        self.pose_estimator = PoseEstimator(self.cfg, self.smpl, mesh=mesh, variables=spin_variables)
+        self.gender = gender
+        self.multi_person = multi_person
+        self.lbs_neutral = LBS(self.smpl[gender])
+        self.pose_estimator = PoseEstimator(
+            self.cfg, self.smpl, mesh=mesh, variables=spin_variables, gender=gender
+        )
 
         if detector is None:
             if osp.isfile(self.cfg.DETECTOR.weights):
@@ -191,9 +198,6 @@ class Predictor:
     # ------------------------------------------------------------------
     def __call__(self, input_path: str, info_path: str, output_path: str):
         os.makedirs(output_path, exist_ok=True)
-        debug_path = osp.join(output_path, "debug")
-        shutil.rmtree(debug_path, ignore_errors=True)
-        os.makedirs(debug_path, exist_ok=True)
 
         # --- ingest + tracking -------------------------------------------
         t0 = time.time()
@@ -204,11 +208,37 @@ class Predictor:
         t0 = time.time()
         print("\n===> Get human tracking results...")
         tracking_results = self.tracker(clip.frames)
+        self.timings["track"] = time.time() - t0
+
+        if self.multi_person:
+            # Extension over the reference (BASELINE config 4): score every
+            # track surviving the min-frames filter, one output dir each.
+            min_frames = min(
+                clip.num_frames * self.cfg.DATASET.min_frame_ratio, 1000
+            )
+            survivors = {
+                pid: t for pid, t in tracking_results.items()
+                if t["frames"].shape[0] >= min_frames
+            } or tracking_results
+            summaries = {}
+            for pid, track in survivors.items():
+                person_out = osp.join(output_path, f"person_{pid}")
+                os.makedirs(person_out, exist_ok=True)
+                summaries[pid] = self._process_track(
+                    clip, track["bbox"], track["frames"], info_path, person_out
+                )
+            return summaries
+
         bboxes, frames = filter_and_select_target(
             tracking_results, clip.num_frames,
             self.cfg.DATASET.min_frame_ratio,
         )
-        self.timings["track"] = time.time() - t0
+        return self._process_track(clip, bboxes, frames, info_path, output_path)
+
+    def _process_track(self, clip, bboxes, frames, info_path, output_path):
+        debug_path = osp.join(output_path, "debug")
+        shutil.rmtree(debug_path, ignore_errors=True)
+        os.makedirs(debug_path, exist_ok=True)
         timestamp = (0, frames, clip.num_frames)
 
         # --- crops + pose estimation --------------------------------------

@@ -1,0 +1,133 @@
+"""Optimizer/scheduler factories + checkpoint IO (optax / orbax-free npz).
+
+TPU-native equivalents of the reference's torch training utilities
+(/root/reference/lib/utils/funcs_utils.py:147-231): the same four optimizer
+choices (sgd / rmsprop / adam / adamw with the reference's hyperparameter
+wiring), step + plateau schedulers as optax schedules / host-side state, and
+checkpoint save/load that round-trips arbitrary param pytrees to npz (torch
+checkpoints are ingested through models.convert instead).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from dataclasses import dataclass, field
+from typing import Dict, Iterable
+
+import numpy as np
+import optax
+
+
+def get_optimizer(
+    name: str,
+    lr: float,
+    momentum: float = 0.9,
+    weight_decay: float = 0.0,
+    nesterov: bool = False,
+) -> optax.GradientTransformation:
+    """Mirrors get_optimizer (funcs_utils.py:147-178): adamw uses the
+    reference's fixed weight_decay=0.1."""
+    if name == "sgd":
+        return optax.sgd(lr, momentum=momentum, nesterov=nesterov)
+    if name == "rmsprop":
+        return optax.rmsprop(lr)
+    if name == "adam":
+        return optax.adam(lr)
+    if name == "adamw":
+        return optax.adamw(lr, weight_decay=0.1)
+    raise ValueError(f"unknown optimizer: {name}")
+
+
+def step_schedule(base_lr: float, milestones: Iterable[int], gamma: float) -> optax.Schedule:
+    """MultiStepLR equivalent (funcs_utils.py:184)."""
+    milestones = sorted(milestones)
+
+    def schedule(count):
+        import jax.numpy as jnp
+
+        factor = jnp.asarray(1.0)
+        for m in milestones:
+            factor = factor * jnp.where(count >= m, gamma, 1.0)
+        return base_lr * factor
+
+    return schedule
+
+
+@dataclass
+class PlateauScheduler:
+    """ReduceLROnPlateau equivalent (funcs_utils.py:186), host-side state."""
+
+    lr: float
+    factor: float = 0.1
+    patience: int = 10
+    min_lr: float = 1e-5
+    best: float = field(default=float("inf"))
+    bad_epochs: int = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.bad_epochs = 0
+        return self.lr
+
+
+def lr_warmup(base_lr: float, epoch: int, base_epochs: int) -> float:
+    """funcs_utils.py:106-110."""
+    return base_lr * (epoch / base_epochs)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint IO (flat-npz pytree store; no torch on the runtime path)
+# ---------------------------------------------------------------------------
+def _flatten(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    flat: Dict[str, np.ndarray] = {}
+    for key, value in tree.items():
+        path = f"{prefix}/{key}" if prefix else str(key)
+        if isinstance(value, dict):
+            flat.update(_flatten(value, path))
+        else:
+            flat[path] = np.asarray(value)
+    return flat
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
+    tree: Dict = {}
+    for key, value in flat.items():
+        node = tree
+        parts = key.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def save_checkpoint(
+    state: Dict, epoch: int, checkpoint_dir: str, end_epoch: int | None = None,
+    is_best: bool = False,
+) -> str:
+    """save_checkpoint parity (funcs_utils.py:191-199): epoch_{N} naming,
+    'final' at end_epoch, optional 'best' copy."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    name = "final" if (end_epoch is not None and epoch == end_epoch) else f"epoch_{epoch}"
+    path = osp.join(checkpoint_dir, name + ".npz")
+    flat = _flatten(state)
+    flat["__epoch__"] = np.asarray(epoch)
+    np.savez(path, **flat)
+    if is_best:
+        np.savez(osp.join(checkpoint_dir, "best.npz"), **flat)
+    return path
+
+
+def load_checkpoint(path: str) -> Dict:
+    if not osp.isfile(path):
+        raise ValueError(f"No checkpoint exists!\n {path}")
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    flat.pop("__epoch__", None)
+    return _unflatten(flat)

@@ -1,0 +1,70 @@
+"""Tracing / profiling utilities (SURVEY.md section 5.1: the reference has an
+unused timer class and tqdm only; here profiling is a first-class subsystem).
+
+  * StageTimer -- accumulating named wall-clock stages (successor of the
+    reference's `timer` class, funcs_utils.py:113-128, actually wired in).
+  * trace() -- context manager around jax.profiler for on-TPU traces
+    viewable in TensorBoard/Perfetto.
+  * device_sync() -- a completion barrier that stays correct through remote
+    relays where block_until_ready is unreliable: device-side reduce + 4-byte
+    scalar readback.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict
+
+
+class StageTimer:
+    def __init__(self):
+        self.acc: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.acc[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+
+    def report(self) -> str:
+        total = sum(self.acc.values())
+        lines = [f"{'stage':<16}{'sec':>10}{'calls':>8}{'share':>8}"]
+        for name, sec in sorted(self.acc.items(), key=lambda kv: -kv[1]):
+            share = (sec / total * 100) if total else 0.0
+            lines.append(f"{name:<16}{sec:>10.3f}{self.counts[name]:>8}{share:>7.1f}%")
+        lines.append(f"{'total':<16}{total:>10.3f}")
+        return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace context (no-op fallback if profiling unavailable)."""
+    import jax
+
+    try:
+        jax.profiler.start_trace(log_dir)
+        started = True
+    except Exception as exc:  # pragma: no cover - environment-specific
+        print(f"[poserisk] profiler unavailable: {exc}")
+        started = False
+    try:
+        yield
+    finally:
+        if started:
+            jax.profiler.stop_trace()
+
+
+def device_sync(*arrays) -> float:
+    """Force completion of device work feeding `arrays`; returns a checksum."""
+    import jax.numpy as jnp
+
+    acc = jnp.float32(0)
+    for a in arrays:
+        acc = acc + jnp.sum(a).astype(jnp.float32)
+    return float(acc)

@@ -1,0 +1,247 @@
+"""Tests: training-support components and the keypoint bbox path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from poserisk_release_tpu.io import keypoints as kp
+from poserisk_release_tpu.train import datasets as ds
+from poserisk_release_tpu.train import losses, optim
+
+
+# ---------------------------------------------------------------------------
+# Keypoint bbox path
+# ---------------------------------------------------------------------------
+class TestKeypoints:
+    def _kps(self, cx, cy, h):
+        """A 5-point person spanning `h` pixels vertically, fully visible."""
+        pts = np.array(
+            [
+                [cx, cy - h / 2, 1.0],
+                [cx - h / 8, cy, 1.0],
+                [cx + h / 8, cy, 1.0],
+                [cx, cy + h / 2, 1.0],
+                [cx, cy, 1.0],
+            ]
+        )
+        return pts
+
+    def test_bbox_param_scale(self):
+        p = kp.kp_to_bbox_param(self._kps(100, 80, 150), vis_thresh=0.3)
+        np.testing.assert_allclose(p[:2], [100, 80], atol=1e-6)
+        # person "height" is the min-max diagonal norm: hypot(h/4, h)
+        diag = np.hypot(150 / 4, 150)
+        np.testing.assert_allclose(p[2], 150.0 / diag, atol=1e-6)
+
+    def test_invisible_returns_none(self):
+        pts = self._kps(0, 0, 100)
+        pts[:, 2] = 0.0
+        assert kp.kp_to_bbox_param(pts, vis_thresh=0.3) is None
+        assert kp.kp_to_bbox_param(None, vis_thresh=0.3) is None
+
+    def test_gap_interpolation(self):
+        seq = [self._kps(0, 0, 150), None, None, self._kps(30, 0, 150)]
+        params, start, end = kp.get_all_bbox_params(seq, vis_thresh=0.3)
+        assert (start, end) == (0, 4)
+        np.testing.assert_allclose(params[:, 0], [0, 10, 20, 30], atol=1e-4)
+
+    def test_leading_trailing_missing_trimmed(self):
+        seq = [None, self._kps(5, 5, 150), self._kps(6, 5, 150), None]
+        params, start, end = kp.get_all_bbox_params(seq, vis_thresh=0.3)
+        assert (start, end) == (1, 3)
+        assert params.shape == (2, 3)
+
+    def test_bboxes_from_joints2d_square_person_height(self):
+        seq = [self._kps(100, 80, 200)] * 13
+        bboxes, t0, t1 = kp.bboxes_from_joints2d(seq, vis_thresh=0.3)
+        assert (t0, t1) == (0, 13)
+        diag = np.hypot(200 / 4, 200)  # person extent = min-max diagonal
+        np.testing.assert_allclose(bboxes[:, 2], diag, atol=1e-2)
+        np.testing.assert_allclose(bboxes[:, 3], diag, atol=1e-2)
+
+    def test_smoothing_shapes(self):
+        seq = [self._kps(10 * i, 0, 150 + (i % 3)) for i in range(20)]
+        smoothed, start, end = kp.get_smooth_bbox_params(seq, vis_thresh=0.3)
+        assert smoothed.shape == (20, 3)
+        assert (start, end) == (0, 20)
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def mesh_fixture(rng):
+    verts = rng.normal(size=(2, 30, 3)).astype(np.float32)
+    target = verts + rng.normal(scale=0.01, size=verts.shape).astype(np.float32)
+    faces = np.stack(
+        [np.arange(28), np.arange(1, 29), np.arange(2, 30)], axis=1
+    ).astype(np.int32)
+    return verts, target, faces
+
+
+class TestLosses:
+    def test_coord_loss_masked(self, rng):
+        pred = rng.normal(size=(4, 10, 3))
+        target = rng.normal(size=(4, 10, 3))
+        valid = (rng.rand(4, 10, 1) > 0.5).astype(np.float64)
+        got = float(losses.coord_loss(pred, target, valid))
+        want = np.abs(pred * valid - target * valid).mean()
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_laplacian_matches_dense_reference(self, mesh_fixture):
+        verts, _, faces = mesh_fixture
+        nv = verts.shape[1]
+        # Dense reference construction (loss.py:31-44).
+        lap = np.zeros((nv, nv), np.float32)
+        for a, b, c in faces:
+            for u, v in ((a, b), (b, c), (c, a)):
+                lap[u, v] = -1
+                lap[v, u] = -1
+        r, c = np.diag_indices(nv)
+        lap[r, c] = -lap.sum(1)
+        for i in range(nv):
+            lap[i, :] /= lap[i, i] + 1e-8
+        want = np.mean(
+            np.sum(np.einsum("vw,bwc->bvc", lap, verts) ** 2, axis=2)
+        )
+
+        table, mask, _deg = losses.build_laplacian_neighbors(faces, nv)
+        got = float(losses.laplacian_loss(jnp.asarray(verts), table, mask))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_normal_and_edge_losses(self, mesh_fixture):
+        verts, target, faces = mesh_fixture
+        n = float(losses.normal_vector_loss(jnp.asarray(verts), jnp.asarray(target), faces))
+        e = float(losses.edge_length_loss(jnp.asarray(verts), jnp.asarray(target), faces))
+        assert 0 <= n <= 1
+        assert e >= 0
+        # identical meshes: edge loss 0; normals orthogonal to themselves -> 0
+        e0 = float(losses.edge_length_loss(jnp.asarray(verts), jnp.asarray(verts), faces))
+        np.testing.assert_allclose(e0, 0, atol=1e-6)
+
+    def test_losses_are_differentiable(self, mesh_fixture):
+        verts, target, faces = mesh_fixture
+        table, mask, _ = losses.build_laplacian_neighbors(faces, verts.shape[1])
+
+        def total(v):
+            return (
+                losses.coord_loss(v, target)
+                + losses.laplacian_loss(v, table, mask)
+                + losses.normal_vector_loss(v, jnp.asarray(target), faces)
+                + losses.edge_length_loss(v, jnp.asarray(target), faces)
+            )
+
+        grad = jax.grad(total)(jnp.asarray(verts))
+        assert np.isfinite(np.asarray(grad)).all()
+        assert float(jnp.abs(grad).sum()) > 0
+
+    def test_get_loss_factory(self, mesh_fixture):
+        _, _, faces = mesh_fixture
+        loss_tuple = losses.get_loss(faces)
+        assert len(loss_tuple) == 5
+
+
+# ---------------------------------------------------------------------------
+# Optimizers / checkpoints
+# ---------------------------------------------------------------------------
+class TestOptim:
+    @pytest.mark.parametrize("name", ["sgd", "rmsprop", "adam", "adamw"])
+    def test_optimizer_reduces_quadratic(self, name):
+        opt = optim.get_optimizer(name, lr=0.1)
+        params = {"w": jnp.asarray([3.0, -2.0])}
+        state = opt.init(params)
+
+        def loss_fn(p):
+            return jnp.sum(p["w"] ** 2)
+
+        for _ in range(50):
+            grads = jax.grad(loss_fn)(params)
+            updates, state = opt.update(grads, state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        assert float(loss_fn(params)) < float(jnp.sum(jnp.asarray([3.0, -2.0]) ** 2))
+
+    def test_unknown_optimizer(self):
+        with pytest.raises(ValueError):
+            optim.get_optimizer("lion", lr=0.1)
+
+    def test_step_schedule(self):
+        sched = optim.step_schedule(1.0, milestones=[10, 20], gamma=0.1)
+        assert float(sched(5)) == pytest.approx(1.0)
+        assert float(sched(15)) == pytest.approx(0.1)
+        assert float(sched(25)) == pytest.approx(0.01)
+
+    def test_plateau_scheduler(self):
+        sched = optim.PlateauScheduler(lr=1.0, factor=0.5, patience=1)
+        for metric in [1.0, 0.9, 0.95, 0.95, 0.95]:
+            lr = sched.step(metric)
+        assert lr == 0.5
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        state = {"params": {"layer": {"kernel": np.arange(6.0).reshape(2, 3)}},
+                 "opt": {"count": np.asarray(7)}}
+        path = optim.save_checkpoint(state, epoch=3, checkpoint_dir=str(tmp_path))
+        assert path.endswith("epoch_3.npz")
+        loaded = optim.load_checkpoint(path)
+        np.testing.assert_allclose(
+            loaded["params"]["layer"]["kernel"], state["params"]["layer"]["kernel"]
+        )
+
+        final = optim.save_checkpoint(state, epoch=5, checkpoint_dir=str(tmp_path), end_epoch=5)
+        assert final.endswith("final.npz")
+
+    def test_checkpoint_missing(self):
+        with pytest.raises(ValueError, match="No checkpoint exists"):
+            optim.load_checkpoint("/nonexistent/ckpt.npz")
+
+
+# ---------------------------------------------------------------------------
+# Dataset composition
+# ---------------------------------------------------------------------------
+class TestDatasets:
+    def test_multiple_datasets_same_len(self):
+        a = list(range(10))
+        b = list(range(100, 103))
+        mix = ds.MultipleDatasets([a, b], make_same_len=True, seed=0)
+        assert len(mix) == 20
+        vals = [mix[i] for i in range(len(mix))]
+        assert any(v >= 100 for v in vals) and any(v < 100 for v in vals)
+
+    def test_multiple_datasets_concat(self):
+        a = list(range(3))
+        b = list(range(100, 102))
+        mix = ds.MultipleDatasets([a, b], make_same_len=False)
+        assert len(mix) == 5
+        assert [mix[i] for i in range(5)] == [0, 1, 2, 100, 101]
+
+    def test_sequence_windows_reference_shape(self):
+        windows = ds.sequence_windows(num_items=20, seq_len=16)
+        # reference: (N - L + 1) sliding + L/2 leading + (L/2 - 1) trailing
+        assert len(windows) == (20 - 16 + 1) + 8 + 7
+        assert windows[0] == (0, 0)  # replicated edges
+        assert windows[8] == (0, 15)  # first true window
+
+    def test_gather_window(self, rng):
+        feats = rng.normal(size=(20, 4))
+        full = ds.gather_window(feats, (2, 17), 16)
+        assert full.shape == (16, 4)
+        edge = ds.gather_window(feats, (3, 3), 16)
+        assert edge.shape == (16, 4)
+        assert (edge == feats[3]).all()
+
+    def test_split_into_chunks(self):
+        vids = np.array(["a"] * 10 + ["b"] * 4 + ["c"] * 2)
+        chunks = ds.split_into_chunks(vids, seqlen=4, stride=2)
+        assert (0, 3) in chunks and (2, 5) in chunks
+        assert (10, 13) in chunks  # video b
+        assert all(e - s == 3 for s, e in chunks)
+        # video c too short -> excluded
+        assert not any(s >= 14 for s, _ in chunks)
+
+    def test_batch_iterator(self, rng):
+        data = [np.full((2,), i) for i in range(7)]
+        batches = list(ds.BatchIterator(data, batch_size=3))
+        assert [b.shape[0] for b in batches] == [3, 3, 1]
+        batches = list(ds.BatchIterator(data, batch_size=3, drop_last=True))
+        assert [b.shape[0] for b in batches] == [3, 3]
