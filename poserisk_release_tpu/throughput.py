@@ -25,12 +25,14 @@ from poserisk_release_tpu.scoring.rula import rula_frame_scores
 ROOT_POSE = (3.14, 0.0, 0.0)
 
 
-def make_pose_and_score_step(n_iter: int, parents: Tuple[int, ...]):
+def make_pose_and_score_step(n_iter: int, parents: Tuple[int, ...],
+                             compute_dtype=jnp.float32):
     """Returns step(spin_variables, smpl_params, crops, info_reba, info_rula)
     -> (reba_scores, rula_scores, euler_deg, joint_cam_mm). Jittable; the
-    crops batch axis is the sharding axis."""
+    crops batch axis is the sharding axis. compute_dtype=bfloat16 selects the
+    MXU-native backbone fast path (rotations/scoring stay f32)."""
 
-    model = HMR(n_iter=n_iter)
+    model = HMR(n_iter=n_iter, dtype=compute_dtype)
 
     def step(spin_variables, smpl_params, crops, info_reba, info_rula):
         rotmat, _betas, _cam = model.apply(spin_variables, crops)
@@ -47,7 +49,8 @@ def make_pose_and_score_step(n_iter: int, parents: Tuple[int, ...]):
 
 
 def make_full_frame_step(n_iter: int, parents: Tuple[int, ...], frame_hw: Tuple[int, int],
-                         yolo_params: Dict | None = None, img_size: int = 416):
+                         yolo_params: Dict | None = None, img_size: int = 416,
+                         compute_dtype=jnp.float32):
     """Full per-frame device path including the detector forward.
 
     step(yolo_params, spin_variables, smpl_params, frames_u8, bboxes,
@@ -63,7 +66,7 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...], frame_hw: Tuple[
     new_h, new_w = int(round(H * ratio)), int(round(W * ratio))
     pad_y = (img_size - new_h) // 2
     pad_x = (img_size - new_w) // 2
-    pose_step = make_pose_and_score_step(n_iter, parents)
+    pose_step = make_pose_and_score_step(n_iter, parents, compute_dtype)
 
     def step(yolo_p, spin_variables, smpl_params, frames, bboxes, info_reba, info_rula):
         imgs = frames.astype(jnp.float32) / 255.0
@@ -74,7 +77,7 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...], frame_hw: Tuple[
             (imgs.shape[0], img_size, img_size, 3), 128.0 / 255.0, jnp.float32
         )
         letter = jax.lax.dynamic_update_slice(letter, resized, (0, pad_y, pad_x, 0))
-        det = yolo_forward(yolo_p, letter, img_size)
+        det = yolo_forward(yolo_p, letter, img_size, compute_dtype=compute_dtype)
         det_best = jnp.max(det[..., 4], axis=1)
 
         crops = crop_batch(imgs, bboxes, scale=1.2, out_size=224)
