@@ -56,10 +56,13 @@ def main() -> None:
         make_full_frame_step(cfg.SPIN.ief_iters, estimator.parents, FRAME_HW)
     )
 
-    rng = np.random.RandomState(0)
-    frames = jnp.asarray(
-        rng.randint(0, 256, size=(BATCH, *FRAME_HW, 3), dtype=np.uint8)
-    )
+    # Frames are generated ON DEVICE: the remote-TPU relay in this environment
+    # moves bulk data at ~4 MB/s, and uploading 140 MB of frames would swamp
+    # the measurement. The compute graph is identical either way; in
+    # production the host feeds frames asynchronously while the device runs.
+    frames = jax.jit(
+        lambda k: jax.random.randint(k, (BATCH, *FRAME_HW, 3), 0, 256, jnp.uint8)
+    )(jax.random.PRNGKey(0))
     bboxes = jnp.asarray(
         np.tile(np.array([400.0, 225.0, 220.0, 220.0], np.float32), (BATCH, 1))
     )

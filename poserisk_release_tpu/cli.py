@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="SMPL body model used for joint positions/mesh")
     parser.add_argument("--multi_person", action="store_true",
                         help="score every tracked person (one output dir each)")
+    parser.add_argument("--profile", action="store_true",
+                        help="print per-stage wall-clock report after the run")
     parser.add_argument("--num_devices", type=int, default=0,
                         help="devices in the data mesh (0 = all visible)")
     return parser
@@ -72,6 +74,13 @@ def main(argv=None) -> int:
         multi_person=args.multi_person,
     )
     predictor(args.input, args.info, args.output)
+    if args.profile:
+        total = sum(predictor.timings.values())
+        print("\n----- Stage timings -----")
+        for stage, sec in sorted(predictor.timings.items(), key=lambda kv: -kv[1]):
+            share = sec / total * 100 if total else 0.0
+            print(f"{stage:<8} {sec:8.3f}s {share:5.1f}%")
+        print(f"{'total':<8} {total:8.3f}s")
     return 0
 
 
