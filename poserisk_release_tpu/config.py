@@ -68,7 +68,9 @@ class DetectorConfig:
     detection_threshold: float = 0.1
     nms_threshold: float = 0.45
     weights: str = osp.join(_REPO_ROOT, "data", "detector", "yolov3.weights")
-    batch_size: int = 8
+    # Detection is batch-invariant per frame; 64 amortises dispatch latency
+    # on TPU (the reference used 8 to fit a GPU; lib/core/base.py:41).
+    batch_size: int = 64
 
 
 @dataclass(frozen=True)

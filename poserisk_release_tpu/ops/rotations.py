@@ -192,6 +192,15 @@ def quat_to_rotmat(quat: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
+def euler_deg_to_axis_angle(euler_deg: jnp.ndarray) -> jnp.ndarray:
+    """XYZ Euler degrees (..., 3) -> axis-angle, cv2 convention.
+
+    Parity with the reference's euler_angle_to_axis_angle path
+    (coord_utils.py:97-103): degrees -> Rz@Ry@Rx -> rotation vector.
+    """
+    return rotmat_to_axis_angle(euler_xyz_to_rotmat(euler_deg * (jnp.pi / 180.0)))
+
+
 def axis_angle_to_rotmat_smpl(aa: jnp.ndarray) -> jnp.ndarray:
     """Axis-angle -> rotmat via the half-angle quaternion, smplpytorch-style.
 

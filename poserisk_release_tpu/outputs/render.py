@@ -90,6 +90,85 @@ def render_result_video(
     return out_file
 
 
+def vis_keypoints(img_bgr: np.ndarray, kps: np.ndarray, alpha: float = 1.0) -> np.ndarray:
+    """Rainbow keypoint dots (vis_utils.py:94-112 behaviour)."""
+    import cv2
+    import matplotlib
+
+    cmap = matplotlib.colormaps["rainbow"]
+    colors = [cmap(i) for i in np.linspace(0, 1, len(kps) + 2)]
+    colors = [(c[2] * 255, c[1] * 255, c[0] * 255) for c in colors]
+    canvas = np.ascontiguousarray(img_bgr, dtype=np.uint8).copy()
+    for i, point in enumerate(kps):
+        cv2.circle(canvas, (int(point[0]), int(point[1])), radius=3,
+                   color=colors[i], thickness=-1, lineType=cv2.LINE_AA)
+    return cv2.addWeighted(np.ascontiguousarray(img_bgr, np.uint8), 1.0 - alpha, canvas, alpha, 0)
+
+
+def vis_keypoints_with_skeleton(
+    img_bgr: np.ndarray, kps_3xk: np.ndarray, skeleton: Sequence,
+    kp_thresh: float = 0.4, alpha: float = 1.0,
+) -> np.ndarray:
+    """Skeleton edges + joints, colored per edge (vis_utils.py:115-151)."""
+    import cv2
+    import matplotlib
+
+    cmap = matplotlib.colormaps["rainbow"]
+    colors = [cmap(i) for i in np.linspace(0, 1, len(skeleton))]
+    colors = [(c[2] * 255, c[1] * 255, c[0] * 255) for c in colors]
+    canvas = np.ascontiguousarray(img_bgr, np.uint8).copy()
+    for l, (i1, i2) in enumerate(skeleton):
+        p1 = (int(kps_3xk[0, i1]), int(kps_3xk[1, i1]))
+        p2 = (int(kps_3xk[0, i2]), int(kps_3xk[1, i2]))
+        if kps_3xk[2, i1] > kp_thresh and kps_3xk[2, i2] > kp_thresh:
+            cv2.line(canvas, p1, p2, color=colors[l], thickness=2, lineType=cv2.LINE_AA)
+        if kps_3xk[2, i1] > kp_thresh:
+            cv2.circle(canvas, p1, radius=3, color=colors[l], thickness=-1, lineType=cv2.LINE_AA)
+        if kps_3xk[2, i2] > kp_thresh:
+            cv2.circle(canvas, p2, radius=3, color=colors[l], thickness=-1, lineType=cv2.LINE_AA)
+    return cv2.addWeighted(np.ascontiguousarray(img_bgr, np.uint8), 1.0 - alpha, canvas, alpha, 0)
+
+
+def render_joint_cam_video(
+    joint_cams: np.ndarray,  # (T, J, 3) mm
+    track_frames: np.ndarray,
+    skeleton: Sequence,
+    output_path: str,
+    fps: float = 20.0,
+    even_snap: bool = True,
+) -> str:
+    """Working rebuild of the reference's visualize_joint_cam debug method
+    (base.py:399-420, which crashes on an undefined variable): renders the
+    per-frame 3D skeleton figures and stitches estimation_result.mp4,
+    preserving the j//2*2 even-index snap."""
+    import os
+    import tempfile
+
+    import cv2
+
+    tmp_dir = tempfile.mkdtemp(prefix="joint_cam_")
+    paths = []
+    for j, frame_id in enumerate(track_frames):
+        idx = (j // 2 * 2) if even_snap else j
+        path = osp.join(tmp_dir, f"joint_cam_{int(frame_id)}.png")
+        vis_3d_pose(joint_cams[min(idx, len(joint_cams) - 1)], skeleton, path,
+                    frame=int(frame_id))
+        paths.append(path)
+
+    first = cv2.imread(paths[0])
+    h, w = first.shape[:2]
+    out_file = osp.join(output_path, "estimation_result.mp4")
+    writer = cv2.VideoWriter(out_file, 0x7634706D, fps, (w, h))
+    for p in paths:
+        canvas = cv2.resize(cv2.imread(p), (w, h), interpolation=cv2.INTER_AREA)
+        writer.write(np.uint8(canvas))
+    writer.release()
+    for p in paths:
+        os.remove(p)
+    os.rmdir(tmp_dir)
+    return out_file
+
+
 SMPL_RIGHT_JOINTS = (2, 5, 8, 11, 14, 17, 19, 21, 23)
 
 

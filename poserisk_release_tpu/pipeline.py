@@ -117,17 +117,19 @@ class PoseEstimator:
         if chunk <= 0:
             chunk = self.cfg.PARALLEL.frames_per_step * n_dev
         F = crops.shape[0]
-        eulers, jcams, aas = [], [], []
+        pending = []  # dispatch every chunk first; fetch after (device pipelines)
         for start in range(0, F, chunk):
             part = crops[start : start + chunk]
             padded, n_valid = pmesh.pad_to_multiple(np.asarray(part), chunk)
             batch = jnp.asarray(padded)
             if self.mesh is not None:
                 batch = pmesh.shard_batch(self.mesh, batch)
-            e, jc, aa = self._step(self.variables, self.smpl_params, batch)
-            eulers.append(np.asarray(e)[:n_valid])
-            jcams.append(np.asarray(jc)[:n_valid])
-            aas.append(np.asarray(aa)[:n_valid])
+            pending.append(
+                (self._step(self.variables, self.smpl_params, batch), n_valid)
+            )
+        eulers = [np.asarray(e)[:n] for (e, _, _), n in pending]
+        jcams = [np.asarray(jc)[:n] for (_, jc, _), n in pending]
+        aas = [np.asarray(aa)[:n] for (_, _, aa), n in pending]
         return (
             np.concatenate(eulers),
             np.concatenate(jcams),
