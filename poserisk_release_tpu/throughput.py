@@ -60,27 +60,16 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...], frame_hw: Tuple[
     SORT sits between detection and cropping on host.
     """
     from poserisk_release_tpu.models.detector import yolo_forward
+    from poserisk_release_tpu.ops.crop import letterbox_device
 
-    H, W = frame_hw
-    ratio = img_size / max(H, W)
-    new_h, new_w = int(round(H * ratio)), int(round(W * ratio))
-    pad_y = (img_size - new_h) // 2
-    pad_x = (img_size - new_w) // 2
     pose_step = make_pose_and_score_step(n_iter, parents, compute_dtype)
 
     def step(yolo_p, spin_variables, smpl_params, frames, bboxes, info_reba, info_rula):
-        imgs = frames.astype(jnp.float32) / 255.0
-        resized = jax.image.resize(
-            imgs, (imgs.shape[0], new_h, new_w, 3), method="bilinear"
-        )
-        letter = jnp.full(
-            (imgs.shape[0], img_size, img_size, 3), 128.0 / 255.0, jnp.float32
-        )
-        letter = jax.lax.dynamic_update_slice(letter, resized, (0, pad_y, pad_x, 0))
+        letter = letterbox_device(frames, img_size)
         det = yolo_forward(yolo_p, letter, img_size, compute_dtype=compute_dtype)
         det_best = jnp.max(det[..., 4], axis=1)
 
-        crops = crop_batch(imgs, bboxes, scale=1.2, out_size=224)
+        crops = crop_batch(frames, bboxes, scale=1.2, out_size=224)
         reba, rula, _euler, _jc = pose_step(
             spin_variables, smpl_params, crops, info_reba, info_rula
         )
