@@ -13,7 +13,7 @@ green/blue joints by side, +-800mm limits, (x, z, -y) axis mapping.
 from __future__ import annotations
 
 import os.path as osp
-from typing import Dict, List, Sequence
+from typing import Sequence
 
 import numpy as np
 
