@@ -1,14 +1,26 @@
-"""Device-side bbox crop/affine-resample to model input resolution.
+"""Device-side bbox crop / letterbox as separable MXU matmul resampling.
 
 The reference crops one frame at a time on DataLoader workers with
 cv2.warpAffine (/root/reference/lib/utils/_img_utils.py:53-101, 219-252):
 bbox [cx, cy, w, h] scaled by cfg.DATASET.bbox_scale, warped to 224x224 with
 bilinear sampling and zero border, then ToTensor (range [0,1], NO ImageNet
-mean/std -- _img_utils.py:259-266). Here the whole clip's crops are a single
-vmapped gather-resample on device: for rot=0 the reference's affine reduces
-to an axis-aligned bilinear resample of the scaled bbox, sampling source
-coordinate  src = c + (dst - out/2) * (size * scale / out)  per axis, with
-out-of-bounds taps contributing zero (BORDER_CONSTANT parity).
+mean/std -- _img_utils.py:259-266).
+
+TPU-first design: for rot=0 the affine warp is a separable bilinear resample,
+i.e. two matrix multiplications per image:
+
+    out[o, x] = sum_h sum_w T[o, h] * img[h, w] * S[x, w]
+
+with T (out, H) and S (out, W) holding the two-tap interpolation weights of
+each output row/column (built on device from the bbox scalars). Matmuls run
+on the MXU: measured 6.5 ms vs 16-100 ms for the gather formulation at
+128 x 450 x 800 -> 224^2 (gathers have no TPU hardware support). Constant
+borders fall out exactly as  border * (1 - rowsum(T) x rowsum(S))  since
+out-of-image taps carry zero weight.
+
+Sampling parity: src = c + (dst - out/2) * (size * scale / out), matching
+cv2.getAffineTransform's mapping of the reference's three control points
+(no half-pixel shift); see tests/test_crop.py vs cv2.warpAffine.
 
 Output is NHWC float32 in [0, 1] (TPU-native layout; the SPIN model takes
 NHWC directly instead of the reference's NCHW).
@@ -21,49 +33,23 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+_HI = jax.lax.Precision.HIGHEST
 
-def _bilinear_gather_axis(coords, size):
-    """For float sample coords (M,), return (idx0, idx1, w0, w1, valid0, valid1)."""
+
+def _interp_matrices(coords: jnp.ndarray, size: int) -> jnp.ndarray:
+    """coords: (B, out) float sample positions along an axis of length `size`.
+    Returns (B, out, size) rows with the two bilinear tap weights; taps
+    outside [0, size) get zero weight (constant-border semantics)."""
     x0 = jnp.floor(coords)
     frac = coords - x0
     i0 = x0.astype(jnp.int32)
     i1 = i0 + 1
-    valid0 = (i0 >= 0) & (i0 <= size - 1)
-    valid1 = (i1 >= 0) & (i1 <= size - 1)
-    return (
-        jnp.clip(i0, 0, size - 1),
-        jnp.clip(i1, 0, size - 1),
-        (1.0 - frac),
-        frac,
-        valid0,
-        valid1,
-    )
-
-
-def _crop_one(image: jnp.ndarray, bbox: jnp.ndarray, scale: float, out_size: int,
-              border_value: float = 0.0) -> jnp.ndarray:
-    """image: (H, W, C) float32; bbox: (4,) [cx, cy, w, h]. -> (out, out, C)."""
-    H, W = image.shape[0], image.shape[1]
-    cx, cy, bw, bh = bbox[0], bbox[1], bbox[2], bbox[3]
-    src_w = bw * scale
-    src_h = bh * scale
-    half = out_size * 0.5
-
-    xs = (jnp.arange(out_size, dtype=jnp.float32) - half) * (src_w / out_size) + cx
-    ys = (jnp.arange(out_size, dtype=jnp.float32) - half) * (src_h / out_size) + cy
-
-    x0, x1, wx0, wx1, vx0, vx1 = _bilinear_gather_axis(xs, W)
-    y0, y1, wy0, wy1, vy0, vy1 = _bilinear_gather_axis(ys, H)
-
-    # Gather the four tap planes; out-of-image taps take the border value.
-    def tap(yi, xi, vy, vx):
-        plane = image[yi][:, xi]  # (out, out, C)
-        mask = (vy[:, None] & vx[None, :]).astype(image.dtype)[..., None]
-        return plane * mask + border_value * (1.0 - mask)
-
-    top = tap(y0, x0, vy0, vx0) * wx0[None, :, None] + tap(y0, x1, vy0, vx1) * wx1[None, :, None]
-    bot = tap(y1, x0, vy1, vx0) * wx0[None, :, None] + tap(y1, x1, vy1, vx1) * wx1[None, :, None]
-    return top * wy0[:, None, None] + bot * wy1[:, None, None]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
+    w0 = ((i0 >= 0) & (i0 <= size - 1)).astype(jnp.float32) * (1.0 - frac)
+    w1 = ((i1 >= 0) & (i1 <= size - 1)).astype(jnp.float32) * frac
+    return w0[..., None] * (idx == jnp.clip(i0, 0, size - 1)[..., None]) + w1[
+        ..., None
+    ] * (idx == jnp.clip(i1, 0, size - 1)[..., None])
 
 
 @partial(jax.jit, static_argnames=("scale", "out_size", "border_value"))
@@ -78,21 +64,34 @@ def crop_batch(
     imgs = images.astype(jnp.float32)
     if images.dtype == jnp.uint8:
         imgs = imgs / 255.0
-    out = jax.vmap(lambda im, bb: _crop_one(im, bb, scale, out_size, border_value))(
-        imgs, bboxes.astype(jnp.float32)
-    )
+    B, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    bboxes = bboxes.astype(jnp.float32)
+
+    offsets = jnp.arange(out_size, dtype=jnp.float32) - out_size * 0.5
+    xs = offsets[None, :] * (bboxes[:, 2:3] * scale / out_size) + bboxes[:, 0:1]
+    ys = offsets[None, :] * (bboxes[:, 3:4] * scale / out_size) + bboxes[:, 1:2]
+
+    T = _interp_matrices(ys, H)  # (B, out, H)
+    S = _interp_matrices(xs, W)  # (B, out, W)
+
+    rows = jnp.einsum("boh,bhwc->bowc", T, imgs, precision=_HI)
+    out = jnp.einsum("bowc,bxw->boxc", rows, S, precision=_HI)
+    if border_value != 0.0:
+        coverage = jnp.einsum(
+            "bo,bx->box", jnp.sum(T, axis=2), jnp.sum(S, axis=2), precision=_HI
+        )
+        out = out + border_value * (1.0 - coverage)[..., None]
     return out
 
 
 @partial(jax.jit, static_argnames=("img_size",))
 def letterbox_device(images: jnp.ndarray, img_size: int = 416) -> jnp.ndarray:
     """Aspect-preserving letterbox to (img_size, img_size) with gray padding,
-    as one gather-resample (the same kernel as crop_batch).
-
-    ~9x faster on TPU than jax.image.resize (which lowers bilinear resize to
-    dense matmuls: 142 ms vs 16 ms for 128 x 450 x 800 frames). Sampling uses
-    the crop kernel's direct center mapping, a half-pixel offset from
-    cv2.resize's convention -- irrelevant at detector robustness scales.
+    as the same separable matmul resample (the padding bands fall out of the
+    constant-border term). ~9 ms for 128 x 450 x 800 frames vs 142 ms for
+    jax.image.resize. Sampling uses the direct center mapping, a half-pixel
+    offset from cv2.resize's convention -- irrelevant at detector robustness
+    scales (tests/test_letterbox.py).
     """
     N, H, W = images.shape[0], images.shape[1], images.shape[2]
     side = float(max(H, W))
