@@ -342,8 +342,8 @@ class YoloDetector:
         results: List[np.ndarray] = []
         for start in range(0, N, self.batch_size):
             chunk = np.ascontiguousarray(frames_rgb[start : start + self.batch_size])
-            # Letterbox on device (gather-resample kernel; ~9x faster than a
-            # dense bilinear resize) feeding the conv tower directly.
+            # Letterbox on device (separable matmul resample; see ops/crop.py)
+            # feeding the conv tower directly.
             letter = letterbox_device(jnp.asarray(chunk), self.img_size)
             raw = np.asarray(yolo_forward(self.params, letter, self.img_size))
             for det in raw:

@@ -60,7 +60,14 @@ def crop_batch(
     out_size: int = 224,
     border_value: float = 0.0,
 ) -> jnp.ndarray:
-    """Batched device crop. Returns (N, out, out, C) float32 in [0, 1]."""
+    """Batched device crop. Returns (N, out, out, C) float32 in [0, 1].
+
+    Memory note: intermediates scale with N * out * max(H, W) (the
+    interpolation matrices and the row-resampled tensor). The pipeline's
+    ingest resize rule caps frames at 800x450 (io/video.py), where a
+    128-frame batch peaks ~0.5 GB; for direct library use on much larger
+    frames, chunk the batch axis accordingly.
+    """
     imgs = images.astype(jnp.float32)
     if images.dtype == jnp.uint8:
         imgs = imgs / 255.0
