@@ -320,6 +320,27 @@ class Predictor:
             summary[title] = (final_scores, action_level, action_name)
         self.timings["score"] = time.time() - t0
 
+        # Structured run summary (extension over the reference: machine-
+        # readable observability alongside the parity text files).
+        with open(osp.join(output_path, "run_summary.json"), "w") as f:
+            json.dump(
+                {
+                    "frames_total": int(timestamp[2]),
+                    "frames_tracked": int(len(frames)),
+                    "timings_sec": {k: round(v, 4) for k, v in self.timings.items()},
+                    "scores": {
+                        title: {
+                            "avg": s[0][0], "p50": s[0][1], "p10": s[0][2],
+                            "max": s[0][3], "mode": s[0][4],
+                            "action_level": s[1], "action": s[2],
+                        }
+                        for title, s in summary.items()
+                    },
+                },
+                f,
+                indent=2,
+            )
+
         print("\n\n===> DONE!")
         print("Result files saved in ", output_path)
         for title, (final_scores, action_level, action_name) in summary.items():
