@@ -61,6 +61,10 @@ def spin_state_dict_to_flax(state: Mapping[str, "np.ndarray"]) -> Dict:
         return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
 
     for key, raw in state.items():
+        # DataParallel-saved checkpoints prefix every key with 'module.'
+        # (the reference ships a stripper, funcs_utils.py:135-140).
+        if key.startswith("module."):
+            key = key[len("module."):]
         value = to_np(raw)
         # ---- top-level regressor state buffers ----
         if key in ("init_pose", "init_shape", "init_cam"):
