@@ -142,6 +142,11 @@ class StreamingScorer:
             _, start_idx, frames = item
 
             detections = self.detector(frames)
+            if len(detections) != len(frames):
+                raise ValueError(
+                    f"detector returned {len(detections)} per-frame results "
+                    f"for a {len(frames)}-frame window"
+                )
             track_frames: List[int] = []
             track_boxes: List[np.ndarray] = []
             for local_idx, dets in enumerate(detections):
