@@ -44,7 +44,7 @@ def main() -> None:
 
     from poserisk_release_tpu.body.smpl import SMPLFamily
     from poserisk_release_tpu.config import default_config
-    from poserisk_release_tpu.models.detector import init_yolo_params
+    from poserisk_release_tpu.models.detector import cast_conv_kernels, init_yolo_params
     from poserisk_release_tpu.pipeline import PoseEstimator
     from poserisk_release_tpu.throughput import (
         default_packed_infos,
@@ -54,13 +54,10 @@ def main() -> None:
     cfg = default_config()
     family = SMPLFamily(cfg.SPIN.smpl_model_dir)
     estimator = PoseEstimator(cfg, family)
-    yolo_params = jax.device_put(
-        jax.tree_util.tree_map(jnp.asarray, init_yolo_params())
-    )
+    compute_dtype = jnp.bfloat16 if BENCH_DTYPE == "bfloat16" else jnp.float32
+    yolo_params = jax.device_put(cast_conv_kernels(init_yolo_params(), compute_dtype))
     info_reba, info_rula = default_packed_infos()
     info_reba, info_rula = jnp.asarray(info_reba), jnp.asarray(info_rula)
-
-    compute_dtype = jnp.bfloat16 if BENCH_DTYPE == "bfloat16" else jnp.float32
     step = jax.jit(
         make_full_frame_step(cfg.SPIN.ief_iters, estimator.parents, FRAME_HW,
                              compute_dtype=compute_dtype)

@@ -116,6 +116,7 @@ class PoseEstimator:
         n_dev = 1 if self.mesh is None else self.mesh.devices.size
         if chunk <= 0:
             chunk = self.cfg.PARALLEL.frames_per_step * n_dev
+        chunk = ((chunk + n_dev - 1) // n_dev) * n_dev  # shardable batch
         F = crops.shape[0]
         pending = []  # dispatch every chunk first; fetch after (device pipelines)
         for start in range(0, F, chunk):

@@ -176,7 +176,10 @@ class StreamingScorer:
                     out_size=int(self.cfg.MODEL.input_shape[0]),
                 )
             )
-            euler, joint_cam, _aa = self.estimator.run(crops)
+            # Chunk by the window size (padded to the mesh size inside run):
+            # the default frames_per_step chunk would pad a small window up
+            # to 64 x n_devices frames of wasted compute.
+            euler, joint_cam, _aa = self.estimator.run(crops, chunk=self.window)
             for r in reba(euler, joint_cam, add_info):
                 result.reba_scores.append(r["score"])
             for r in rula(euler, joint_cam, add_info):

@@ -19,6 +19,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the big ResNet-50 graphs dominate suite time;
+# caching executables across runs cuts repeat suite time by minutes.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -26,3 +32,12 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.RandomState(1234)
+
+
+@pytest.fixture(scope="session")
+def small_chunk_config():
+    """Config with a small pose-chunk so every pipeline test reuses ONE
+    compiled SPIN shape instead of padding to 64-frame chunks."""
+    from poserisk_release_tpu.config import default_config
+
+    return default_config().replace(PARALLEL={"frames_per_step": 16})

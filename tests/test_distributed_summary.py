@@ -14,6 +14,12 @@ from poserisk_release_tpu.parallel.distributed import global_batch_slice, initia
 from poserisk_release_tpu.pipeline import Predictor
 
 
+def _test_config():
+    from poserisk_release_tpu.config import default_config
+
+    return default_config().replace(PARALLEL={"frames_per_step": 16})
+
+
 def test_initialize_distributed_single_process():
     info = initialize_distributed()  # no coordinator: must be a safe no-op
     assert info["process_index"] == 0
@@ -36,7 +42,7 @@ def test_run_summary_written(tmp_path, rng):
         frames.append(img)
     write_video(frames, fps=5.0, file_path=str(clip))
 
-    predictor = Predictor(cfg=default_config(), score_type="REBA",
+    predictor = Predictor(cfg=_test_config(), score_type="REBA",
                           detector=StubDetector(), visualize=False)
     out = str(tmp_path / "out")
     predictor(str(clip), "/nonexistent.json", out)

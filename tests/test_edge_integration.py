@@ -14,6 +14,12 @@ from poserisk_release_tpu.parallel.mesh import make_mesh
 from poserisk_release_tpu.pipeline import Predictor
 from poserisk_release_tpu.streaming import StreamingScorer
 
+def _test_config():
+    from poserisk_release_tpu.config import default_config
+
+    return default_config().replace(PARALLEL={"frames_per_step": 16})
+
+
 INFO = json.load(open("poserisk_release_tpu/default_information.json"))
 
 
@@ -33,7 +39,7 @@ def clip(tmp_path_factory):
 
 def test_no_detections_raise_clean_error(clip, tmp_path):
     empty = StubDetector(scripted=[np.zeros((0, 5), np.float32)] * 12)
-    predictor = Predictor(cfg=default_config(), score_type="REBA",
+    predictor = Predictor(cfg=_test_config(), score_type="REBA",
                           detector=empty, visualize=False)
     with pytest.raises(ValueError, match="no person tracks"):
         predictor(clip, "/nonexistent.json", str(tmp_path / "out"))

@@ -11,6 +11,12 @@ from poserisk_release_tpu.models.detector import StubDetector
 from poserisk_release_tpu.pipeline import Predictor
 
 
+def _test_config():
+    from poserisk_release_tpu.config import default_config
+
+    return default_config().replace(PARALLEL={"frames_per_step": 16})
+
+
 def _gappy_detector(n_frames, missing):
     boxes = []
     for i in range(n_frames):
@@ -38,7 +44,7 @@ def test_pipeline_with_detection_gaps(tmp_path, rng):
     # SORT semantics, matching the reference's tracker.)
     missing = {6}
     predictor = Predictor(
-        cfg=default_config(), score_type="REBA", debug=True,
+        cfg=_test_config(), score_type="REBA", debug=True,
         detector=_gappy_detector(16, missing), visualize=True,
     )
     out = str(tmp_path / "out")

@@ -13,6 +13,12 @@ from poserisk_release_tpu.tools.data_preprocessing import main as preprocess_mai
 from poserisk_release_tpu.tracking.mpt import MultiPersonTracker
 
 
+def _test_config():
+    from poserisk_release_tpu.config import default_config
+
+    return default_config().replace(PARALLEL={"frames_per_step": 16})
+
+
 def _two_person_detector():
     """Scripted detector: two well-separated people in every frame."""
 
@@ -50,7 +56,7 @@ def clip_path(tmp_path_factory, rng):
 
 def test_multi_person_outputs(clip_path, tmp_path):
     predictor = Predictor(
-        cfg=default_config(), score_type="REBA",
+        cfg=_test_config(), score_type="REBA",
         detector=_two_person_detector(), visualize=False, multi_person=True,
     )
     out = str(tmp_path / "mp_out")
@@ -63,7 +69,7 @@ def test_multi_person_outputs(clip_path, tmp_path):
 @pytest.mark.parametrize("gender", ["male", "female"])
 def test_gendered_models(clip_path, tmp_path, gender):
     predictor = Predictor(
-        cfg=default_config(), score_type="REBA",
+        cfg=_test_config(), score_type="REBA",
         detector=StubDetector(), visualize=False, gender=gender,
     )
     out = str(tmp_path / gender)

@@ -15,6 +15,12 @@ from poserisk_release_tpu.parallel.mesh import make_mesh
 from poserisk_release_tpu.pipeline import Predictor
 
 
+def _test_config():
+    from poserisk_release_tpu.config import default_config
+
+    return default_config().replace(PARALLEL={"frames_per_step": 16})
+
+
 @pytest.fixture(scope="module")
 def synthetic_video(tmp_path_factory, rng):
     """A small clip with a moving bright 'person' rectangle."""
@@ -54,7 +60,7 @@ def info_path(tmp_path_factory):
 @pytest.fixture(scope="module")
 def predictor():
     return Predictor(
-        cfg=default_config(),
+        cfg=_test_config(),
         score_type="REBA,RULA",
         debug=True,
         debug_joints="Neck,L_Hip",
@@ -100,7 +106,7 @@ def test_full_run_outputs(predictor, synthetic_video, info_path, tmp_path):
 
 def test_debug_frame_branch(synthetic_video, info_path, tmp_path):
     predictor = Predictor(
-        cfg=default_config(), debug=True, debug_frame=5,
+        cfg=_test_config(), debug=True, debug_frame=5,
         detector=StubDetector(), visualize=False,
     )
     out = str(tmp_path / "dbg")
@@ -121,7 +127,7 @@ def test_missing_info_falls_back_to_default(predictor, synthetic_video, tmp_path
 
 def test_invalid_debug_joint_rejected():
     with pytest.raises(ValueError, match="Invalid Joint name"):
-        Predictor(cfg=default_config(), debug_joints="NotAJoint", detector=StubDetector())
+        Predictor(cfg=_test_config(), debug_joints="NotAJoint", detector=StubDetector())
 
 
 def test_multichip_mesh_run(synthetic_video, info_path, tmp_path):
@@ -129,7 +135,7 @@ def test_multichip_mesh_run(synthetic_video, info_path, tmp_path):
     assert len(jax.devices()) == 8
     mesh = make_mesh(8)
     predictor = Predictor(
-        cfg=default_config(), score_type="REBA",
+        cfg=_test_config(), score_type="REBA",
         detector=StubDetector(), visualize=False, mesh=mesh,
     )
     out = str(tmp_path / "mesh_out")
@@ -138,7 +144,7 @@ def test_multichip_mesh_run(synthetic_video, info_path, tmp_path):
 
     # Single-device result must match the sharded one exactly.
     single = Predictor(
-        cfg=default_config(), score_type="REBA",
+        cfg=_test_config(), score_type="REBA",
         detector=StubDetector(), visualize=False,
     )
     out2 = str(tmp_path / "single_out")

@@ -11,6 +11,12 @@ from poserisk_release_tpu.models.detector import StubDetector
 from poserisk_release_tpu.pipeline import Predictor
 from poserisk_release_tpu.streaming import StreamingScorer
 
+def _test_config():
+    from poserisk_release_tpu.config import default_config
+
+    return default_config().replace(PARALLEL={"frames_per_step": 16})
+
+
 INFO = json.load(open("poserisk_release_tpu/default_information.json"))
 
 
@@ -42,7 +48,7 @@ def test_stats_match_batch_predictor(long_clip, tmp_path):
     """Windowed scoring must reproduce the whole-clip Predictor's stats."""
     stream = StreamingScorer(detector=StubDetector(), window=16)(long_clip, INFO)
 
-    predictor = Predictor(cfg=default_config(), score_type="REBA,RULA",
+    predictor = Predictor(cfg=_test_config(), score_type="REBA,RULA",
                           detector=StubDetector(), visualize=False)
     summary = predictor(long_clip, "/nonexistent.json", str(tmp_path / "batch"))
 
