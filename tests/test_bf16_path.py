@@ -35,3 +35,18 @@ def test_yolo_bf16_close_to_f32(rng):
     diff = np.abs(det16[..., 4] - det32[..., 4])
     assert np.quantile(diff, 0.999) < 0.05
     assert (diff > 0.5).mean() < 1e-3
+
+
+def test_bn_folding_matches_unfolded(rng):
+    from poserisk_release_tpu.models.detector import fold_bn_params
+
+    params = init_yolo_params(seed=0)
+    folded = fold_bn_params(params)
+    x = jnp.asarray(rng.uniform(0, 1, size=(1, 416, 416, 3)).astype(np.float32))
+    a = np.asarray(yolo_forward(params, x))
+    b = np.asarray(yolo_forward(folded, x))
+    diff = np.abs(a[..., 4] - b[..., 4])
+    # f32 folding is algebraically identical; only rounding differs (plus the
+    # rare saturated-logit sigmoid flips of random weights).
+    assert np.quantile(diff, 0.999) < 0.02
+    assert (diff > 0.5).mean() < 1e-3
