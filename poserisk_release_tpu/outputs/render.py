@@ -90,6 +90,36 @@ def render_result_video(
     return out_file
 
 
+COCO_PART_COLORS = (
+    # face x4, left arm x2, right leg x2, left leg x2, shoulder/hip links x4,
+    # center body x2, right arm x2 (vis_utils.py:28-62 palette, RGB 0-1)
+    (1.0, 0.6, 0.2), (1.0, 0.6, 0.2), (1.0, 0.6, 0.2), (1.0, 0.6, 0.2),
+    (0.4, 1.0, 0.4), (0.2, 1.0, 0.2),
+    (1.0, 0.4, 1.0), (1.0, 0.2, 1.0),
+    (1.0, 0.4, 0.4), (1.0, 0.2, 0.2),
+    (0.6, 1.0, 0.6), (0.6, 0.8, 1.0), (1.0, 0.6, 0.6), (1.0, 0.6, 1.0),
+    (1.0, 0.8, 0.6), (1.0, 0.7, 0.4),
+    (0.4, 0.7, 1.0), (0.2, 0.6, 1.0),
+)
+
+
+def vis_coco_skeleton(img_bgr: np.ndarray, kps_2xk: np.ndarray, skeleton,
+                      given_color=(0, 1, 0), alpha: float = 1.0) -> np.ndarray:
+    """Single-color skeleton overlay (vis_utils.py:27-91 behaviour: edges and
+    endpoint circles in the given RGB 0-1 color, alpha-blended)."""
+    import cv2
+
+    color = (given_color[2] * 255, given_color[1] * 255, given_color[0] * 255)
+    canvas = np.ascontiguousarray(img_bgr, np.uint8).copy()
+    for i1, i2 in skeleton:
+        p1 = (int(kps_2xk[0, i1]), int(kps_2xk[1, i1]))
+        p2 = (int(kps_2xk[0, i2]), int(kps_2xk[1, i2]))
+        cv2.line(canvas, p1, p2, color=color, thickness=2, lineType=cv2.LINE_AA)
+        cv2.circle(canvas, p1, radius=2, color=color, thickness=3, lineType=cv2.LINE_AA)
+        cv2.circle(canvas, p2, radius=2, color=color, thickness=3, lineType=cv2.LINE_AA)
+    return cv2.addWeighted(np.ascontiguousarray(img_bgr, np.uint8), 1.0 - alpha, canvas, alpha, 0)
+
+
 def vis_keypoints(img_bgr: np.ndarray, kps: np.ndarray, alpha: float = 1.0) -> np.ndarray:
     """Rainbow keypoint dots (vis_utils.py:94-112 behaviour)."""
     import cv2
