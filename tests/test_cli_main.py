@@ -1,0 +1,56 @@
+"""Drive cli.main() itself: flag plumbing, YAML override, output artifacts."""
+
+import json
+import os.path as osp
+
+import numpy as np
+
+from poserisk_release_tpu.cli import main
+from poserisk_release_tpu.io.video import write_video
+
+
+def test_cli_main_end_to_end(tmp_path, monkeypatch):
+    import cv2
+
+    clip = tmp_path / "in.mp4"
+    frames = []
+    for i in range(8):
+        img = np.full((120, 160, 3), 30, np.uint8)
+        cv2.rectangle(img, (60, 20), (110, 100), (170, 150, 120), -1)
+        frames.append(img)
+    write_video(frames, fps=4.0, file_path=str(clip))
+
+    info = tmp_path / "info.json"
+    info.write_text(json.dumps({
+        "REBA": {"Legs_bilateral_weight_bearing/walking": 0, "Sitting": 0,
+                 "Load/Force Score": 0, "Arm_supported_leaning_L": 0,
+                 "Arm_supported_leaning_R": 0, "Coupling": 0, "Activity_Score": 0},
+        "RULA": {"Arm_supported_leaning_L": 0, "Arm_supported_leaning_R": 0,
+                 "A_Muscle_use_L": 0, "A_Muscle_use_R": 0, "A_Load/Force_L": 0,
+                 "A_Load/Force_R": 0, "Legs_bilateral_weight_bearing": 0,
+                 "B_Muscle_use": 0, "B_Load/Force": 0},
+    }))
+
+    # YAML override flows through --cfg with strict keys.
+    cfg_yaml = tmp_path / "override.yaml"
+    cfg_yaml.write_text("PARALLEL:\n  frames_per_step: 8\nDATASET:\n  batch_size: 4\n")
+
+    out = tmp_path / "out"
+    rc = main([
+        "--cpu", "--type", "REBA", "--input", str(clip), "--info", str(info),
+        "--output", str(out), "--cfg", str(cfg_yaml), "--num_devices", "1",
+        "--profile",
+    ])
+    assert rc == 0
+    assert osp.isfile(osp.join(str(out), "reba_result.txt"))
+    assert osp.isfile(osp.join(str(out), "run_summary.json"))
+    assert not osp.isfile(osp.join(str(out), "rula_result.txt"))  # --type REBA only
+
+
+def test_cli_main_bad_cfg_key(tmp_path):
+    import pytest
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("NOPE:\n  x: 1\n")
+    with pytest.raises(ValueError, match="not exist in config"):
+        main(["--cpu", "--cfg", str(bad), "--input", "x.mp4", "--output", str(tmp_path)])
