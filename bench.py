@@ -56,6 +56,11 @@ def main() -> None:
     estimator = PoseEstimator(cfg, family)
     compute_dtype = jnp.bfloat16 if BENCH_DTYPE == "bfloat16" else jnp.float32
     yolo_params = jax.device_put(fold_bn_params(init_yolo_params(), compute_dtype))
+    spin_variables = estimator.variables
+    if BENCH_DTYPE == "bfloat16":
+        from poserisk_release_tpu.models.spin import cast_backbone_params
+
+        spin_variables = cast_backbone_params(spin_variables)
     info_reba, info_rula = default_packed_infos()
     info_reba, info_rula = jnp.asarray(info_reba), jnp.asarray(info_rula)
     step = jax.jit(
@@ -84,7 +89,7 @@ def main() -> None:
 
     def run_once():
         return step(
-            yolo_params, estimator.variables, estimator.smpl_params,
+            yolo_params, spin_variables, estimator.smpl_params,
             frames, bboxes, info_reba, info_rula,
         )
 

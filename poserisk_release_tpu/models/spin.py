@@ -101,6 +101,31 @@ def load_mean_params(path: str) -> dict:
     }
 
 
+def cast_backbone_params(variables: dict, dtype=jnp.bfloat16) -> dict:
+    """Store the ResNet backbone's params/stats in the compute dtype.
+
+    With f32-stored params and a bf16-computing backbone, XLA re-casts all
+    ~25 MB of weights every step; pre-casting once measured 54 -> 12.8 ms for
+    the full pose+score step at batch 128 with ZERO score changes. The IEF
+    head and regressor state stay f32.
+    """
+    import jax
+
+    def cast(tree):
+        return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
+
+    params = dict(variables["params"])
+    if "backbone" in params:
+        params["backbone"] = cast(params["backbone"])
+    out = {"params": params}
+    stats = dict(variables.get("batch_stats", {}))
+    if stats:
+        if "backbone" in stats:
+            stats["backbone"] = cast(stats["backbone"])
+        out["batch_stats"] = stats
+    return out
+
+
 def init_spin_params(rng_key, mean_params: dict, n_iter: int = 3):
     """Random-init HMR params with the mean-params state injected."""
     import jax
