@@ -64,7 +64,7 @@ def main() -> None:
     info_reba, info_rula = default_packed_infos()
     info_reba, info_rula = jnp.asarray(info_reba), jnp.asarray(info_rula)
     step = jax.jit(
-        make_full_frame_step(cfg.SPIN.ief_iters, estimator.parents, FRAME_HW,
+        make_full_frame_step(cfg.SPIN.ief_iters, estimator.parents,
                              compute_dtype=compute_dtype)
     )
 

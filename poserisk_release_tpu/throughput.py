@@ -48,7 +48,7 @@ def make_pose_and_score_step(n_iter: int, parents: Tuple[int, ...],
     return step
 
 
-def make_full_frame_step(n_iter: int, parents: Tuple[int, ...], frame_hw: Tuple[int, int],
+def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
                          yolo_params: Dict | None = None, img_size: int = 416,
                          compute_dtype=jnp.float32):
     """Full per-frame device path including the detector forward.
@@ -62,6 +62,8 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...], frame_hw: Tuple[
     from poserisk_release_tpu.models.detector import yolo_forward
     from poserisk_release_tpu.ops.crop import letterbox_device
 
+    # (frame dimensions are read from the runtime batch; the device letterbox
+    # is shape-polymorphic)
     pose_step = make_pose_and_score_step(n_iter, parents, compute_dtype)
 
     def step(yolo_p, spin_variables, smpl_params, frames, bboxes, info_reba, info_rula):
