@@ -4,10 +4,10 @@
         --info additional_information.json --output out [--gpu 0] \
         [--visualize] [--debug] [--debug_joints "Neck,L_Hip"] [--debug_frame K]
 
-Flags and defaults mirror /root/reference/main/run.py:10-20. `--gpu` selects
-the visible accelerator (the reference sets CUDA_VISIBLE_DEVICES; here it
-picks the JAX device index / mesh size). `--cpu` forces the host platform
-(useful on machines without TPU).
+Flags and defaults mirror /root/reference/main/run.py:10-20. `--gpu` is
+accepted for reference compatibility but has no device-selection effect
+(JAX owns device enumeration; use --num_devices / --cpu). `--cpu` forces
+the host platform (useful on machines without TPU).
 """
 
 from __future__ import annotations
@@ -18,7 +18,8 @@ import argparse
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Estimate RULA and REBA score")
     parser.add_argument("--gpu", type=str, default="0",
-                        help="assign device(s); comma concat mirrors the reference flag")
+                        help="accepted for reference-CLI compatibility; device "
+                             "selection uses --num_devices / --cpu instead")
     parser.add_argument("--type", type=str, default="REBA,RULA", help="Score type")
     parser.add_argument("--input", type=str, default="example/input.mp4", help="input video")
     parser.add_argument("--info", type=str, default="example/additional_information.json",

@@ -136,25 +136,30 @@ def load_spin_checkpoint(path: str):
     return spin_state_dict_to_flax(state)
 
 
+def flatten_tree(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Nested dict pytree -> flat {'a/b/c': ndarray} mapping (npz layout)."""
+    flat: Dict[str, np.ndarray] = {}
+    for key, value in tree.items():
+        path = f"{prefix}/{key}" if prefix else str(key)
+        if isinstance(value, dict):
+            flat.update(flatten_tree(value, path))
+        else:
+            flat[path] = np.asarray(value)
+    return flat
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]) -> Dict:
+    tree: Dict = {}
+    for key, value in flat.items():
+        _set(tree, tuple(key.split("/")), value)
+    return tree
+
+
 def save_flax_variables(variables: Dict, path: str) -> None:
     """Flatten-and-save converted variables to npz for torch-free reload."""
-    flat = {}
-
-    def walk(node, prefix):
-        for k, v in node.items():
-            p = f"{prefix}/{k}" if prefix else k
-            if isinstance(v, dict):
-                walk(v, p)
-            else:
-                flat[p] = np.asarray(v)
-
-    walk(variables, "")
-    np.savez(path, **flat)
+    np.savez(path, **flatten_tree(variables))
 
 
 def load_flax_variables(path: str) -> Dict:
-    tree: Dict = {}
     with np.load(path) as data:
-        for key in data.files:
-            _set(tree, tuple(key.split("/")), data[key])
-    return tree
+        return unflatten_tree({key: data[key] for key in data.files})

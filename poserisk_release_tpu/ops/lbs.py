@@ -160,9 +160,16 @@ class LBS:
         if self.use_pallas:
             from poserisk_release_tpu.ops.lbs_pallas import lbs_pallas_jit
 
-            return lbs_pallas_jit(
+            verts, joints = lbs_pallas_jit(
                 self.params, pose_axisang, jnp.asarray(betas, jnp.float32), self.parents
             )
+            # Reference semantics: translation applies only when non-zero
+            # (smpl_layer.py:148-155); the kernel skins in rest space, so it
+            # composes as a plain post-add.
+            trans = jnp.asarray(trans, jnp.float32)
+            has_trans = jnp.where(jnp.linalg.norm(trans) != 0.0, 1.0, 0.0)
+            offset = has_trans * trans[:, None, :]
+            return verts + offset, joints + offset
         return _lbs_impl(self.params, pose_axisang, jnp.asarray(betas, jnp.float32),
                          jnp.asarray(trans, jnp.float32), self.parents)
 

@@ -157,9 +157,9 @@ def rotmat_to_euler_deg(R: jnp.ndarray) -> jnp.ndarray:
 def rot6d_to_rotmat(x: jnp.ndarray) -> jnp.ndarray:
     """6D rotation representation (..., 6) -> (..., 3, 3) via Gram-Schmidt.
 
-    Matches SPIN's rot6d_to_rotmat head output convention (Zhou et al. CVPR'19):
-    columns b1, b2, b3 from the two 3-vectors a1 = x[..., 0::2]? No --- SPIN
-    reshapes to (-1, 3, 2): a1 = x[..., :, 0], a2 = x[..., :, 1].
+    Matches SPIN's rot6d_to_rotmat head convention (Zhou et al. CVPR'19):
+    reshape to (..., 3, 2), take a1 = m[..., 0] and a2 = m[..., 1], and build
+    orthonormal columns b1, b2, b3 = b1 x b2.
     """
     x = jnp.asarray(x)
     m = x.reshape(x.shape[:-1] + (3, 2))

@@ -34,10 +34,9 @@ from poserisk_release_tpu.config import Config, default_config
 from poserisk_release_tpu.io.video import read_video
 from poserisk_release_tpu.models import convert as model_convert
 from poserisk_release_tpu.models.detector import StubDetector, YoloDetector
-from poserisk_release_tpu.models.spin import HMR, init_spin_params, load_mean_params
+from poserisk_release_tpu.models.spin import init_spin_params, load_mean_params
 from poserisk_release_tpu.ops.crop import crop_batch
-from poserisk_release_tpu.ops.lbs import LBS, joints_only, smpl_params_to_jax
-from poserisk_release_tpu.ops.rotations import rotmat_to_axis_angle, rotmat_to_euler_deg
+from poserisk_release_tpu.ops.lbs import LBS, smpl_params_to_jax
 from poserisk_release_tpu.outputs.render import render_result_video, vis_3d_pose
 from poserisk_release_tpu.outputs.stats import format_result_txt, post_process_scores
 from poserisk_release_tpu.outputs.writers import (
@@ -52,9 +51,6 @@ from poserisk_release_tpu.scoring.reba import REBAScorer
 from poserisk_release_tpu.scoring.rula import RULAScorer
 from poserisk_release_tpu.tracking.mpt import MultiPersonTracker, filter_and_select_target
 
-ROOT_POSE = (3.14, 0.0, 0.0)  # forced root orientation (coord_utils.py:10-13)
-
-
 class PoseEstimator:
     """Crops -> (euler deg, joint_cam mm, axis-angle) in one jitted graph."""
 
@@ -66,13 +62,15 @@ class PoseEstimator:
         the strict f32 parity configuration."""
         self.cfg = cfg
         dtype = jnp.bfloat16 if fast else jnp.float32
-        self.model = HMR(n_iter=cfg.SPIN.ief_iters, dtype=dtype)
         self.mesh = mesh
         neutral = smpl_family[gender]
         self.smpl_params = smpl_params_to_jax(neutral)
         parents = np.asarray(neutral.kintree_parents).copy()
         parents[0] = 0
         self.parents = tuple(int(p) for p in parents)
+        from poserisk_release_tpu.throughput import make_pose_core
+
+        self._pose_core = make_pose_core(cfg.SPIN.ief_iters, self.parents, dtype)
         self.variables = variables if variables is not None else self._load_variables(cfg)
         if fast:
             from poserisk_release_tpu.models.spin import cast_backbone_params
@@ -103,17 +101,9 @@ class PoseEstimator:
         )
 
     def _pose_step(self, variables, smpl_params, crops):
-        rotmat, _betas, _cam = self.model.apply(variables, crops)
-        euler = rotmat_to_euler_deg(rotmat)  # (B, 24, 3)
-        aa = rotmat_to_axis_angle(rotmat)  # (B, 24, 3)
-        # get_joint_cam parity: root pose forced to (3.14, 0, 0); note the
-        # reference mutates its axis-angle buffer in place, so the returned
-        # axis-angle ALSO carries the forced root (coord_utils.py:12-13).
-        aa_forced = aa.at[:, 0, :].set(jnp.asarray(ROOT_POSE, aa.dtype))
-        joints = joints_only(smpl_params, aa_forced.reshape(aa.shape[0], -1), self.parents)
-        joints = joints * 1000.0
-        joint_cam = joints - joints[:, :1]
-        return euler, joint_cam, aa_forced
+        # Single source of truth for the ordering-sensitive pose math:
+        # throughput.make_pose_core (shared with the fused bench graph).
+        return self._pose_core(variables, smpl_params, crops)
 
     def run(self, crops: np.ndarray, chunk: int = 0):
         """crops: (F, 224, 224, 3) float32 [0,1]. Chunked + padded execution.
@@ -126,32 +116,43 @@ class PoseEstimator:
             chunk = self.cfg.PARALLEL.frames_per_step * n_dev
         chunk = ((chunk + n_dev - 1) // n_dev) * n_dev  # shardable batch
         F = crops.shape[0]
-        pending = []  # dispatch every chunk first; fetch after (device pipelines)
-        for start in range(0, F, chunk):
+
+        def upload(start: int):
             part = crops[start : start + chunk]
             padded, n_valid = pmesh.pad_to_multiple(np.asarray(part), chunk)
             batch = jnp.asarray(padded)
             if self.mesh is not None:
                 batch = pmesh.shard_batch(self.mesh, batch)
+            return batch, n_valid
+
+        # Dispatch every chunk first; fetch after (device pipelines across
+        # chunks). Only (results, start, n_valid) is retained -- holding the
+        # device batches would pin all F frames in HBM at once; the rare
+        # retry path re-uploads its chunk from the host array instead.
+        pending = []
+        for start in range(0, F, chunk):
+            batch, n_valid = upload(start)
             pending.append(
-                (self._step(self.variables, self.smpl_params, batch), batch, n_valid)
+                (self._step(self.variables, self.smpl_params, batch), start, n_valid)
             )
+            del batch
 
         # Fetch with per-chunk fault isolation: a transient device/transfer
         # failure retries that chunk once before surfacing with context (the
         # reference has no failure handling at all -- SURVEY.md section 5.3).
         eulers, jcams, aas = [], [], []
-        for idx, (out, batch, n_valid) in enumerate(pending):
+        for idx, (out, start, n_valid) in enumerate(pending):
             try:
                 e, jc, aa = (np.asarray(x) for x in out)
             except Exception:
                 try:
+                    batch, _ = upload(start)
                     out = self._step(self.variables, self.smpl_params, batch)
                     e, jc, aa = (np.asarray(x) for x in out)
                 except Exception as exc:  # pragma: no cover - device-specific
                     raise RuntimeError(
                         f"pose-estimation chunk {idx} (frames "
-                        f"{idx * chunk}..{idx * chunk + n_valid - 1}) failed twice"
+                        f"{start}..{start + n_valid - 1}) failed twice"
                     ) from exc
             eulers.append(e[:n_valid])
             jcams.append(jc[:n_valid])
@@ -250,6 +251,8 @@ class Predictor:
                 pid: t for pid, t in tracking_results.items()
                 if t["frames"].shape[0] >= min_frames
             } or tracking_results
+            if not survivors:
+                raise ValueError("no person tracks found in the clip")
             summaries = {}
             for pid, track in survivors.items():
                 person_out = osp.join(output_path, f"person_{pid}")
@@ -368,16 +371,27 @@ class Predictor:
 
     # ------------------------------------------------------------------
     def _crops_for_track(self, frames_rgb: np.ndarray, frame_ids: np.ndarray,
-                         bboxes: np.ndarray) -> np.ndarray:
-        selected = frames_rgb[frame_ids]
-        return np.asarray(
-            crop_batch(
-                jnp.asarray(selected),
-                jnp.asarray(bboxes.astype(np.float32)),
-                scale=float(self.cfg.DATASET.bbox_scale),
-                out_size=int(self.cfg.MODEL.input_shape[0]),
+                         bboxes: np.ndarray, chunk: int = 256) -> np.ndarray:
+        """Device crops in bounded chunks: the resample's intermediates scale
+        with chunk * out * frame-width (ops/crop.py memory note), so a long
+        track must not go through one giant crop_batch call."""
+        out_size = int(self.cfg.MODEL.input_shape[0])
+        scale = float(self.cfg.DATASET.bbox_scale)
+        pieces = []
+        for start in range(0, len(frame_ids), chunk):
+            ids = frame_ids[start : start + chunk]
+            bbs = bboxes[start : start + chunk]
+            pieces.append(
+                np.asarray(
+                    crop_batch(
+                        jnp.asarray(frames_rgb[ids]),
+                        jnp.asarray(bbs.astype(np.float32)),
+                        scale=scale,
+                        out_size=out_size,
+                    )
+                )
             )
-        )
+        return np.concatenate(pieces) if len(pieces) > 1 else pieces[0]
 
     def _visualize_joint_cam_mesh(self, axis_angles, joint_cam, frames, output_path):
         idx = int(np.where(frames == self.debug_frame)[0][0])

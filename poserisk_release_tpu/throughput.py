@@ -25,6 +25,31 @@ from poserisk_release_tpu.scoring.rula import rula_frame_scores
 ROOT_POSE = (3.14, 0.0, 0.0)
 
 
+def make_pose_core(n_iter: int, parents: Tuple[int, ...], compute_dtype=jnp.float32):
+    """THE pose step shared by the product pipeline and the fused bench graph
+    (one definition so the subtle ordering can't desynchronise): SPIN forward
+    -> Euler from the ORIGINAL rotmats -> axis-angle with the root forced to
+    ROOT_POSE (the reference mutates its buffer in place, coord_utils.py:12-13)
+    -> SMPL joints in mm, root-centered.
+
+    Returns core(spin_variables, smpl_params, crops) ->
+    (euler_deg (B, 24, 3), joint_cam_mm (B, 24, 3), aa_forced (B, 24, 3)).
+    """
+    model = HMR(n_iter=n_iter, dtype=compute_dtype)
+
+    def core(spin_variables, smpl_params, crops):
+        rotmat, _betas, _cam = model.apply(spin_variables, crops)
+        euler = rotmat_to_euler_deg(rotmat)
+        aa = rotmat_to_axis_angle(rotmat)
+        aa_forced = aa.at[:, 0, :].set(jnp.asarray(ROOT_POSE, aa.dtype))
+        joints = joints_only(smpl_params, aa_forced.reshape(aa.shape[0], -1), parents)
+        joints = joints * 1000.0
+        joint_cam = joints - joints[:, :1]
+        return euler, joint_cam, aa_forced
+
+    return core
+
+
 def make_pose_and_score_step(n_iter: int, parents: Tuple[int, ...],
                              compute_dtype=jnp.float32):
     """Returns step(spin_variables, smpl_params, crops, info_reba, info_rula)
@@ -32,15 +57,10 @@ def make_pose_and_score_step(n_iter: int, parents: Tuple[int, ...],
     crops batch axis is the sharding axis. compute_dtype=bfloat16 selects the
     MXU-native backbone fast path (rotations/scoring stay f32)."""
 
-    model = HMR(n_iter=n_iter, dtype=compute_dtype)
+    core = make_pose_core(n_iter, parents, compute_dtype)
 
     def step(spin_variables, smpl_params, crops, info_reba, info_rula):
-        rotmat, _betas, _cam = model.apply(spin_variables, crops)
-        euler = rotmat_to_euler_deg(rotmat)
-        aa = rotmat_to_axis_angle(rotmat)
-        aa = aa.at[:, 0, :].set(jnp.asarray(ROOT_POSE, aa.dtype))
-        joints = joints_only(smpl_params, aa.reshape(aa.shape[0], -1), parents) * 1000.0
-        joint_cam = joints - joints[:, :1]
+        euler, joint_cam, _aa = core(spin_variables, smpl_params, crops)
         reba = reba_frame_scores(euler, info_reba)["score"]
         rula = rula_frame_scores(euler, info_rula)["score"]
         return reba, rula, euler, joint_cam

@@ -83,40 +83,22 @@ def lr_warmup(base_lr: float, epoch: int, base_epochs: int) -> float:
 
 
 # ---------------------------------------------------------------------------
-# Checkpoint IO (flat-npz pytree store; no torch on the runtime path)
+# Checkpoint IO (flat-npz pytree store; no torch on the runtime path).
+# Shares the '/'-joined flatten/unflatten with models.convert so there is
+# exactly one npz pytree layout in the codebase.
 # ---------------------------------------------------------------------------
-def _flatten(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
-    flat: Dict[str, np.ndarray] = {}
-    for key, value in tree.items():
-        path = f"{prefix}/{key}" if prefix else str(key)
-        if isinstance(value, dict):
-            flat.update(_flatten(value, path))
-        else:
-            flat[path] = np.asarray(value)
-    return flat
-
-
-def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
-    tree: Dict = {}
-    for key, value in flat.items():
-        node = tree
-        parts = key.split("/")
-        for part in parts[:-1]:
-            node = node.setdefault(part, {})
-        node[parts[-1]] = value
-    return tree
-
-
 def save_checkpoint(
     state: Dict, epoch: int, checkpoint_dir: str, end_epoch: int | None = None,
     is_best: bool = False,
 ) -> str:
     """save_checkpoint parity (funcs_utils.py:191-199): epoch_{N} naming,
     'final' at end_epoch, optional 'best' copy."""
+    from poserisk_release_tpu.models.convert import flatten_tree
+
     os.makedirs(checkpoint_dir, exist_ok=True)
     name = "final" if (end_epoch is not None and epoch == end_epoch) else f"epoch_{epoch}"
     path = osp.join(checkpoint_dir, name + ".npz")
-    flat = _flatten(state)
+    flat = flatten_tree(state)
     flat["__epoch__"] = np.asarray(epoch)
     np.savez(path, **flat)
     if is_best:
@@ -125,9 +107,11 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str) -> Dict:
+    from poserisk_release_tpu.models.convert import unflatten_tree
+
     if not osp.isfile(path):
         raise ValueError(f"No checkpoint exists!\n {path}")
     with np.load(path) as data:
         flat = {k: data[k] for k in data.files}
     flat.pop("__epoch__", None)
-    return _unflatten(flat)
+    return unflatten_tree(flat)

@@ -91,3 +91,11 @@ def test_streaming_rejects_miscounting_detector(clip):
     scorer = StreamingScorer(detector=bad, window=4)
     with pytest.raises(ValueError, match="per-frame results"):
         scorer(clip, INFO)
+
+
+def test_multi_person_no_detections_raises(clip, tmp_path):
+    empty = StubDetector(scripted=[np.zeros((0, 5), np.float32)] * 12)
+    predictor = Predictor(cfg=_test_config(), score_type="REBA",
+                          detector=empty, visualize=False, multi_person=True)
+    with pytest.raises(ValueError, match="no person tracks"):
+        predictor(clip, "/nonexistent.json", str(tmp_path / "mp"))

@@ -166,3 +166,20 @@ def test_reba_quirk_right_rotation_bonus_lands_left():
     r_bonus = int(got_bonus.split(",")[1])
     assert l_bonus == l_base + 1  # left went up
     assert r_bonus == r_base  # right unchanged
+
+
+def test_reba_matches_oracle_at_production_f32(rng):
+    """The suite enables x64 globally; production runs f32. Sweep the engines
+    with float32 poses (the engine computes in the input dtype) against the
+    oracle evaluated on the SAME f32 values, covering the shipped precision."""
+    poses64 = _poses(rng, 1500)
+    poses32 = poses64.astype(np.float32)
+    add_info = {"REBA": DEFAULT_REBA, "RULA": DEFAULT_RULA}
+    got_reba = REBAScorer()(poses32, None, add_info)
+    got_rula = RULAScorer()(poses32, None, add_info)
+    from tests.oracles import reference_scoring as oracle
+
+    for i in range(len(poses32)):
+        p = poses32[i].astype(np.float64)  # exact f32 values, python-float math
+        assert got_reba[i]["score"] == oracle.reba_frame(p, DEFAULT_REBA)[0], i
+        assert got_rula[i]["score"] == oracle.rula_frame(p, DEFAULT_RULA)[0], i
