@@ -20,7 +20,11 @@ def _test_config():
     return default_config().replace(PARALLEL={"frames_per_step": 16})
 
 
-INFO = json.load(open("poserisk_release_tpu/default_information.json"))
+import os.path as _osp
+
+import poserisk_release_tpu as _pkg
+
+INFO = json.load(open(_osp.join(_osp.dirname(_pkg.__file__), "default_information.json")))
 
 
 @pytest.fixture(scope="module")
