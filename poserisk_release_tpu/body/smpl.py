@@ -52,6 +52,14 @@ FLIP_PAIRS: Tuple[Tuple[int, int], ...] = (
 
 FACE_KPS_VERTEX = (331, 2802, 6262, 3489, 3990)  # nose, L eye, R eye, L ear, R ear
 
+# Per-joint segment colors for part visualisation (lib/utils/smpl.py:35-36).
+PART_SEGMENTS_COLOR = (
+    "silver", "blue", "green", "salmon", "turquoise", "olive", "lavender",
+    "darkblue", "lime", "khaki", "cyan", "darkgreen", "beige", "coral",
+    "crimson", "red", "aqua", "chartreuse", "indigo", "teal", "violet",
+    "orchid", "orange", "gold",
+)
+
 ROOT_JOINT_IDX = JOINT_INDEX["Pelvis"]
 
 # Canonical SMPL kinematic tree (parent of each of the 24 joints). The root's
@@ -227,6 +235,11 @@ class SMPLModel:
             raise FileNotFoundError(f"No SMPL asset for gender={gender} in {model_dir}")
         return cls.from_arrays(synthetic_smpl_arrays(), gender=gender)
 
+    def vertex_segmentation(self) -> np.ndarray:
+        """Dominant-joint index per vertex: argmax of the skinning weights
+        (the reference's vertice_segmentation buffer, smpl_layer.py:57)."""
+        return np.argmax(self.weights, axis=1)
+
     def extended_joint_regressor(self) -> np.ndarray:
         """(J+5, V) regressor with one-hot face-keypoint rows appended.
 
@@ -258,6 +271,7 @@ class SMPLFamily:
         self.joints_name_upper = list(JOINTS_NAME_UPPER)
         self.skeleton = SKELETON
         self.flip_pairs = FLIP_PAIRS
+        self.part_segments_color = PART_SEGMENTS_COLOR
         self.root_joint_idx = ROOT_JOINT_IDX
 
     def __getitem__(self, gender: str) -> SMPLModel:

@@ -160,3 +160,16 @@ def test_extended_regressor_rows(full_model):
     for row, vidx in zip(range(24, 29), body.FACE_KPS_VERTEX):
         assert reg[row, vidx] == 1.0
         assert reg[row].sum() == 1.0
+
+
+def test_vertex_segmentation_and_part_colors(full_model):
+    seg = full_model.vertex_segmentation()
+    assert seg.shape == (full_model.num_verts,)
+    assert seg.min() >= 0 and seg.max() < full_model.num_joints
+    # Each vertex's dominant joint carries its largest weight.
+    w = full_model.weights
+    assert (w[np.arange(len(seg)), seg] == w.max(axis=1)).all()
+
+    from poserisk_release_tpu.body.smpl import PART_SEGMENTS_COLOR
+
+    assert len(PART_SEGMENTS_COLOR) == 24
