@@ -6,10 +6,26 @@ This module scores a video in fixed-size windows with a one-window lookahead
 decoded on a background host thread, so video decode overlaps device compute
 and peak host memory is ~2 windows of frames.
 
-Pipeline per window: decode -> detect+track (SORT state persists across
-windows, so track identities survive window boundaries) -> crop -> fused
-pose+score step -> accumulate per-frame scores/stats. The final aggregation
-matches outputs.stats.post_process_scores semantics over the whole video.
+Two target-selection modes:
+
+  * ``selection="reference"`` (default) -- TWO passes, both bounded-memory:
+    pass 1 decodes + detects + SORT-tracks the whole video, accumulating only
+    per-identity bbox/frame lists (O(tracked frames), no pixels retained);
+    then the reference's filter + max-mean-area selection runs over the
+    complete tracks (/root/reference/lib/core/base.py:53-74,
+    funcs_utils.py:55-64) exactly as the whole-clip Predictor does; pass 2
+    re-decodes and crops/scores only the selected person. Scores are
+    IDENTICAL to the batch Predictor on any clip, including multi-person
+    contention (tests/test_streaming.py).
+  * ``selection="online"`` -- single pass, lowest latency: lock onto the
+    largest-box identity as soon as one is seen and follow it. No min-frame
+    filter and no whole-video mean-area comparison, so on multi-person clips
+    it can score a different person than the reference semantics; use it for
+    live feeds where a second decode pass is impossible.
+
+Pipeline per window: decode -> [detect+track] -> crop -> fused pose+score
+step -> accumulate per-frame scores/stats. The final aggregation matches
+outputs.stats.post_process_scores semantics over the whole video.
 """
 
 from __future__ import annotations
@@ -17,7 +33,7 @@ from __future__ import annotations
 import queue
 import threading
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -81,6 +97,28 @@ def _decode_windows(path: str, window: int, out_q: "queue.Queue", max_frames: Op
         out_q.put(("end", idx))
 
 
+def _window_stream(video_path: str, window: int, max_frames: Optional[int]):
+    """Generator over decoded windows with a one-window-lookahead thread.
+
+    Yields ("meta", fps) | ("window", start_idx, frames) | ("end", total)."""
+    q: "queue.Queue" = queue.Queue(maxsize=2)  # 1 window in flight + 1 ready
+    thread = threading.Thread(
+        target=_decode_windows, args=(video_path, window, q, max_frames),
+        daemon=True,
+    )
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item[0] == "error":
+                raise FileNotFoundError(item[1])
+            yield item
+            if item[0] == "end":
+                break
+    finally:
+        thread.join(timeout=5)
+
+
 class StreamingScorer:
     """Window-at-a-time scoring with persistent tracking state.
 
@@ -95,44 +133,88 @@ class StreamingScorer:
         window: int = 256,
         mesh=None,
         spin_variables=None,
+        selection: str = "reference",
     ):
         from poserisk_release_tpu.body.smpl import SMPLFamily
         from poserisk_release_tpu.models.detector import StubDetector
         from poserisk_release_tpu.pipeline import PoseEstimator
 
+        if selection not in ("reference", "online"):
+            raise ValueError(f"selection must be 'reference' or 'online', got {selection!r}")
         self.cfg = cfg or default_config()
         self.window = window
+        self.selection = selection
         self.smpl = SMPLFamily(self.cfg.SPIN.smpl_model_dir)
         self.estimator = PoseEstimator(self.cfg, self.smpl, mesh=mesh, variables=spin_variables)
         self.detector = detector if detector is not None else StubDetector()
 
     def __call__(self, video_path: str, add_info: Dict,
                  max_frames: Optional[int] = None) -> StreamResult:
-        import jax.numpy as jnp
+        if self.selection == "reference":
+            return self._run_two_pass(video_path, add_info, max_frames)
+        return self._run_online(video_path, add_info, max_frames)
 
-        from poserisk_release_tpu.ops.crop import crop_batch
-        from poserisk_release_tpu.scoring.reba import REBAScorer
-        from poserisk_release_tpu.scoring.rula import RULAScorer
+    # -- pass 1: detect + track only (no pixels retained) -----------------
+    def _track_pass(self, video_path: str, max_frames: Optional[int]
+                    ) -> Tuple[Dict[int, Dict[str, np.ndarray]], int, float]:
+        from poserisk_release_tpu.tracking.mpt import accumulate_tracks, finalize_tracks
+        from poserisk_release_tpu.tracking.sort import Sort
+
+        sort = Sort()
+        people: Dict[int, Dict[str, list]] = {}
+        fps = 0.0
+        total = 0
+        for item in _window_stream(video_path, self.window, max_frames):
+            if item[0] == "meta":
+                fps = float(item[1])
+            elif item[0] == "window":
+                _, start_idx, frames = item
+                detections = self._detect(frames)
+                for local_idx, dets in enumerate(detections):
+                    tracks = sort.update(np.asarray(dets, np.float64).reshape(-1, 5))
+                    accumulate_tracks(people, start_idx + local_idx, tracks)
+            else:  # end
+                total = int(item[1])
+        return finalize_tracks(people), total, fps
+
+    def _run_two_pass(self, video_path: str, add_info: Dict,
+                      max_frames: Optional[int]) -> StreamResult:
+        from poserisk_release_tpu.tracking.mpt import filter_and_select_target
+
+        tracking_results, total, fps = self._track_pass(video_path, max_frames)
+        result = StreamResult(total_frames=total, fps=fps)
+        if not tracking_results:
+            return result
+        bboxes, sel_frames = filter_and_select_target(
+            tracking_results, total, self.cfg.DATASET.min_frame_ratio
+        )
+        sel_frames = np.asarray(sel_frames)
+        reba, rula = self._scorers()
+        # pass 2: decode again, crop + score only the selected track's frames.
+        for item in _window_stream(video_path, self.window, max_frames):
+            if item[0] != "window":
+                continue
+            _, start_idx, frames = item
+            mask = (sel_frames >= start_idx) & (sel_frames < start_idx + len(frames))
+            if not mask.any():
+                continue
+            self._score_window(
+                frames, sel_frames[mask] - start_idx, bboxes[mask],
+                int(start_idx), add_info, reba, rula, result,
+            )
+        return result
+
+    # -- single-pass online mode ------------------------------------------
+    def _run_online(self, video_path: str, add_info: Dict,
+                    max_frames: Optional[int]) -> StreamResult:
         from poserisk_release_tpu.tracking.sort import Sort
 
         result = StreamResult()
         sort = Sort()  # persistent across windows -> stable identities
         target_id: Optional[int] = None
+        reba, rula = self._scorers()
 
-        q: "queue.Queue" = queue.Queue(maxsize=2)  # 1 window in flight + 1 ready
-        thread = threading.Thread(
-            target=_decode_windows, args=(video_path, self.window, q, max_frames),
-            daemon=True,
-        )
-        thread.start()
-
-        reba = REBAScorer()
-        rula = RULAScorer()
-
-        while True:
-            item = q.get()
-            if item[0] == "error":
-                raise FileNotFoundError(item[1])
+        for item in _window_stream(video_path, self.window, max_frames):
             if item[0] == "meta":
                 result.fps = float(item[1])
                 continue
@@ -141,13 +223,8 @@ class StreamingScorer:
                 break
             _, start_idx, frames = item
 
-            detections = self.detector(frames)
-            if len(detections) != len(frames):
-                raise ValueError(
-                    f"detector returned {len(detections)} per-frame results "
-                    f"for a {len(frames)}-frame window"
-                )
-            track_frames: List[int] = []
+            detections = self._detect(frames)
+            track_local: List[int] = []
             track_boxes: List[np.ndarray] = []
             for local_idx, dets in enumerate(detections):
                 tracks = sort.update(np.asarray(dets, np.float64).reshape(-1, 5))
@@ -163,28 +240,52 @@ class StreamingScorer:
                 track_boxes.append(
                     np.array([row[0] + w / 2, row[1] + h / 2, side, side], np.float32)
                 )
-                track_frames.append(start_idx + local_idx)
+                track_local.append(local_idx)
 
-            if not track_frames:
-                continue
-            local = np.asarray(track_frames) - start_idx
-            crops = np.asarray(
-                crop_batch(
-                    jnp.asarray(frames[local]),
-                    jnp.asarray(np.stack(track_boxes)),
-                    scale=float(self.cfg.DATASET.bbox_scale),
-                    out_size=int(self.cfg.MODEL.input_shape[0]),
+            if track_local:
+                self._score_window(
+                    frames, np.asarray(track_local), np.stack(track_boxes),
+                    int(start_idx), add_info, reba, rula, result,
                 )
-            )
-            # Chunk by the window size (padded to the mesh size inside run):
-            # the default frames_per_step chunk would pad a small window up
-            # to 64 x n_devices frames of wasted compute.
-            euler, joint_cam, _aa = self.estimator.run(crops, chunk=self.window)
-            for r in reba(euler, joint_cam, add_info):
-                result.reba_scores.append(r["score"])
-            for r in rula(euler, joint_cam, add_info):
-                result.rula_scores.append(r["score"])
-            result.frames.extend(track_frames)
-
-        thread.join(timeout=5)
         return result
+
+    # -- shared helpers ----------------------------------------------------
+    def _detect(self, frames: np.ndarray) -> List[np.ndarray]:
+        detections = self.detector(frames)
+        if len(detections) != len(frames):
+            raise ValueError(
+                f"detector returned {len(detections)} per-frame results "
+                f"for a {len(frames)}-frame window"
+            )
+        return detections
+
+    def _scorers(self):
+        from poserisk_release_tpu.scoring.reba import REBAScorer
+        from poserisk_release_tpu.scoring.rula import RULAScorer
+
+        return REBAScorer(), RULAScorer()
+
+    def _score_window(self, frames: np.ndarray, local_ids: np.ndarray,
+                      boxes: np.ndarray, start_idx: int, add_info: Dict,
+                      reba, rula, result: StreamResult) -> None:
+        import jax.numpy as jnp
+
+        from poserisk_release_tpu.ops.crop import crop_batch
+
+        crops = np.asarray(
+            crop_batch(
+                jnp.asarray(frames[local_ids]),
+                jnp.asarray(np.asarray(boxes, np.float32)),
+                scale=float(self.cfg.DATASET.bbox_scale),
+                out_size=int(self.cfg.MODEL.input_shape[0]),
+            )
+        )
+        # Chunk by the window size (padded to the mesh size inside run):
+        # the default frames_per_step chunk would pad a small window up
+        # to 64 x n_devices frames of wasted compute.
+        euler, joint_cam, _aa = self.estimator.run(crops, chunk=self.window)
+        for r in reba(euler, joint_cam, add_info):
+            result.reba_scores.append(r["score"])
+        for r in rula(euler, joint_cam, add_info):
+            result.rula_scores.append(r["score"])
+        result.frames.extend(int(start_idx + i) for i in local_ids)

@@ -44,22 +44,35 @@ class MultiPersonTracker:
         people: Dict[int, Dict[str, list]] = {}
         for frame_idx, dets in enumerate(detections):
             tracks = tracker.update(np.asarray(dets, np.float64).reshape(-1, 5))
-            for row in tracks:
-                x1, y1, x2, y2, tid = row
-                w, h = x2 - x1, y2 - y1
-                cx, cy = x1 + w / 2.0, y1 + h / 2.0
-                side = max(w, h)
-                entry = people.setdefault(int(tid), {"bbox": [], "frames": []})
-                entry["bbox"].append(np.array([cx, cy, side, side], np.float64))
-                entry["frames"].append(frame_idx)
+            accumulate_tracks(people, frame_idx, tracks)
+        return finalize_tracks(people)
 
-        return {
-            pid: {
-                "bbox": np.stack(v["bbox"]),
-                "frames": np.asarray(v["frames"], np.int64),
-            }
-            for pid, v in people.items()
+
+def accumulate_tracks(people: Dict[int, Dict[str, list]], frame_idx: int,
+                      tracks: np.ndarray) -> None:
+    """Fold one frame's SORT output rows (x1, y1, x2, y2, id) into the MPT
+    people dict, squaring each bbox to max(w, h) per the upstream tracker's
+    prepare_output_tracks convention (SURVEY.md section 2.9). Shared by the
+    whole-clip tracker above and the streaming scorer's tracking pass."""
+    for row in tracks:
+        x1, y1, x2, y2, tid = row
+        w, h = x2 - x1, y2 - y1
+        cx, cy = x1 + w / 2.0, y1 + h / 2.0
+        side = max(w, h)
+        entry = people.setdefault(int(tid), {"bbox": [], "frames": []})
+        entry["bbox"].append(np.array([cx, cy, side, side], np.float64))
+        entry["frames"].append(frame_idx)
+
+
+def finalize_tracks(people: Dict[int, Dict[str, list]]) -> Dict[int, Dict[str, np.ndarray]]:
+    """List-of-rows accumulator -> the MPT output contract arrays."""
+    return {
+        pid: {
+            "bbox": np.stack(v["bbox"]),
+            "frames": np.asarray(v["frames"], np.int64),
         }
+        for pid, v in people.items()
+    }
 
 
 def filter_and_select_target(

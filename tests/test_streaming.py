@@ -65,3 +65,85 @@ def test_max_frames_cap(long_clip):
     result = scorer(long_clip, INFO, max_frames=20)
     assert result.total_frames == 20
     assert len(result.reba_scores) == 20
+
+
+class _ScriptedStreamDetector:
+    """Cursor-based scripted detector: serves per-frame detection lists across
+    window-sized calls (StubDetector's scripted mode assumes one whole-clip
+    call, which does not fit the streaming window contract)."""
+
+    def __init__(self, per_frame_dets):
+        self.dets = [np.asarray(d, np.float32).reshape(-1, 5) for d in per_frame_dets]
+        self.pos = 0
+
+    def __call__(self, frames):
+        out = self.dets[self.pos : self.pos + len(frames)]
+        self.pos += len(frames)
+        return [d.copy() for d in out]
+
+
+def _contention_dets(n_frames=40):
+    """Two-person contention: person A is LARGER but present only in frames
+    0..9 (10 < min-frames 0.33*40); person B is smaller but tracked
+    throughout. The reference semantics (filter then max MEAN area,
+    /root/reference/lib/core/base.py:53-74) must pick B for every frame; a
+    naive online largest-first lock picks A first."""
+    dets = []
+    for i in range(n_frames):
+        frame = []
+        if i >= 2:  # person B enters at frame 2, tracked to the end
+            frame.append([30.0 + i, 20.0, 80.0 + i, 110.0, 0.9])
+        if i < 10:
+            frame.append([90.0, 5.0, 160.0, 118.0, 0.95])  # person A, large
+        dets.append(frame)
+    return dets
+
+
+@pytest.fixture(scope="module")
+def contention_clip(tmp_path_factory):
+    import cv2
+
+    path = tmp_path_factory.mktemp("contention") / "two_people.mp4"
+    frames = []
+    for i in range(40):
+        img = np.full((120, 160, 3), 25, np.uint8)
+        cv2.rectangle(img, (30 + i, 20), (80 + i, 110), (180, 150, 130), -1)
+        if i < 10:
+            cv2.rectangle(img, (90, 5), (160, 118), (90, 200, 90), -1)
+        frames.append(img)
+    write_video(frames, fps=10.0, file_path=str(path))
+    return str(path)
+
+
+def test_reference_selection_matches_predictor_under_contention(contention_clip, tmp_path):
+    """Streaming (selection='reference') == whole-clip Predictor when a large
+    short-lived person competes with a smaller persistent one."""
+    stream = StreamingScorer(
+        detector=_ScriptedStreamDetector(_contention_dets()), window=16
+    )(contention_clip, INFO)
+
+    predictor = Predictor(
+        cfg=_test_config(), score_type="REBA,RULA",
+        detector=StubDetector(scripted=_contention_dets()), visualize=False,
+    )
+    summary = predictor(contention_clip, "/nonexistent.json", str(tmp_path / "batch"))
+
+    assert stream.stats("reba") == summary["REBA"][0]
+    assert stream.stats("rula") == summary["RULA"][0]
+    # The selected track must be person B's (present past frame 10).
+    assert max(stream.frames) > 20
+
+
+def test_online_mode_documented_divergence(contention_clip):
+    """selection='online' locks the short-lived larger person first -- the
+    documented divergence that selection='reference' exists to remove."""
+    online = StreamingScorer(
+        detector=_ScriptedStreamDetector(_contention_dets()), window=16,
+        selection="online",
+    )(contention_clip, INFO)
+    reference = StreamingScorer(
+        detector=_ScriptedStreamDetector(_contention_dets()), window=16,
+    )(contention_clip, INFO)
+    # Same video, same detections: the two selection policies track different
+    # people during the contention interval (frames 0..9).
+    assert online.frames != reference.frames
