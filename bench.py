@@ -27,12 +27,16 @@ REFERENCE_FPS_ESTIMATE = 30.0
 BATCH = 128
 # Production precision: bfloat16 conv towers (1.4x measured on both the
 # detector and the SPIN backbone vs f32; decode heads, IEF head, rotation
-# conversions, and scoring all stay f32). Score drift enters only through
-# <0.1-degree angle perturbations against integer-degree rule thresholds.
-# Set BENCH_DTYPE=float32 for the strict-parity configuration.
+# conversions, and scoring all stay f32), rectangular detector canvas
+# (1.47x; ops.crop.rect_canvas_geometry), and int8 PTQ of the detector tower
+# (a further 1.43x; models/detector.quantize_yolo_params). Score drift
+# enters only through small angle perturbations against integer-degree rule
+# thresholds. Set BENCH_DTYPE=float32 and/or BENCH_INT8=0 for stricter
+# configurations.
 import os as _os
 
 BENCH_DTYPE = _os.environ.get("BENCH_DTYPE", "bfloat16")
+BENCH_INT8 = _os.environ.get("BENCH_INT8", "1") == "1"
 WARMUP_STEPS = 2
 MEASURE_STEPS = 24
 FRAME_HW = (450, 800)  # reference ingest cap (funcs_utils.py:26-31)
@@ -75,6 +79,18 @@ def main() -> None:
     frames = jax.jit(
         lambda k: jax.random.randint(k, (BATCH, *FRAME_HW, 3), 0, 256, jnp.uint8)
     )(jax.random.PRNGKey(0))
+    if BENCH_INT8:
+        from poserisk_release_tpu.models.detector import (
+            calibrate_yolo_activations,
+            quantize_yolo_params,
+        )
+        from poserisk_release_tpu.ops.crop import letterbox_device_rect
+
+        folded_f32 = fold_bn_params(init_yolo_params())
+        calib = letterbox_device_rect(frames[:16], 416)
+        yolo_params = jax.device_put(
+            quantize_yolo_params(folded_f32, calibrate_yolo_activations(folded_f32, calib))
+        )
     bboxes = jnp.asarray(
         np.tile(np.array([400.0, 225.0, 220.0, 220.0], np.float32), (BATCH, 1))
     )
@@ -118,7 +134,10 @@ def main() -> None:
             {
                 "metric": "e2e_device_pipeline_fps_per_chip",
                 "value": round(fps, 2),
-                "unit": f"frames/sec/chip (detector+crop+SPIN+angles+joints+REBA+RULA, {BENCH_DTYPE})",
+                "unit": (
+                    "frames/sec/chip (detector+crop+SPIN+angles+joints+REBA+RULA, "
+                    f"{BENCH_DTYPE}{', int8 detector' if BENCH_INT8 else ''}, rect canvas)"
+                ),
                 "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
             }
         )

@@ -30,6 +30,12 @@ class DatasetConfig:
     default_information: str = osp.join(
         _REPO_ROOT, "poserisk_release_tpu", "default_information.json"
     )
+    # JPEG round-trip ingest parity mode: route every decoded frame through
+    # '{output}/tmp/%09d.jpg' exactly like the reference (funcs_utils.py:42,
+    # demo_dataset.py:59) so detector/SPIN inputs carry the same JPEG
+    # artifacts. Off by default (the in-memory path is cleaner and faster);
+    # turn on when byte-level input parity against the reference matters.
+    jpeg_ingest: bool = False
 
 
 @dataclass(frozen=True)
@@ -71,6 +77,14 @@ class DetectorConfig:
     # Detection is batch-invariant per frame; 64 amortises dispatch latency
     # on TPU (the reference used 8 to fit a GPU; lib/core/base.py:41).
     batch_size: int = 64
+    # Rectangular detector canvas (ops.crop.rect_canvas_geometry): ~1.44x
+    # fewer conv FLOPs on 800x450 ingest, same content scale/anchors/grid
+    # congruence. Off by default: the strict square-canvas contract of the
+    # upstream MPT detector (SURVEY.md 2.9); throughput mode turns it on.
+    rect_letterbox: bool = False
+    # int8 post-training quantization of the conv tower (1.43x over bf16;
+    # models/detector.quantize_yolo_params). Opt-in, like rect_letterbox.
+    int8: bool = False
 
 
 @dataclass(frozen=True)

@@ -107,3 +107,77 @@ def bboxes_from_joints2d(
     side = PERSON_TARGET_PX / params[:, 2]
     bboxes = np.stack([params[:, 0], params[:, 1], side, side]).T
     return bboxes.astype(np.float32), t0, t1
+
+
+# ---------------------------------------------------------------------------
+# Training-preprocessing keypoint utilities (reference _img_utils.py)
+# ---------------------------------------------------------------------------
+def get_bbox_from_kp2d(kp_2d: np.ndarray) -> np.ndarray:
+    """Keypoints -> square-ish [cx, cy, w, h] bbox, parity with the reference
+    (/root/reference/lib/utils/_img_utils.py:295-313): extent of the points,
+    aspect kept by w = h = max(w, h) (elementwise via np.where) scaled 1.1.
+    Accepts (K, 2+) for one frame or (T, K, 2+) batched -> (4,) or (4, T)
+    (the reference's transposed batched layout, kept as-is)."""
+    kp_2d = np.asarray(kp_2d)
+    if kp_2d.ndim > 2:
+        ul = np.array([kp_2d[:, :, 0].min(axis=1), kp_2d[:, :, 1].min(axis=1)])
+        lr = np.array([kp_2d[:, :, 0].max(axis=1), kp_2d[:, :, 1].max(axis=1)])
+    else:
+        ul = np.array([kp_2d[:, 0].min(), kp_2d[:, 1].min()])
+        lr = np.array([kp_2d[:, 0].max(), kp_2d[:, 1].max()])
+    w = lr[0] - ul[0]
+    h = lr[1] - ul[1]
+    c_x, c_y = ul[0] + w / 2, ul[1] + h / 2
+    w = h = np.where(w / h > 1, w, h)
+    w = h = h * 1.1
+    return np.array([c_x, c_y, w, h])
+
+
+def normalize_2d_kp(kp_2d: np.ndarray, crop_size: int = 224, inv: bool = False) -> np.ndarray:
+    """Map crop-pixel keypoints to [-1, 1] (or back with inv=True), parity
+    with the reference (/root/reference/lib/utils/_img_utils.py:315-324)."""
+    kp_2d = np.asarray(kp_2d, np.float64)
+    ratio = 1.0 / crop_size
+    if not inv:
+        return 2.0 * kp_2d * ratio - 1.0
+    return (kp_2d + 1.0) / (2 * ratio)
+
+
+def affine_transform_points(kp_2d: np.ndarray, cx: float, cy: float,
+                            width: float, height: float, out_w: int, out_h: int,
+                            scale: float, rot_deg: float = 0.0) -> np.ndarray:
+    """Apply the crop warp's forward affine to (K, 2) points -- the closed
+    form of the reference's gen_trans_from_patch_cv + trans_point2d
+    (/root/reference/lib/utils/_img_utils.py:40-67,137-140): the linear part
+    is diag(out/src) @ R(-rot) about the bbox center."""
+    kp = np.asarray(kp_2d, np.float64)[..., :2]
+    rot = np.pi * rot_deg / 180.0
+    cs, sn = np.cos(rot), np.sin(rot)
+    src_w, src_h = width * scale, height * scale
+    d = kp - np.array([cx, cy])
+    # R(-rot): the inverse of the source-frame rotation
+    rx = d[..., 0] * cs + d[..., 1] * sn
+    ry = -d[..., 0] * sn + d[..., 1] * cs
+    out = np.stack(
+        [rx * (out_w / src_w) + out_w * 0.5, ry * (out_h / src_h) + out_h * 0.5],
+        axis=-1,
+    )
+    return out
+
+
+def transform_keypoints(kp_2d: np.ndarray, center_x: float, center_y: float,
+                        width: float, height: float, patch_width: int,
+                        patch_height: int, scale: float = 1.2,
+                        rot_deg: float = 0.0) -> np.ndarray:
+    """Reference `transfrom_keypoints` [sic] (/root/reference/lib/utils/
+    _img_utils.py:129-153) with the augmentation resolved to explicit
+    (scale, rot) arguments instead of internal random sampling; the
+    reference's non-augmented call uses scale=1.2."""
+    return affine_transform_points(
+        kp_2d, center_x, center_y, width, height, patch_width, patch_height,
+        scale, rot_deg,
+    )
+
+
+# Drop-in alias preserving the reference's typo'd public name.
+transfrom_keypoints = transform_keypoints

@@ -79,6 +79,34 @@ def dump_frames(clip: VideoClip, tmp_path: str) -> int:
     return clip.num_frames
 
 
+def jpeg_roundtrip(clip: VideoClip, tmp_path: str | None = None) -> VideoClip:
+    """Round-trip every frame through JPEG, exactly as the reference computes.
+
+    The reference writes each decoded frame to '{output}/tmp/%09d.jpg'
+    (/root/reference/lib/utils/funcs_utils.py:42, cv2.imwrite defaults =
+    quality 95) and re-reads the jpgs for BOTH detection and cropping
+    (demo_dataset.py:59), so its SPIN inputs carry JPEG artifacts. This
+    parity mode reproduces that: with tmp_path the frames take the identical
+    disk route (written '%09d.jpg', read back, caller removes the tree like
+    base.py:184); without it cv2.imencode/imdecode produce the same pixels
+    in memory. Enabled via DatasetConfig.jpeg_ingest."""
+    import cv2
+
+    out = np.empty_like(clip.frames)
+    if tmp_path is not None:
+        n = dump_frames(clip, tmp_path)
+        for idx in range(n):
+            bgr = cv2.imread(osp.join(tmp_path, "{0:09d}.jpg".format(idx)))
+            out[idx] = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    else:
+        for idx, frame in enumerate(clip.frames):
+            ok, buf = cv2.imencode(".jpg", cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+            if not ok:
+                raise RuntimeError(f"jpeg encode failed for frame {idx}")
+            out[idx] = cv2.cvtColor(cv2.imdecode(buf, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+    return VideoClip(frames=out, fps=clip.fps)
+
+
 def write_video(frames_bgr, fps: float, file_path: str) -> None:
     """mp4 writer with the reference's fourcc (0x7634706d, base.py:301)."""
     import cv2

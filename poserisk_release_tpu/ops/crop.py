@@ -32,6 +32,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _interp_matrices(coords: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -90,23 +91,187 @@ def crop_batch(
     return out
 
 
+def _letterbox_axis_matrix(out_size: int, pad: int, new_len: int, size: int):
+    """(out_size, size) bilinear resample matrix for one letterbox axis with
+    cv2.resize's EXACT half-pixel convention: src = (dst + 0.5) * size/new - 0.5
+    inside the content band [pad, pad + new_len), coordinates clamped to
+    [0, size - 1] (cv2's replicate edge handling); zero rows in the gray
+    padding bands (the border term fills those). Built with numpy at trace
+    time -- the letterbox geometry is static, so one (out, size) matrix is
+    shared by the whole batch instead of crop_batch's per-image matrices."""
+    import numpy as np
+
+    mat = np.zeros((out_size, size), np.float32)
+    o = np.arange(pad, pad + new_len)
+    src = np.clip((o - pad + 0.5) * (size / new_len) - 0.5, 0.0, size - 1.0)
+    i0 = np.floor(src).astype(np.int64)
+    frac = (src - i0).astype(np.float32)
+    i1 = np.minimum(i0 + 1, size - 1)
+    mat[o, i0] += 1.0 - frac
+    mat[o, i1] += frac
+    return jnp.asarray(mat)
+
+
+def letterbox_geometry(H: int, W: int, img_size: int):
+    """(new_w, new_h, pad_x, pad_y): integer-rounded content size and integer
+    pads, matching the host cv2 letterbox so box unmapping is exact."""
+    ratio = img_size / max(H, W)
+    new_w, new_h = int(round(W * ratio)), int(round(H * ratio))
+    return new_w, new_h, (img_size - new_w) // 2, (img_size - new_h) // 2
+
+
+def rect_canvas_geometry(H: int, W: int, img_size: int, multiple: int = 32):
+    """Rectangular detector canvas: same content scale as the square
+    letterbox (ratio = img_size / max(H, W), so anchors and box sizes are
+    unchanged), but the canvas pads each axis only up to a multiple of the
+    detector's total stride instead of a full img_size square.
+
+    The leading pad is the SQUARE letterbox's pad modulo the stride, so every
+    content pixel keeps its position relative to the stride-8/16/32 grids:
+    YOLO heads are not invariant to sub-cell shifts, and grid congruence
+    confines the square-vs-rect score drift to genuine boundary/receptive-
+    field effects (bounded in tests/test_detector_tracking.py). For the
+    reference ingest cap 800x450 this gives a 416x288 canvas vs 416x416 -- a
+    1.44x detector-FLOP reduction spent entirely on gray padding in the
+    square form. Returns (canvas_h, canvas_w, new_w, new_h, pad_x, pad_y)."""
+    ratio = img_size / max(H, W)
+    new_w, new_h = int(round(W * ratio)), int(round(H * ratio))
+    pad_x = ((img_size - new_w) // 2) % multiple
+    pad_y = ((img_size - new_h) // 2) % multiple
+    canvas_w = -(-(new_w + pad_x) // multiple) * multiple
+    canvas_h = -(-(new_h + pad_y) // multiple) * multiple
+    return canvas_h, canvas_w, new_w, new_h, pad_x, pad_y
+
+
+@partial(jax.jit, static_argnames=("img_size", "multiple"))
+def letterbox_device_rect(images: jnp.ndarray, img_size: int = 416,
+                          multiple: int = 32) -> jnp.ndarray:
+    """Rectangular-canvas letterbox (see rect_canvas_geometry): cv2.resize
+    half-pixel convention, gray padding, (N, canvas_h, canvas_w, 3) output."""
+    N, H, W = images.shape[0], images.shape[1], images.shape[2]
+    canvas_h, canvas_w, new_w, new_h, pad_x, pad_y = rect_canvas_geometry(
+        H, W, img_size, multiple
+    )
+    T = _letterbox_axis_matrix(canvas_h, pad_y, new_h, H)  # (canvas_h, H)
+    S = _letterbox_axis_matrix(canvas_w, pad_x, new_w, W)  # (canvas_w, W)
+
+    imgs = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        imgs = imgs / 255.0
+    rows = jnp.einsum("oh,bhwc->bowc", T, imgs)
+    out = jnp.einsum("bowc,xw->boxc", rows, S)
+    coverage = jnp.einsum("o,x->ox", jnp.sum(T, axis=1), jnp.sum(S, axis=1))
+    return out + (128.0 / 255.0) * (1.0 - coverage)[None, :, :, None]
+
+
 @partial(jax.jit, static_argnames=("img_size",))
 def letterbox_device(images: jnp.ndarray, img_size: int = 416) -> jnp.ndarray:
     """Aspect-preserving letterbox to (img_size, img_size) with gray padding,
-    as the same separable matmul resample (the padding bands fall out of the
-    constant-border term). ~9 ms for 128 x 450 x 800 frames vs 142 ms for
-    jax.image.resize. Sampling uses the direct center mapping, a half-pixel
-    offset from cv2.resize's convention -- irrelevant at detector robustness
-    scales (tests/test_letterbox.py).
+    as a separable matmul resample (~9 ms for 128 x 450 x 800 frames vs
+    142 ms for jax.image.resize). Resampling follows cv2.resize's half-pixel
+    + edge-clamp convention and the host letterbox's integer-rounded pads
+    exactly (tests/test_letterbox.py pins per-pixel agreement), so the device
+    and cv2 paths feed the detector identical tensors up to cv2's fixed-point
+    rounding.
     """
     N, H, W = images.shape[0], images.shape[1], images.shape[2]
-    side = float(max(H, W))
-    bbox = jnp.broadcast_to(
-        jnp.asarray([W * 0.5, H * 0.5, side, side], jnp.float32), (N, 4)
+    new_w, new_h, pad_x, pad_y = letterbox_geometry(H, W, img_size)
+    T = _letterbox_axis_matrix(img_size, pad_y, new_h, H)  # (out, H)
+    S = _letterbox_axis_matrix(img_size, pad_x, new_w, W)  # (out, W)
+
+    imgs = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        imgs = imgs / 255.0
+    rows = jnp.einsum("oh,bhwc->bowc", T, imgs)
+    out = jnp.einsum("bowc,xw->boxc", rows, S)
+    coverage = jnp.einsum("o,x->ox", jnp.sum(T, axis=1), jnp.sum(S, axis=1))
+    return out + (128.0 / 255.0) * (1.0 - coverage)[None, :, :, None]
+
+
+def sample_augmentation(rng, aug_cfg=None, scale_factor: float = 0.3,
+                        color_factor: float = 0.2):
+    """Training-crop augmentation parameters, parity with the reference's
+    do_augmentation (/root/reference/lib/utils/_img_utils.py:30-38): scale ~
+    U(1.2, 1.2+scale_factor), color_scale ~ U(1-cf, 1+cf) per channel. The
+    reference hard-disables its rot/flip hooks (rot=0, do_flip=False, the
+    commented lines at :33-34); here they re-enable through AugConfig
+    (config.py): rot ~ clip(N(0,1),-2,2) * rotate_factor, flip ~ Bernoulli(0.5)
+    when aug_cfg.flip. Returns (scale, rot_deg, do_flip, color_scale(3,))."""
+    scale = rng.uniform(1.2, 1.2 + scale_factor)
+    rot = 0.0
+    do_flip = False
+    if aug_cfg is not None and getattr(aug_cfg, "rotate_factor", 0.0):
+        rot = float(np.clip(rng.randn(), -2.0, 2.0) * aug_cfg.rotate_factor)
+    if aug_cfg is not None and getattr(aug_cfg, "flip", False):
+        do_flip = bool(rng.rand() <= 0.5)
+    color_scale = np.array(
+        [rng.uniform(1.0 - color_factor, 1.0 + color_factor) for _ in range(3)],
+        np.float32,
     )
-    return crop_batch(
-        images, bbox, scale=1.0, out_size=img_size, border_value=128.0 / 255.0
+    return scale, rot, do_flip, color_scale
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def crop_batch_affine(
+    images: jnp.ndarray,   # (N, H, W, C) uint8 or float
+    bboxes: jnp.ndarray,   # (N, 4) [cx, cy, w, h]
+    scales: jnp.ndarray,   # (N,)
+    rots_deg: jnp.ndarray, # (N,)
+    flips: jnp.ndarray,    # (N,) bool
+    color_scales: jnp.ndarray,  # (N, C)
+    out_size: int = 224,
+) -> jnp.ndarray:
+    """Augmentation crop: rotation / horizontal flip / per-channel color
+    scale, [0,1] float output. Sampling follows the reference warp core
+    (gen_trans_from_patch_cv + generate_patch_image_cv,
+    /root/reference/lib/utils/_img_utils.py:53-101): the inverse map is
+    src = c + R(rot) @ ((dst - out/2) * bbox*scale/out), with the flip
+    applied as image mirror + c_x -> W-1-c_x before the warp.
+
+    This is the documented GATHER fallback: a rotated warp is not separable,
+    and TPUs have no hardware gather, so this path exists for the training/
+    augmentation surface (reference parity) -- the rot=0 inference hot path
+    must use the separable-matmul crop_batch above.
+    """
+    imgs = images.astype(jnp.float32)
+    if images.dtype == jnp.uint8:
+        imgs = imgs / 255.0
+    N, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    bboxes = bboxes.astype(jnp.float32)
+
+    cx = jnp.where(flips, W - bboxes[:, 0] - 1.0, bboxes[:, 0])
+    cy = bboxes[:, 1]
+    step_x = bboxes[:, 2] * scales / out_size  # (N,)
+    step_y = bboxes[:, 3] * scales / out_size
+
+    offs = jnp.arange(out_size, dtype=jnp.float32) - out_size * 0.5
+    dx = offs[None, None, :] * step_x[:, None, None]  # (N, 1, out)
+    dy = offs[None, :, None] * step_y[:, None, None]  # (N, out, 1)
+    rot = rots_deg * (jnp.pi / 180.0)
+    cs, sn = jnp.cos(rot)[:, None, None], jnp.sin(rot)[:, None, None]
+    src_x = cx[:, None, None] + dx * cs - dy * sn  # (N, out, out)
+    src_y = cy[:, None, None] + dx * sn + dy * cs
+    # undo the mirror: flipped-image pixel s == original pixel W-1-s
+    src_x = jnp.where(flips[:, None, None], W - 1.0 - src_x, src_x)
+
+    x0 = jnp.floor(src_x); y0 = jnp.floor(src_y)
+    fx = src_x - x0; fy = src_y - y0
+    x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        valid = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)).astype(jnp.float32)
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        b = jnp.arange(N)[:, None, None]
+        return imgs[b, yc, xc] * valid[..., None]
+
+    out = (
+        tap(y0i, x0i) * ((1 - fy) * (1 - fx))[..., None]
+        + tap(y0i, x0i + 1) * ((1 - fy) * fx)[..., None]
+        + tap(y0i + 1, x0i) * (fy * (1 - fx))[..., None]
+        + tap(y0i + 1, x0i + 1) * (fy * fx)[..., None]
     )
+    return jnp.clip(out * color_scales[:, None, None, :], 0.0, 1.0)
 
 
 def crop_center_offset_reference_parity(out_size: int) -> float:

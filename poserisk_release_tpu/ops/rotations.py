@@ -154,6 +154,35 @@ def rotmat_to_euler_deg(R: jnp.ndarray) -> jnp.ndarray:
     return rotmat_to_euler_xyz(R) * (180.0 / jnp.pi)
 
 
+def euler_roundtrip_defect(R: jnp.ndarray) -> jnp.ndarray:
+    """Per-matrix signed-sum defect of the rotmat -> euler -> rotmat loop.
+
+    The reference guards every conversion with
+    ``if (rotation_matrix - rotation_matrix2).sum() > 0.1: assert 0``
+    (/root/reference/lib/utils/coord_utils.py:88-91) -- a SIGNED sum, not an
+    absolute one, replicated verbatim. Returns the defect (..., ) so callers
+    can apply the same 0.1 threshold.
+    """
+    R = jnp.asarray(R)
+    R2 = euler_xyz_to_rotmat(rotmat_to_euler_xyz(R))
+    return jnp.sum(R - R2, axis=(-1, -2))
+
+
+def assert_euler_roundtrip(R, threshold: float = 0.1) -> None:
+    """Opt-in host-side mirror of the reference's round-trip consistency
+    assert (coord_utils.py:90-91). Raises AssertionError naming the worst
+    offender when any matrix's defect exceeds the reference's 0.1 bound."""
+    import numpy as np
+
+    defect = np.asarray(euler_roundtrip_defect(jnp.asarray(R, jnp.float32)))
+    if defect.size and defect.max() > threshold:
+        idx = np.unravel_index(int(np.argmax(defect)), defect.shape)
+        raise AssertionError(
+            f"euler round-trip defect {defect.max():.4f} > {threshold} at index {idx} "
+            "(reference coord_utils.py:90-91 would abort here)"
+        )
+
+
 def rot6d_to_rotmat(x: jnp.ndarray) -> jnp.ndarray:
     """6D rotation representation (..., 6) -> (..., 3, 3) via Gram-Schmidt.
 

@@ -159,6 +159,34 @@ def vis_keypoints_with_skeleton(
     return cv2.addWeighted(np.ascontiguousarray(img_bgr, np.uint8), 1.0 - alpha, canvas, alpha, 0)
 
 
+def vis_2d_pose(pred_xy: np.ndarray, img_bgr, skeleton: Sequence,
+                out_dir: str, prefix: str = "vis2dpose") -> str:
+    """2-D pose overlay jpg, parity with the reference's vis_2d_pose
+    (/root/reference/lib/utils/vis_utils.py:154-170): (K, 2+) predictions
+    with confidence forced to 1, drawn with the per-edge rainbow skeleton,
+    written '{prefix}_{isoformat}_2d_joint.jpg'. The reference writes into
+    its global cfg.vis_dir; here the directory is an argument. Returns the
+    written path."""
+    import datetime
+    import os
+    import os.path as osp
+
+    import cv2
+
+    if isinstance(img_bgr, str):
+        img_bgr = cv2.imread(img_bgr, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
+    canvas = np.ascontiguousarray(img_bgr, np.uint8).copy()
+    kps = np.ones((3, len(pred_xy)))
+    kps[0, :], kps[1, :] = pred_xy[:, 0], pred_xy[:, 1]
+    canvas = vis_keypoints_with_skeleton(canvas, kps, skeleton)
+    now = datetime.datetime.now()
+    file_name = f"{prefix}_{now.isoformat()[:-7]}_2d_joint.jpg"
+    os.makedirs(out_dir, exist_ok=True)
+    path = osp.join(out_dir, file_name)
+    cv2.imwrite(path, canvas)
+    return path
+
+
 def render_joint_cam_video(
     joint_cams: np.ndarray,  # (T, J, 3) mm
     track_frames: np.ndarray,

@@ -51,6 +51,15 @@ from poserisk_release_tpu.scoring.reba import REBAScorer
 from poserisk_release_tpu.scoring.rula import RULAScorer
 from poserisk_release_tpu.tracking.mpt import MultiPersonTracker, filter_and_select_target
 
+def _finite(value):
+    """NaN/inf -> None so run_summary.json stays strictly machine-readable."""
+    try:
+        v = float(value)
+    except (TypeError, ValueError):
+        return value
+    return value if np.isfinite(v) else None
+
+
 class PoseEstimator:
     """Crops -> (euler deg, joint_cam mm, axis-angle) in one jitted graph."""
 
@@ -182,6 +191,7 @@ class Predictor:
         gender: str = "neutral",
         multi_person: bool = False,
         fast: bool = False,
+        validate_rotations: bool = False,
     ):
         self.cfg = cfg or default_config()
         self.smpl = SMPLFamily(self.cfg.SPIN.smpl_model_dir, allow_synthetic=allow_synthetic_assets)
@@ -201,6 +211,8 @@ class Predictor:
                     detection_threshold=self.cfg.DETECTOR.detection_threshold,
                     nms_threshold=self.cfg.DETECTOR.nms_threshold,
                     batch_size=self.cfg.DETECTOR.batch_size,
+                    rect=self.cfg.DETECTOR.rect_letterbox,
+                    int8=self.cfg.DETECTOR.int8,
                 )
             else:
                 print("[poserisk] no detector weights found; using full-frame stub detector")
@@ -224,6 +236,11 @@ class Predictor:
                     raise ValueError(f"Invalid Joint name: {joint}")
             self.debug_joints = joints
 
+        # Opt-in mirror of the reference's per-conversion euler round-trip
+        # assert (coord_utils.py:90-91); off by default since it forces a
+        # host sync per track.
+        self.validate_rotations = validate_rotations
+
         self.timings: Dict[str, float] = {}
 
     # ------------------------------------------------------------------
@@ -234,6 +251,15 @@ class Predictor:
         t0 = time.time()
         print("\n===> Data preprocessing...")
         clip = read_video(input_path)
+        if self.cfg.DATASET.jpeg_ingest:
+            # Reference-parity ingest: frames take the '%09d.jpg' disk round
+            # trip (funcs_utils.py:42) before detection/cropping; the tmp
+            # tree is removed like the reference's rm -rf (base.py:184).
+            from poserisk_release_tpu.io.video import jpeg_roundtrip
+
+            tmp = osp.join(output_path, "tmp")
+            clip = jpeg_roundtrip(clip, tmp_path=tmp)
+            shutil.rmtree(tmp, ignore_errors=True)
         self.timings["decode"] = time.time() - t0
 
         t0 = time.time()
@@ -280,6 +306,18 @@ class Predictor:
         crops = self._crops_for_track(clip.frames, frames, bboxes)
         result, joint_cam, axis_angles = self.pose_estimator.run(crops)
         self.timings["pose"] = time.time() - t0
+
+        if self.validate_rotations:
+            from poserisk_release_tpu.ops.rotations import (
+                assert_euler_roundtrip,
+                axis_angle_to_rotmat,
+            )
+
+            # Joints 1..23 carry the SPIN rotmats faithfully through the
+            # axis-angle dump; joint 0 is excluded because its axis-angle is
+            # root-forced to (3.14, 0, 0) (the reference's buffer mutation,
+            # coord_utils.py:12-13) while its euler keeps the original rotmat.
+            assert_euler_roundtrip(axis_angle_to_rotmat(axis_angles[:, 1:, :]))
 
         # --- single-frame debug branch ------------------------------------
         if self.debugging and self.debug_frame >= 0:
@@ -343,9 +381,14 @@ class Predictor:
                     "frames_tracked": int(len(frames)),
                     "timings_sec": {k: round(v, 4) for k, v in self.timings.items()},
                     "scores": {
+                        # _finite: the parity txt/stdout surfaces carry the
+                        # reference's NaN for <10-frame clips (stats.py top-10%
+                        # mean of an empty slice); the machine-readable JSON
+                        # extension must not -- NaN becomes null here.
                         title: {
-                            "avg": s[0][0], "p50": s[0][1], "p10": s[0][2],
-                            "max": s[0][3], "mode": s[0][4],
+                            "avg": _finite(s[0][0]), "p50": _finite(s[0][1]),
+                            "p10": _finite(s[0][2]), "max": _finite(s[0][3]),
+                            "mode": _finite(s[0][4]),
                             "action_level": s[1], "action": s[2],
                         }
                         for title, s in summary.items()

@@ -70,7 +70,7 @@ def make_pose_and_score_step(n_iter: int, parents: Tuple[int, ...],
 
 def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
                          yolo_params: Dict | None = None, img_size: int = 416,
-                         compute_dtype=jnp.float32):
+                         compute_dtype=jnp.float32, rect: bool = True):
     """Full per-frame device path including the detector forward.
 
     step(yolo_params, spin_variables, smpl_params, frames_u8, bboxes,
@@ -78,16 +78,21 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
     clip frames; the detector runs on a device-side letterbox; crops use the
     provided (tracked) bboxes -- mirroring the real two-stage pipeline where
     SORT sits between detection and cropping on host.
+
+    rect=True (throughput default) letterboxes onto the rectangular canvas
+    (ops.crop.rect_canvas_geometry: 416x288 for 800x450 ingest, 1.44x fewer
+    detector FLOPs); rect=False keeps the square canvas contract.
     """
     from poserisk_release_tpu.models.detector import yolo_forward
-    from poserisk_release_tpu.ops.crop import letterbox_device
+    from poserisk_release_tpu.ops.crop import letterbox_device, letterbox_device_rect
 
     # (frame dimensions are read from the runtime batch; the device letterbox
     # is shape-polymorphic)
+    letterbox = letterbox_device_rect if rect else letterbox_device
     pose_step = make_pose_and_score_step(n_iter, parents, compute_dtype)
 
     def step(yolo_p, spin_variables, smpl_params, frames, bboxes, info_reba, info_rula):
-        letter = letterbox_device(frames, img_size)
+        letter = letterbox(frames, img_size)
         det = yolo_forward(yolo_p, letter, img_size, compute_dtype=compute_dtype)
         det_best = jnp.max(det[..., 4], axis=1)
 

@@ -58,6 +58,101 @@ class TestYolo:
         for r in out:
             assert r.shape[1] == 5  # (k, 5), likely k == 0 at this threshold
 
+    def test_rect_path_equals_square_on_degenerate_geometry(self, params):
+        """H=53, W=80 @ img_size 160: the rect canvas geometry degenerates to
+        the exact square letterbox (content 160x106, pads 27/27). The rect
+        code path (letterbox_device_rect + per-axis unmap) must then produce
+        BIT-IDENTICAL detections to the square path -- isolating the rect
+        machinery from the (weights-dependent) gray-far-field truncation."""
+        from poserisk_release_tpu.ops.crop import (
+            letterbox_geometry,
+            rect_canvas_geometry,
+        )
+
+        ch, cw, new_w, new_h, pad_x, pad_y = rect_canvas_geometry(53, 80, 160)
+        assert (ch, cw) == (160, 160)
+        assert (new_w, new_h, pad_x, pad_y) == (
+            (160, 106) + letterbox_geometry(53, 80, 160)[2:]
+        )
+        rng = np.random.RandomState(7)
+        frames = rng.randint(0, 255, (2, 53, 80, 3)).astype(np.uint8)
+        kwargs = dict(params=params, img_size=160, detection_threshold=0.3)
+        out_sq = det.YoloDetector(rect=False, **kwargs)(frames)
+        out_rc = det.YoloDetector(rect=True, **kwargs)(frames)
+        assert len(out_sq) == len(out_rc) == 2
+        for a, b in zip(out_sq, out_rc):
+            np.testing.assert_array_equal(a, b)
+
+    def test_rect_forward_shapes(self, params):
+        """Rectangular canvases run through the fully-convolutional graph:
+        (288, 416) -> (9*13 + 18*26 + 36*52) * 3 anchors."""
+        x = jnp.zeros((1, 288, 416, 3), jnp.float32)
+        out = np.asarray(det.yolo_forward(params, x))
+        assert out.shape == (1, (9 * 13 + 18 * 26 + 36 * 52) * 3, 5)
+        assert np.isfinite(out).all()
+
+    def test_int8_ptq_single_layer_accuracy(self):
+        """Mechanism check on ONE conv (no cross-layer chaos): the int8 path
+        reproduces the float conv within the quantization step bound."""
+        from poserisk_release_tpu.models.detector import _conv_block
+
+        rng = np.random.RandomState(0)
+        entry = ("conv", 32, 3, 1, True)
+        kernel = rng.randn(3, 3, 16, 32).astype(np.float32) * 0.1
+        bias = rng.randn(32).astype(np.float32) * 0.01
+        x = jnp.asarray(rng.rand(2, 20, 20, 16).astype(np.float32) * 2 - 1)
+
+        flayer = {"kernel": jnp.asarray(kernel), "folded_bias_leaky": jnp.asarray(bias)}
+        w_scale = np.abs(kernel).max(axis=(0, 1, 2)) / 127.0
+        qlayer = {
+            "qkernel": jnp.asarray(np.clip(np.round(kernel / w_scale), -127, 127).astype(np.int8)),
+            "w_scale": jnp.asarray(w_scale.astype(np.float32)),
+            "in_scale": jnp.asarray(np.float32(1.0 / 127.0)),
+            "q_bias_leaky": jnp.asarray(bias),
+        }
+        want = np.asarray(_conv_block(x, flayer, entry))
+        got = np.asarray(_conv_block(x, qlayer, entry))
+        # error bound ~ (activation step/2 * sum|w| + weight step/2 * sum|x|)
+        assert np.abs(got - want).max() < 0.05
+        assert np.abs(got - want).mean() < 0.01
+
+    def test_int8_ptq_end_to_end(self, params):
+        """Calibrate + quantize + forward: runs, stays finite, and the vast
+        majority of anchors decode identically to float (the handful of
+        flips are random-weight sigmoid saturation, not PTQ error)."""
+        from poserisk_release_tpu.ops.crop import letterbox_device_rect
+
+        folded = det.fold_bn_params(params)
+        rng = np.random.RandomState(3)
+        frames = rng.randint(0, 200, (2, 53, 80, 3)).astype(np.uint8)
+        letter = letterbox_device_rect(jnp.asarray(frames), 160)
+        scales = det.calibrate_yolo_activations(folded, letter)
+        assert set(scales) == {f"conv_{i}" for i in det.conv_indices()}
+        qp = det.quantize_yolo_params(folded, scales)
+        # head convs stay float
+        n_q = sum(1 for layer in qp.values() if "qkernel" in layer)
+        assert n_q == 72 and len(qp) == 75
+        out_f = np.asarray(det.yolo_forward(folded, letter, 160))
+        out_q = np.asarray(det.yolo_forward(qp, letter, 160))
+        assert np.isfinite(out_q).all()
+        ds = np.abs(out_f[..., 4] - out_q[..., 4])
+        assert np.quantile(ds, 0.99) < 0.05
+
+    def test_int8_wrapper_lazy_calibration(self, params):
+        """YoloDetector(int8=True) quantizes on its first batch and keeps the
+        MPT output contract."""
+        d = det.YoloDetector(
+            params=det.fold_bn_params(params), img_size=96,
+            detection_threshold=0.5, rect=True, int8=True,
+        )
+        frames = np.random.RandomState(5).randint(0, 255, (2, 30, 60, 3)).astype(np.uint8)
+        out = d(frames)
+        assert len(out) == 2 and all(r.shape[1] == 5 for r in out)
+        assert any("qkernel" in l for l in d.params.values())  # quantized in place
+        out2 = d(frames)  # second call reuses the quantized params
+        for a, b in zip(out, out2):
+            np.testing.assert_array_equal(a, b)
+
     def test_nms(self):
         boxes = np.array(
             [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], np.float64

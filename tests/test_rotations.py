@@ -129,3 +129,52 @@ class TestRot6d:
         want = torch_rot6d(torch.from_numpy(x).view(-1, 3, 2)).numpy()
         got = np.asarray(R.rot6d_to_rotmat(jnp.asarray(x)))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Euler round-trip validation (reference coord_utils.py:90-91)
+# ---------------------------------------------------------------------------
+class TestEulerRoundtripGuard:
+    def test_valid_rotations_pass(self, rng):
+        from poserisk_release_tpu.ops.rotations import (
+            assert_euler_roundtrip,
+            axis_angle_to_rotmat,
+            euler_roundtrip_defect,
+        )
+        import jax.numpy as jnp
+
+        aa = rng.randn(64, 3) * 1.5
+        R = axis_angle_to_rotmat(jnp.asarray(aa, jnp.float32))
+        defect = np.asarray(euler_roundtrip_defect(R))
+        assert np.abs(defect).max() < 1e-3  # valid rotations round-trip
+        assert_euler_roundtrip(R)  # no raise
+
+    def test_corrupted_matrix_raises(self):
+        from poserisk_release_tpu.ops.rotations import assert_euler_roundtrip
+
+        bad = np.stack([np.eye(3, dtype=np.float32) * 2.0])  # not a rotation
+        with pytest.raises(AssertionError, match="round-trip defect"):
+            assert_euler_roundtrip(bad)
+
+    def test_predictor_opt_in_runs(self, tmp_path, small_chunk_config):
+        """Predictor(validate_rotations=True) executes the guard on the live
+        path without tripping on SPIN's (orthonormal) rotmats."""
+        import cv2
+
+        from poserisk_release_tpu.io.video import write_video
+        from poserisk_release_tpu.models.detector import StubDetector
+        from poserisk_release_tpu.pipeline import Predictor
+
+        path = tmp_path / "clip.mp4"
+        frames = []
+        for i in range(8):
+            img = np.full((120, 160, 3), 25, np.uint8)
+            cv2.rectangle(img, (40 + i, 20), (90 + i, 110), (180, 150, 130), -1)
+            frames.append(img)
+        write_video(frames, fps=10.0, file_path=str(path))
+        predictor = Predictor(
+            cfg=small_chunk_config, detector=StubDetector(), visualize=False,
+            validate_rotations=True,
+        )
+        summary = predictor(str(path), "/nonexistent.json", str(tmp_path / "out"))
+        assert "REBA" in summary

@@ -245,3 +245,69 @@ class TestDatasets:
         assert [b.shape[0] for b in batches] == [3, 3, 1]
         batches = list(ds.BatchIterator(data, batch_size=3, drop_last=True))
         assert [b.shape[0] for b in batches] == [3, 3]
+
+
+# ---------------------------------------------------------------------------
+# Training-preprocessing keypoint utilities (reference _img_utils.py)
+# ---------------------------------------------------------------------------
+class TestKeypointPreprocessing:
+    def test_get_bbox_from_kp2d_single(self):
+        pts = np.array([[10.0, 20.0], [50.0, 100.0], [30.0, 60.0]])
+        cx, cy, w, h = kp.get_bbox_from_kp2d(pts)
+        assert cx == 30.0 and cy == 60.0
+        # taller than wide -> side = height * 1.1
+        assert w == h == pytest.approx(80.0 * 1.1)
+
+    def test_get_bbox_from_kp2d_wide_person_quirk(self):
+        """Reference parity: np.where(w/h > 1, w, h) picks the WIDTH when the
+        extent is wider than tall (then scales by 1.1)."""
+        pts = np.array([[0.0, 0.0], [100.0, 10.0]])
+        _, _, w, h = kp.get_bbox_from_kp2d(pts)
+        assert w == h == pytest.approx(100.0 * 1.1)
+
+    def test_get_bbox_from_kp2d_batched_layout(self):
+        pts = np.stack([np.array([[10.0, 20.0], [50.0, 100.0]])] * 3)
+        bbox = kp.get_bbox_from_kp2d(pts)
+        assert bbox.shape == (4, 3)  # the reference's transposed (4, N)
+        np.testing.assert_allclose(bbox[0], 30.0)
+
+    def test_normalize_2d_kp_roundtrip(self):
+        pts = np.array([[0.0, 112.0], [224.0, 56.0]])
+        n = kp.normalize_2d_kp(pts, crop_size=224)
+        assert n.min() >= -1.0 and n.max() <= 1.0
+        np.testing.assert_allclose(kp.normalize_2d_kp(n, 224, inv=True), pts)
+        np.testing.assert_allclose(kp.normalize_2d_kp(np.zeros((1, 2)), 224), -1.0)
+
+    def test_transform_keypoints_matches_cv2_oracle(self):
+        """Closed-form affine == cv2.getAffineTransform on the reference's
+        three control points (gen_trans_from_patch_cv, _img_utils.py:53-85)."""
+        import cv2
+
+        cx, cy, w, h, scale, rot = 77.0, 51.0, 60.0, 80.0, 1.2, 25.0
+        out_w = out_h = 224
+        rot_rad = np.pi * rot / 180
+
+        def rot2d(pt, r):
+            sn, cs = np.sin(r), np.cos(r)
+            return np.array([pt[0] * cs - pt[1] * sn, pt[0] * sn + pt[1] * cs], np.float32)
+
+        src_down = rot2d(np.array([0, h * scale * 0.5], np.float32), rot_rad)
+        src_right = rot2d(np.array([w * scale * 0.5, 0], np.float32), rot_rad)
+        src = np.stack([
+            np.array([cx, cy], np.float32),
+            np.array([cx, cy], np.float32) + src_down,
+            np.array([cx, cy], np.float32) + src_right,
+        ])
+        dst = np.stack([
+            np.array([out_w * 0.5, out_h * 0.5], np.float32),
+            np.array([out_w * 0.5, out_h], np.float32),
+            np.array([out_w, out_h * 0.5], np.float32),
+        ])
+        trans = cv2.getAffineTransform(src, dst)
+
+        pts = np.array([[60.0, 40.0], [90.0, 80.0], [77.0, 51.0]])
+        want = (trans @ np.concatenate([pts, np.ones((3, 1))], axis=1).T).T
+        got = kp.transform_keypoints(pts, cx, cy, w, h, out_w, out_h, scale, rot)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+        # typo'd reference alias resolves to the same function
+        assert kp.transfrom_keypoints is kp.transform_keypoints
