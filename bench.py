@@ -37,6 +37,11 @@ import os as _os
 
 BENCH_DTYPE = _os.environ.get("BENCH_DTYPE", "bfloat16")
 BENCH_INT8 = _os.environ.get("BENCH_INT8", "1") == "1"
+# Experimental: int8-PTQ SPIN backbone too (models/resnet_int8). Off by
+# default -- with this image's random weights the induced angle drift is
+# median ~0.3 deg (trained weights behave far better, but that is the
+# surface scoring thresholds live on, so it stays opt-in).
+BENCH_SPIN_INT8 = _os.environ.get("BENCH_SPIN_INT8", "0") == "1"
 WARMUP_STEPS = 2
 MEASURE_STEPS = 24
 FRAME_HW = (450, 800)  # reference ingest cap (funcs_utils.py:26-31)
@@ -67,9 +72,20 @@ def main() -> None:
         spin_variables = cast_backbone_params(spin_variables)
     info_reba, info_rula = default_packed_infos()
     info_reba, info_rula = jnp.asarray(info_reba), jnp.asarray(info_rula)
+    quant_backbone = None
+    if BENCH_SPIN_INT8:
+        from poserisk_release_tpu.models.spin import quantize_spin_backbone
+
+        calib_crops = jax.random.uniform(
+            jax.random.PRNGKey(1), (8, 224, 224, 3), jnp.float32
+        )
+        quant_backbone = jax.device_put(
+            quantize_spin_backbone(estimator.variables, calib_crops)
+        )
     step = jax.jit(
         make_full_frame_step(cfg.SPIN.ief_iters, estimator.parents,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype,
+                             quant_backbone=quant_backbone)
     )
 
     # Frames are generated ON DEVICE: the remote-TPU relay in this environment
@@ -136,7 +152,8 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": (
                     "frames/sec/chip (detector+crop+SPIN+angles+joints+REBA+RULA, "
-                    f"{BENCH_DTYPE}{', int8 detector' if BENCH_INT8 else ''}, rect canvas)"
+                    f"{BENCH_DTYPE}{', int8 detector' if BENCH_INT8 else ''}"
+                    f"{', int8 SPIN' if BENCH_SPIN_INT8 else ''}, rect canvas)"
                 ),
                 "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
             }

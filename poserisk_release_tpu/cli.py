@@ -42,6 +42,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="print per-stage wall-clock report after the run")
     parser.add_argument("--fast", action="store_true",
                         help="bfloat16 SPIN backbone (4.2x pose step; <0.1 deg angle drift)")
+    parser.add_argument("--fast_detector", action="store_true",
+                        help="rect canvas + int8 PTQ detector (2.1x; see "
+                             "docs/PARITY.md for the quantified deviations)")
+    parser.add_argument("--jpeg_ingest", action="store_true",
+                        help="reference-parity ingest: route frames through "
+                             "the %%09d.jpg disk round trip before detection")
+    parser.add_argument("--validate_rotations", action="store_true",
+                        help="host-side euler round-trip guard mirroring the "
+                             "reference's coord_utils assert")
     parser.add_argument("--num_devices", type=int, default=0,
                         help="devices in the data mesh (0 = all visible)")
     return parser
@@ -60,6 +69,10 @@ def main(argv=None) -> int:
     from poserisk_release_tpu.pipeline import Predictor
 
     cfg = load_yaml_config(args.cfg) if args.cfg else default_config()
+    if args.fast_detector:
+        cfg = cfg.replace(DETECTOR={"rect_letterbox": True, "int8": True})
+    if args.jpeg_ingest:
+        cfg = cfg.replace(DATASET={"jpeg_ingest": True})
 
     n_devices = args.num_devices or len(jax.devices())
     mesh = make_mesh(n_devices) if n_devices > 1 else None
@@ -76,6 +89,7 @@ def main(argv=None) -> int:
         gender=args.gender,
         multi_person=args.multi_person,
         fast=args.fast,
+        validate_rotations=args.validate_rotations,
     )
     predictor(args.input, args.info, args.output)
     if args.profile:

@@ -1,0 +1,165 @@
+"""BN-folded / int8-PTQ ResNet-50 backbone for the SPIN throughput path.
+
+The strict-parity SPIN backbone is the Flax module in models/resnet.py
+(torch-numerics compatible, f32/bf16). This module re-expresses the SAME
+network as a pure function over a flat parameter dict -- like the YOLOv3
+graph in models/detector.py -- so BatchNorm can be folded into the conv
+kernels once at load time and the conv tower can run on the v5e's int8 MXU
+path (s8 x s8 -> s32, 2x bf16 peak).
+
+Pipeline: fold_resnet50_params(flax_variables) -> calibrate_resnet50(folded,
+sample_crops) -> quantize_resnet50(folded, scales) -> resnet50_forward(q, x).
+Reference network: torchvision ResNet-50 v1.5 inside SPIN's hmr
+(/root/reference/lib/core/base.py:81-84; SURVEY.md section 2.10).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-5
+STAGES = ((1, 3, 64), (2, 4, 128), (3, 6, 256), (4, 3, 512))
+
+
+def _conv_layers() -> List[Tuple[str, int, int]]:
+    """(name, stride, pad) for every conv in forward order."""
+    layers = [("conv1", 2, 3)]
+    for stage, n_blocks, _planes in STAGES:
+        for block in range(n_blocks):
+            stride = 2 if (stage > 1 and block == 0) else 1
+            base = f"layer{stage}_{block}"
+            layers.append((f"{base}.conv1", 1, 0))
+            layers.append((f"{base}.conv2", stride, 1))
+            layers.append((f"{base}.conv3", 1, 0))
+            if block == 0:
+                layers.append((f"{base}.downsample", stride, 0))
+    return layers
+
+
+def _fold(kernel, bn_scale, bn_bias, bn_mean, bn_var):
+    inv = 1.0 / np.sqrt(np.asarray(bn_var, np.float32) + BN_EPS)
+    mul = inv * np.asarray(bn_scale, np.float32)
+    bias = np.asarray(bn_bias, np.float32) - np.asarray(bn_mean, np.float32) * mul
+    return np.asarray(kernel, np.float32) * mul[None, None, None, :], bias
+
+
+def fold_resnet50_params(variables: Dict) -> Dict[str, Dict]:
+    """Flax HMR variables -> flat {conv_name: {kernel, bias}} with BN folded.
+
+    Accepts either the full HMR variables (backbone under 'backbone') or a
+    bare ResNet50 variables dict."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    if "backbone" in params:
+        params = params["backbone"]
+        stats = stats.get("backbone", {})
+
+    def grab(conv_path: List[str], bn_path: List[str]):
+        k = params
+        for p in conv_path:
+            k = k[p]
+        kernel = k["kernel"]
+        bnp, bns = params, stats
+        for p in bn_path:
+            bnp = bnp[p]
+            bns = bns[p]
+        return _fold(kernel, bnp["scale"], bnp["bias"], bns["mean"], bns["var"])
+
+    folded: Dict[str, Dict] = {}
+    kernel, bias = grab(["conv1"], ["bn1"])
+    folded["conv1"] = {"kernel": kernel, "bias": bias}
+    for stage, n_blocks, _planes in STAGES:
+        for block in range(n_blocks):
+            base = f"layer{stage}_{block}"
+            for i in (1, 2, 3):
+                kernel, bias = grab([base, f"conv{i}"], [base, f"bn{i}"])
+                folded[f"{base}.conv{i}"] = {"kernel": kernel, "bias": bias}
+            if block == 0:
+                kernel, bias = grab([base, "downsample_conv"], [base, "downsample_bn"])
+                folded[f"{base}.downsample"] = {"kernel": kernel, "bias": bias}
+    return folded
+
+
+def _qconv(layer: Dict, x, stride: int, pad: int, compute_dtype):
+    if "qkernel" in layer:
+        inv_s = (1.0 / layer["in_scale"]).astype(compute_dtype)
+        xq = jnp.clip(jnp.round(x.astype(compute_dtype) * inv_s), -127.0, 127.0
+                      ).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, layer["qkernel"], (stride, stride), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        return (y.astype(jnp.float32) * (layer["in_scale"] * layer["w_scale"])
+                + layer["bias"]).astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        jnp.asarray(layer["kernel"]).astype(compute_dtype),
+        (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + jnp.asarray(layer["bias"]).astype(compute_dtype)
+
+
+def resnet50_forward(folded: Dict[str, Dict], x: jnp.ndarray,
+                     compute_dtype=jnp.bfloat16,
+                     _record: Dict[str, float] | None = None) -> jnp.ndarray:
+    """(B, 224, 224, 3) [0,1] -> (B, 2048) pooled features (f32).
+
+    Identical math to models/resnet.ResNet50 with inference BN folded into
+    the convs; layers carrying 'qkernel' run on the int8 MXU path."""
+
+    def conv(name, t, stride, pad, relu=True):
+        if _record is not None:
+            _record[name] = float(jnp.max(jnp.abs(t.astype(jnp.float32))))
+        out = _qconv(folded[name], t, stride, pad, compute_dtype)
+        return jax.nn.relu(out) if relu else out
+
+    x = conv("conv1", x, 2, 3)
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                constant_values=jnp.finfo(compute_dtype).min)
+    x = jax.lax.reduce_window(
+        x, jnp.finfo(compute_dtype).min, jax.lax.max,
+        (1, 3, 3, 1), (1, 2, 2, 1), "VALID",
+    )
+    for stage, n_blocks, _planes in STAGES:
+        for block in range(n_blocks):
+            stride = 2 if (stage > 1 and block == 0) else 1
+            base = f"layer{stage}_{block}"
+            identity = x
+            out = conv(f"{base}.conv1", x, 1, 0)
+            out = conv(f"{base}.conv2", out, stride, 1)
+            out = conv(f"{base}.conv3", out, 1, 0, relu=False)
+            if block == 0:
+                identity = conv(f"{base}.downsample", x, stride, 0, relu=False)
+            x = jax.nn.relu(out + identity)
+    return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+
+
+def calibrate_resnet50(folded: Dict[str, Dict], crops: jnp.ndarray) -> Dict[str, float]:
+    """Per-conv input absmax over a calibration batch (f32 forward)."""
+    record: Dict[str, float] = {}
+    resnet50_forward(folded, jnp.asarray(crops), jnp.float32, _record=record)
+    return record
+
+
+def quantize_resnet50(folded: Dict[str, Dict], act_absmax: Dict[str, float]
+                      ) -> Dict[str, Dict]:
+    """Folded params -> int8 PTQ params (same scheme as the detector:
+    symmetric per-output-channel weights, calibrated per-tensor activations)."""
+    out: Dict[str, Dict] = {}
+    for name, layer in folded.items():
+        kernel = np.asarray(layer["kernel"], np.float32)
+        w_scale = np.maximum(np.abs(kernel).max(axis=(0, 1, 2)), 1e-12) / 127.0
+        qkernel = np.clip(np.round(kernel / w_scale), -127, 127).astype(np.int8)
+        out[name] = {
+            "qkernel": jnp.asarray(qkernel),
+            "w_scale": jnp.asarray(w_scale.astype(np.float32)),
+            "in_scale": jnp.asarray(np.float32(max(act_absmax[name], 1e-12) / 127.0)),
+            "bias": jnp.asarray(np.asarray(layer["bias"], np.float32)),
+        }
+    return out

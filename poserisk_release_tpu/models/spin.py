@@ -79,6 +79,56 @@ class HMR(nn.Module):
         return rotmat, pred_shape, pred_cam
 
 
+def hmr_forward_quant(qbackbone: dict, variables: dict, x: jnp.ndarray,
+                      n_iter: int = 3, compute_dtype=jnp.bfloat16):
+    """HMR forward with the int8-PTQ backbone (models/resnet_int8).
+
+    Identical IEF head math to HMR.__call__ (weights read straight from the
+    Flax variables; the head always runs f32); only the ResNet feature
+    extractor goes through the folded/quantized functional path. Returns
+    (rotmat, betas, camera) like HMR.apply."""
+    from poserisk_release_tpu.models.resnet_int8 import resnet50_forward
+
+    B = x.shape[0]
+    p = variables["params"]
+    xf = resnet50_forward(qbackbone, x, compute_dtype)
+
+    pred_pose = jnp.broadcast_to(jnp.asarray(p["init_pose"]), (B, NPOSE))
+    pred_shape = jnp.broadcast_to(jnp.asarray(p["init_shape"]), (B, 10))
+    pred_cam = jnp.broadcast_to(jnp.asarray(p["init_cam"]), (B, 3))
+
+    def dense(name, t):
+        return t @ jnp.asarray(p[name]["kernel"], jnp.float32) + jnp.asarray(
+            p[name]["bias"], jnp.float32
+        )
+
+    for _ in range(n_iter):
+        xc = jnp.concatenate([xf, pred_pose, pred_shape, pred_cam], axis=1)
+        xc = dense("fc2", dense("fc1", xc))
+        pred_pose = dense("decpose", xc) + pred_pose
+        pred_shape = dense("decshape", xc) + pred_shape
+        pred_cam = dense("deccam", xc) + pred_cam
+
+    rotmat = rot6d_to_rotmat(pred_pose.reshape(B * 24, 6)).reshape(B, 24, 3, 3)
+    return rotmat, pred_shape, pred_cam
+
+
+def quantize_spin_backbone(variables: dict, sample_crops) -> dict:
+    """Fold + calibrate + quantize the SPIN backbone in one step.
+
+    sample_crops: a small representative (N, 224, 224, 3) [0,1] batch; its
+    per-conv absmax become the static activation scales."""
+    from poserisk_release_tpu.models.resnet_int8 import (
+        calibrate_resnet50,
+        fold_resnet50_params,
+        quantize_resnet50,
+    )
+
+    folded = fold_resnet50_params(variables)
+    scales = calibrate_resnet50(folded, sample_crops)
+    return quantize_resnet50(folded, scales)
+
+
 def load_mean_params(path: str) -> dict:
     """smpl_mean_params.npz -> {init_pose (1,144), init_shape (1,10), init_cam (1,3)}.
 

@@ -51,15 +51,20 @@ def _interp_matrices(coords: jnp.ndarray, size: int) -> jnp.ndarray:
     ] * (idx == jnp.clip(i1, 0, size - 1)[..., None])
 
 
-@partial(jax.jit, static_argnames=("scale", "out_size", "border_value"))
+@partial(jax.jit, static_argnames=("scale", "out_size", "border_value", "compute_dtype"))
 def crop_batch(
     images: jnp.ndarray,  # (N, H, W, C) uint8 or float32
     bboxes: jnp.ndarray,  # (N, 4) [cx, cy, w, h]
     scale: float = 1.2,
     out_size: int = 224,
     border_value: float = 0.0,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Batched device crop. Returns (N, out, out, C) float32 in [0, 1].
+    """Batched device crop. Returns (N, out, out, C) float in [0, 1].
+
+    compute_dtype=bfloat16 stores the resample intermediates in bf16 (halved
+    HBM traffic for this bandwidth-bound op; the throughput graph feeds a
+    bf16 backbone anyway). The default f32 keeps the strict-parity range.
 
     Memory note: intermediates scale with N * out * max(H, W) (the
     interpolation matrices and the row-resampled tensor). The pipeline's
@@ -67,9 +72,9 @@ def crop_batch(
     128-frame batch peaks ~0.5 GB; for direct library use on much larger
     frames, chunk the batch axis accordingly.
     """
-    imgs = images.astype(jnp.float32)
+    imgs = images.astype(compute_dtype)
     if images.dtype == jnp.uint8:
-        imgs = imgs / 255.0
+        imgs = imgs / jnp.asarray(255.0, compute_dtype)
     B, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
     bboxes = bboxes.astype(jnp.float32)
 
@@ -77,8 +82,10 @@ def crop_batch(
     xs = offsets[None, :] * (bboxes[:, 2:3] * scale / out_size) + bboxes[:, 0:1]
     ys = offsets[None, :] * (bboxes[:, 3:4] * scale / out_size) + bboxes[:, 1:2]
 
-    T = _interp_matrices(ys, H)  # (B, out, H)
-    S = _interp_matrices(xs, W)  # (B, out, W)
+    # Tap weights stay f32 (sub-pixel fractions need the mantissa); only the
+    # image-sized operands/products take compute_dtype.
+    T = _interp_matrices(ys, H).astype(compute_dtype)  # (B, out, H)
+    S = _interp_matrices(xs, W).astype(compute_dtype)  # (B, out, W)
 
     # DEFAULT precision: the MXU's single-pass bf16 product costs at most
     # ~1.5/255 of intensity (far inside the cv2 fixed-point parity tolerance,
@@ -87,7 +94,9 @@ def crop_batch(
     out = jnp.einsum("bowc,bxw->boxc", rows, S)
     if border_value != 0.0:
         coverage = jnp.einsum("bo,bx->box", jnp.sum(T, axis=2), jnp.sum(S, axis=2))
-        out = out + border_value * (1.0 - coverage)[..., None]
+        out = out + jnp.asarray(border_value, compute_dtype) * (
+            jnp.asarray(1.0, compute_dtype) - coverage
+        )[..., None]
     return out
 
 
@@ -143,25 +152,31 @@ def rect_canvas_geometry(H: int, W: int, img_size: int, multiple: int = 32):
     return canvas_h, canvas_w, new_w, new_h, pad_x, pad_y
 
 
-@partial(jax.jit, static_argnames=("img_size", "multiple"))
+@partial(jax.jit, static_argnames=("img_size", "multiple", "compute_dtype"))
 def letterbox_device_rect(images: jnp.ndarray, img_size: int = 416,
-                          multiple: int = 32) -> jnp.ndarray:
+                          multiple: int = 32,
+                          compute_dtype=jnp.float32) -> jnp.ndarray:
     """Rectangular-canvas letterbox (see rect_canvas_geometry): cv2.resize
-    half-pixel convention, gray padding, (N, canvas_h, canvas_w, 3) output."""
+    half-pixel convention, gray padding, (N, canvas_h, canvas_w, 3) output.
+    compute_dtype=bfloat16 halves the HBM traffic of this bandwidth-bound op
+    for the throughput graph (pixel error ~2/255, comparable to the int8
+    detector's own quantization step)."""
     N, H, W = images.shape[0], images.shape[1], images.shape[2]
     canvas_h, canvas_w, new_w, new_h, pad_x, pad_y = rect_canvas_geometry(
         H, W, img_size, multiple
     )
-    T = _letterbox_axis_matrix(canvas_h, pad_y, new_h, H)  # (canvas_h, H)
-    S = _letterbox_axis_matrix(canvas_w, pad_x, new_w, W)  # (canvas_w, W)
+    T = _letterbox_axis_matrix(canvas_h, pad_y, new_h, H).astype(compute_dtype)
+    S = _letterbox_axis_matrix(canvas_w, pad_x, new_w, W).astype(compute_dtype)
 
-    imgs = images.astype(jnp.float32)
+    imgs = images.astype(compute_dtype)
     if images.dtype == jnp.uint8:
-        imgs = imgs / 255.0
+        imgs = imgs / jnp.asarray(255.0, compute_dtype)
     rows = jnp.einsum("oh,bhwc->bowc", T, imgs)
     out = jnp.einsum("bowc,xw->boxc", rows, S)
     coverage = jnp.einsum("o,x->ox", jnp.sum(T, axis=1), jnp.sum(S, axis=1))
-    return out + (128.0 / 255.0) * (1.0 - coverage)[None, :, :, None]
+    return out + jnp.asarray(128.0 / 255.0, compute_dtype) * (
+        jnp.asarray(1.0, compute_dtype) - coverage
+    )[None, :, :, None]
 
 
 @partial(jax.jit, static_argnames=("img_size",))

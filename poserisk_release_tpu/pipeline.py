@@ -89,6 +89,7 @@ class PoseEstimator:
             self.variables = pmesh.replicate_tree(mesh, self.variables)
             self.smpl_params = pmesh.replicate_tree(mesh, self.smpl_params)
         self._step = jax.jit(self._pose_step)
+        self._step_frames = jax.jit(self._pose_step_from_frames)
 
     def _load_variables(self, cfg: Config) -> Dict:
         """Converted-npz > torch checkpoint > random init with mean params."""
@@ -114,37 +115,79 @@ class PoseEstimator:
         # throughput.make_pose_core (shared with the fused bench graph).
         return self._pose_core(variables, smpl_params, crops)
 
+    def _pose_step_from_frames(self, variables, smpl_params, frames_u8, bboxes):
+        # Crop fused into the pose graph: the host uploads raw uint8 frames
+        # (3x smaller than f32 crops) and downloads only angles/joints --
+        # no crop-tensor round trip through the host at all.
+        crops = crop_batch(
+            frames_u8, bboxes,
+            scale=float(self.cfg.DATASET.bbox_scale),
+            out_size=int(self.cfg.MODEL.input_shape[0]),
+        )
+        return self._pose_core(variables, smpl_params, crops)
+
     def run(self, crops: np.ndarray, chunk: int = 0):
         """crops: (F, 224, 224, 3) float32 [0,1]. Chunked + padded execution.
 
         chunk == 0 picks frames_per_step * mesh_size (static shapes, one
         compile); the final partial chunk is edge-padded then trimmed.
         """
+        return self._run_chunked(
+            crops.shape[0],
+            lambda start, size: (crops[start : start + size],),
+            self._step,
+            chunk,
+        )
+
+    def run_from_frames(self, frames_rgb: np.ndarray, frame_ids: np.ndarray,
+                        bboxes: np.ndarray, chunk: int = 0):
+        """Fused crop+pose execution straight from raw uint8 frames.
+
+        Uploads only the tracked frames (uint8, 3x smaller than f32 crops)
+        and downloads only angles/joints -- the crop tensor never exists on
+        the host. This is the Predictor's production path; `run` remains for
+        callers that already hold crops."""
+        frame_ids = np.asarray(frame_ids)
+        bboxes = np.asarray(bboxes, np.float32)
+        return self._run_chunked(
+            len(frame_ids),
+            lambda start, size: (
+                frames_rgb[frame_ids[start : start + size]],
+                bboxes[start : start + size],
+            ),
+            self._step_frames,
+            chunk,
+        )
+
+    def _run_chunked(self, num_items: int, host_chunk, step_fn, chunk: int = 0):
         n_dev = 1 if self.mesh is None else self.mesh.devices.size
         if chunk <= 0:
             chunk = self.cfg.PARALLEL.frames_per_step * n_dev
         chunk = ((chunk + n_dev - 1) // n_dev) * n_dev  # shardable batch
-        F = crops.shape[0]
 
         def upload(start: int):
-            part = crops[start : start + chunk]
-            padded, n_valid = pmesh.pad_to_multiple(np.asarray(part), chunk)
-            batch = jnp.asarray(padded)
-            if self.mesh is not None:
-                batch = pmesh.shard_batch(self.mesh, batch)
-            return batch, n_valid
+            parts = host_chunk(start, chunk)
+            n_valid = len(parts[0])
+            batches = []
+            for part in parts:
+                padded, _ = pmesh.pad_to_multiple(np.asarray(part), chunk)
+                batch = jnp.asarray(padded)
+                if self.mesh is not None:
+                    batch = pmesh.shard_batch(self.mesh, batch)
+                batches.append(batch)
+            return batches, n_valid
 
         # Dispatch every chunk first; fetch after (device pipelines across
         # chunks). Only (results, start, n_valid) is retained -- holding the
         # device batches would pin all F frames in HBM at once; the rare
         # retry path re-uploads its chunk from the host array instead.
         pending = []
-        for start in range(0, F, chunk):
-            batch, n_valid = upload(start)
+        for start in range(0, num_items, chunk):
+            batches, n_valid = upload(start)
             pending.append(
-                (self._step(self.variables, self.smpl_params, batch), start, n_valid)
+                (step_fn(self.variables, self.smpl_params, *batches), start, n_valid)
             )
-            del batch
+            del batches
 
         # Fetch with per-chunk fault isolation: a transient device/transfer
         # failure retries that chunk once before surfacing with context (the
@@ -155,8 +198,8 @@ class PoseEstimator:
                 e, jc, aa = (np.asarray(x) for x in out)
             except Exception:
                 try:
-                    batch, _ = upload(start)
-                    out = self._step(self.variables, self.smpl_params, batch)
+                    batches, _ = upload(start)
+                    out = step_fn(self.variables, self.smpl_params, *batches)
                     e, jc, aa = (np.asarray(x) for x in out)
                 except Exception as exc:  # pragma: no cover - device-specific
                     raise RuntimeError(
@@ -248,24 +291,34 @@ class Predictor:
         os.makedirs(output_path, exist_ok=True)
 
         # --- ingest + tracking -------------------------------------------
-        t0 = time.time()
+        # Default: decode on a background thread with one-window lookahead
+        # while the detector consumes finished windows (device detect overlaps
+        # host decode; the reference runs them strictly sequentially,
+        # base.py:47-59). The jpeg_ingest parity mode keeps the reference's
+        # sequential decode -> jpg round trip -> detect order.
         print("\n===> Data preprocessing...")
-        clip = read_video(input_path)
         if self.cfg.DATASET.jpeg_ingest:
+            t0 = time.time()
+            clip = read_video(input_path)
+            from poserisk_release_tpu.io.video import jpeg_roundtrip
+
             # Reference-parity ingest: frames take the '%09d.jpg' disk round
             # trip (funcs_utils.py:42) before detection/cropping; the tmp
             # tree is removed like the reference's rm -rf (base.py:184).
-            from poserisk_release_tpu.io.video import jpeg_roundtrip
-
             tmp = osp.join(output_path, "tmp")
             clip = jpeg_roundtrip(clip, tmp_path=tmp)
             shutil.rmtree(tmp, ignore_errors=True)
-        self.timings["decode"] = time.time() - t0
+            self.timings["decode"] = time.time() - t0
 
-        t0 = time.time()
-        print("\n===> Get human tracking results...")
-        tracking_results = self.tracker(clip.frames)
-        self.timings["track"] = time.time() - t0
+            t0 = time.time()
+            print("\n===> Get human tracking results...")
+            tracking_results = self.tracker(clip.frames)
+            self.timings["track"] = time.time() - t0
+        else:
+            t0 = time.time()
+            print("\n===> Get human tracking results (overlapped with decode)...")
+            clip, tracking_results = self._ingest_and_track_overlapped(input_path)
+            self.timings["decode+track (overlapped)"] = time.time() - t0
 
         if self.multi_person:
             # Extension over the reference (BASELINE config 4): score every
@@ -294,6 +347,32 @@ class Predictor:
         )
         return self._process_track(clip, bboxes, frames, info_path, output_path)
 
+    def _ingest_and_track_overlapped(self, input_path: str, window: int = 64):
+        """Decode windows on a background thread (streaming._window_stream)
+        and feed them straight into the tracker: the YOLO forward of window k
+        runs while window k+1 decodes. Frames are retained for the crop and
+        render stages, so peak memory matches the sequential path."""
+        from poserisk_release_tpu.io.video import VideoClip
+        from poserisk_release_tpu.streaming import _window_stream
+
+        fps = 0.0
+        pieces = []
+
+        def windows():
+            nonlocal fps
+            for item in _window_stream(input_path, window, None):
+                if item[0] == "meta":
+                    fps = float(item[1])
+                elif item[0] == "window":
+                    pieces.append(item[2])
+                    yield item[1], item[2]
+
+        tracking_results = self.tracker.track_windows(windows())
+        if not pieces:
+            raise ValueError(f"video decoded to zero frames: {input_path}")
+        clip = VideoClip(frames=np.concatenate(pieces), fps=fps)
+        return clip, tracking_results
+
     def _process_track(self, clip, bboxes, frames, info_path, output_path):
         debug_path = osp.join(output_path, "debug")
         shutil.rmtree(debug_path, ignore_errors=True)
@@ -303,8 +382,11 @@ class Predictor:
         # --- crops + pose estimation --------------------------------------
         t0 = time.time()
         print("\n===> Estimate human pose...")
-        crops = self._crops_for_track(clip.frames, frames, bboxes)
-        result, joint_cam, axis_angles = self.pose_estimator.run(crops)
+        # Fused crop+pose from raw frames: only uint8 frames go to the device
+        # and only angles/joints come back (no crop-tensor host round trip).
+        result, joint_cam, axis_angles = self.pose_estimator.run_from_frames(
+            clip.frames, frames, bboxes
+        )
         self.timings["pose"] = time.time() - t0
 
         if self.validate_rotations:
@@ -413,29 +495,6 @@ class Predictor:
         return summary
 
     # ------------------------------------------------------------------
-    def _crops_for_track(self, frames_rgb: np.ndarray, frame_ids: np.ndarray,
-                         bboxes: np.ndarray, chunk: int = 256) -> np.ndarray:
-        """Device crops in bounded chunks: the resample's intermediates scale
-        with chunk * out * frame-width (ops/crop.py memory note), so a long
-        track must not go through one giant crop_batch call."""
-        out_size = int(self.cfg.MODEL.input_shape[0])
-        scale = float(self.cfg.DATASET.bbox_scale)
-        pieces = []
-        for start in range(0, len(frame_ids), chunk):
-            ids = frame_ids[start : start + chunk]
-            bbs = bboxes[start : start + chunk]
-            pieces.append(
-                np.asarray(
-                    crop_batch(
-                        jnp.asarray(frames_rgb[ids]),
-                        jnp.asarray(bbs.astype(np.float32)),
-                        scale=scale,
-                        out_size=out_size,
-                    )
-                )
-            )
-        return np.concatenate(pieces) if len(pieces) > 1 else pieces[0]
-
     def _visualize_joint_cam_mesh(self, axis_angles, joint_cam, frames, output_path):
         idx = int(np.where(frames == self.debug_frame)[0][0])
         pose = axis_angles[idx].reshape(1, -1)

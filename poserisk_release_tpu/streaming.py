@@ -268,22 +268,13 @@ class StreamingScorer:
     def _score_window(self, frames: np.ndarray, local_ids: np.ndarray,
                       boxes: np.ndarray, start_idx: int, add_info: Dict,
                       reba, rula, result: StreamResult) -> None:
-        import jax.numpy as jnp
-
-        from poserisk_release_tpu.ops.crop import crop_batch
-
-        crops = np.asarray(
-            crop_batch(
-                jnp.asarray(frames[local_ids]),
-                jnp.asarray(np.asarray(boxes, np.float32)),
-                scale=float(self.cfg.DATASET.bbox_scale),
-                out_size=int(self.cfg.MODEL.input_shape[0]),
-            )
+        # Fused crop+pose (PoseEstimator.run_from_frames): uint8 frames up,
+        # angles down, no crop tensor on the host. Chunk by the window size
+        # (padded to the mesh size inside): the default frames_per_step chunk
+        # would pad a small window up to 64 x n_devices frames of waste.
+        euler, joint_cam, _aa = self.estimator.run_from_frames(
+            frames, local_ids, np.asarray(boxes, np.float32), chunk=self.window
         )
-        # Chunk by the window size (padded to the mesh size inside run):
-        # the default frames_per_step chunk would pad a small window up
-        # to 64 x n_devices frames of wasted compute.
-        euler, joint_cam, _aa = self.estimator.run(crops, chunk=self.window)
         for r in reba(euler, joint_cam, add_info):
             result.reba_scores.append(r["score"])
         for r in rula(euler, joint_cam, add_info):

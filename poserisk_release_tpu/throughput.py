@@ -25,20 +25,34 @@ from poserisk_release_tpu.scoring.rula import rula_frame_scores
 ROOT_POSE = (3.14, 0.0, 0.0)
 
 
-def make_pose_core(n_iter: int, parents: Tuple[int, ...], compute_dtype=jnp.float32):
+def make_pose_core(n_iter: int, parents: Tuple[int, ...], compute_dtype=jnp.float32,
+                   quant_backbone: Dict | None = None):
     """THE pose step shared by the product pipeline and the fused bench graph
     (one definition so the subtle ordering can't desynchronise): SPIN forward
     -> Euler from the ORIGINAL rotmats -> axis-angle with the root forced to
     ROOT_POSE (the reference mutates its buffer in place, coord_utils.py:12-13)
     -> SMPL joints in mm, root-centered.
 
+    quant_backbone: int8-PTQ backbone params (models.spin.quantize_spin_
+    backbone) -- routes the ResNet through the s8 MXU path; the IEF head and
+    everything downstream are unchanged.
+
     Returns core(spin_variables, smpl_params, crops) ->
     (euler_deg (B, 24, 3), joint_cam_mm (B, 24, 3), aa_forced (B, 24, 3)).
     """
     model = HMR(n_iter=n_iter, dtype=compute_dtype)
 
+    def spin_forward(spin_variables, crops):
+        if quant_backbone is not None:
+            from poserisk_release_tpu.models.spin import hmr_forward_quant
+
+            return hmr_forward_quant(
+                quant_backbone, spin_variables, crops, n_iter, compute_dtype
+            )
+        return model.apply(spin_variables, crops)
+
     def core(spin_variables, smpl_params, crops):
-        rotmat, _betas, _cam = model.apply(spin_variables, crops)
+        rotmat, _betas, _cam = spin_forward(spin_variables, crops)
         euler = rotmat_to_euler_deg(rotmat)
         aa = rotmat_to_axis_angle(rotmat)
         aa_forced = aa.at[:, 0, :].set(jnp.asarray(ROOT_POSE, aa.dtype))
@@ -51,13 +65,14 @@ def make_pose_core(n_iter: int, parents: Tuple[int, ...], compute_dtype=jnp.floa
 
 
 def make_pose_and_score_step(n_iter: int, parents: Tuple[int, ...],
-                             compute_dtype=jnp.float32):
+                             compute_dtype=jnp.float32,
+                             quant_backbone: Dict | None = None):
     """Returns step(spin_variables, smpl_params, crops, info_reba, info_rula)
     -> (reba_scores, rula_scores, euler_deg, joint_cam_mm). Jittable; the
     crops batch axis is the sharding axis. compute_dtype=bfloat16 selects the
     MXU-native backbone fast path (rotations/scoring stay f32)."""
 
-    core = make_pose_core(n_iter, parents, compute_dtype)
+    core = make_pose_core(n_iter, parents, compute_dtype, quant_backbone)
 
     def step(spin_variables, smpl_params, crops, info_reba, info_rula):
         euler, joint_cam, _aa = core(spin_variables, smpl_params, crops)
@@ -70,7 +85,8 @@ def make_pose_and_score_step(n_iter: int, parents: Tuple[int, ...],
 
 def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
                          yolo_params: Dict | None = None, img_size: int = 416,
-                         compute_dtype=jnp.float32, rect: bool = True):
+                         compute_dtype=jnp.float32, rect: bool = True,
+                         quant_backbone: Dict | None = None):
     """Full per-frame device path including the detector forward.
 
     step(yolo_params, spin_variables, smpl_params, frames_u8, bboxes,
@@ -89,14 +105,19 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
     # (frame dimensions are read from the runtime batch; the device letterbox
     # is shape-polymorphic)
     letterbox = letterbox_device_rect if rect else letterbox_device
-    pose_step = make_pose_and_score_step(n_iter, parents, compute_dtype)
+    pose_step = make_pose_and_score_step(n_iter, parents, compute_dtype, quant_backbone)
 
     def step(yolo_p, spin_variables, smpl_params, frames, bboxes, info_reba, info_rula):
-        letter = letterbox(frames, img_size)
+        letter = (
+            letterbox(frames, img_size, compute_dtype=compute_dtype)
+            if rect
+            else letterbox(frames, img_size)
+        )
         det = yolo_forward(yolo_p, letter, img_size, compute_dtype=compute_dtype)
         det_best = jnp.max(det[..., 4], axis=1)
 
-        crops = crop_batch(frames, bboxes, scale=1.2, out_size=224)
+        crops = crop_batch(frames, bboxes, scale=1.2, out_size=224,
+                           compute_dtype=compute_dtype)
         reba, rula, _euler, _jc = pose_step(
             spin_variables, smpl_params, crops, info_reba, info_rula
         )

@@ -36,15 +36,22 @@ class MultiPersonTracker:
         self.iou_threshold = iou_threshold
 
     def __call__(self, frames_rgb: np.ndarray) -> Dict[int, Dict[str, np.ndarray]]:
-        detections = self.detector(frames_rgb)
+        return self.track_windows([(0, frames_rgb)])
+
+    def track_windows(self, windows) -> Dict[int, Dict[str, np.ndarray]]:
+        """Track an iterable of (start_frame_idx, frames) windows with ONE
+        persistent SORT state -- identical results to a whole-clip call, but
+        consumable from a streaming decoder so detection (device) overlaps
+        decode (host thread). Windows must arrive in frame order."""
         tracker = Sort(
             max_age=self.max_age, min_hits=self.min_hits, iou_threshold=self.iou_threshold
         )
-
         people: Dict[int, Dict[str, list]] = {}
-        for frame_idx, dets in enumerate(detections):
-            tracks = tracker.update(np.asarray(dets, np.float64).reshape(-1, 5))
-            accumulate_tracks(people, frame_idx, tracks)
+        for start_idx, frames_rgb in windows:
+            detections = self.detector(frames_rgb)
+            for local_idx, dets in enumerate(detections):
+                tracks = tracker.update(np.asarray(dets, np.float64).reshape(-1, 5))
+                accumulate_tracks(people, start_idx + local_idx, tracks)
         return finalize_tracks(people)
 
 

@@ -123,3 +123,35 @@ def randomized_torch_hmr(mean_params, seed=0):
                 mod.running_var.uniform_(0.8, 1.2)
     model.eval()
     return model
+
+
+def realistic_torch_hmr(mean_params, seed=0):
+    """Eval-mode TorchHMR with TRAINED-LIKE weight statistics (VERDICT round-1
+    task 4): ImageNet-trained ResNets carry per-layer conv-magnitude spread,
+    log-normal BN running variances spanning two decades, non-zero running
+    means, and non-unit gamma/beta -- all of which amplify f32-vs-torch drift
+    far more than fresh He init does. The regressor heads get the small
+    trained-scale gains SPIN checkpoints show, so IEF refinements stay in a
+    realistic range instead of saturating the rot6d head."""
+    torch.manual_seed(seed)
+    model = TorchHMR(mean_params)
+    gen = torch.Generator().manual_seed(seed + 1)
+    with torch.no_grad():
+        for mod in model.modules():
+            if isinstance(mod, nn.Conv2d):
+                # He-scaled with a per-layer log-uniform magnitude spread
+                spread = float(torch.empty(1).uniform_(-0.7, 0.7, generator=gen).exp())
+                mod.weight.mul_(spread)
+            elif isinstance(mod, nn.BatchNorm2d):
+                n = mod.running_var.shape[0]
+                mod.running_var.copy_(
+                    torch.randn(n, generator=gen).mul(1.0).exp().clamp(5e-3, 60.0)
+                )
+                mod.running_mean.copy_(torch.randn(n, generator=gen).mul(0.5))
+                mod.weight.copy_(torch.empty(n).uniform_(0.5, 1.5, generator=gen))
+                mod.bias.copy_(torch.randn(n, generator=gen).mul(0.2))
+            elif isinstance(mod, nn.Linear):
+                mod.weight.mul_(0.05)
+                mod.bias.mul_(0.05)
+    model.eval()
+    return model

@@ -233,6 +233,39 @@ class TestMPTContract:
         # (frame_count <= min_hits), so every frame is covered.
         assert track["frames"].tolist() == list(range(8))
 
+    def test_track_windows_equals_whole_clip(self):
+        """Windowed tracking (the Predictor's overlapped ingest path) must be
+        bit-identical to a whole-clip call: one persistent SORT state."""
+        from poserisk_release_tpu.models.detector import StubDetector
+
+        rng = np.random.RandomState(0)
+        frames = rng.randint(0, 255, (23, 60, 80, 3)).astype(np.uint8)
+        dets = [
+            [[10.0 + i, 5.0, 40.0 + i, 55.0, 0.9]] if i % 7 else []
+            for i in range(23)
+        ]
+        whole = MultiPersonTracker(StubDetector(scripted=dets))(frames)
+
+        class _Cursor:
+            def __init__(self):
+                self.pos = 0
+
+            def __call__(self, f):
+                out = dets[self.pos : self.pos + len(f)]
+                self.pos += len(f)
+                return [np.asarray(d, np.float32).reshape(-1, 5) for d in out]
+
+        windows = [(s, frames[s : s + 8]) for s in range(0, 23, 8)]
+        winres = MultiPersonTracker(_Cursor()).track_windows(windows)
+        # SORT ids come from a process-global counter (canonical upstream
+        # behaviour), so compare track CONTENTS in first-frame order.
+        a = sorted(whole.values(), key=lambda t: t["frames"][0])
+        b = sorted(winres.values(), key=lambda t: t["frames"][0])
+        assert len(a) == len(b) == 1
+        for ta, tb in zip(a, b):
+            np.testing.assert_array_equal(ta["frames"], tb["frames"])
+            np.testing.assert_allclose(ta["bbox"], tb["bbox"])
+
     def test_filter_and_select_target(self):
         results = {
             1: {"bbox": np.tile([50, 50, 40, 40], (30, 1)).astype(float),

@@ -1,0 +1,94 @@
+"""Folded / int8-PTQ SPIN backbone (models/resnet_int8, spin.hmr_forward_quant)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from poserisk_release_tpu.body.smpl import SMPLFamily
+from poserisk_release_tpu.config import default_config
+from poserisk_release_tpu.models.resnet import ResNet50
+from poserisk_release_tpu.models.resnet_int8 import (
+    calibrate_resnet50,
+    fold_resnet50_params,
+    quantize_resnet50,
+    resnet50_forward,
+)
+from poserisk_release_tpu.models.spin import HMR, hmr_forward_quant
+from poserisk_release_tpu.pipeline import PoseEstimator
+
+
+@pytest.fixture(scope="module")
+def estimator(small_chunk_config):
+    return PoseEstimator(
+        small_chunk_config, SMPLFamily(small_chunk_config.SPIN.smpl_model_dir)
+    )
+
+
+@pytest.fixture(scope="module")
+def crops(rng):
+    return jnp.asarray(rng.rand(4, 224, 224, 3).astype(np.float32))
+
+
+@pytest.fixture(scope="module")
+def folded(estimator):
+    return fold_resnet50_params(estimator.variables)
+
+
+def test_folded_matches_flax_backbone(estimator, folded, crops):
+    """BN folding is exact (to f32 rounding): the functional folded forward
+    reproduces the Flax ResNet50 to ~1e-5."""
+    bb_vars = {"params": estimator.variables["params"]["backbone"]}
+    if "batch_stats" in estimator.variables:
+        bb_vars["batch_stats"] = estimator.variables["batch_stats"]["backbone"]
+    ref = ResNet50().apply(bb_vars, crops)
+    got = jax.jit(lambda f, c: resnet50_forward(f, c, jnp.float32))(folded, crops)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_int8_backbone_bounded_drift(estimator, folded, crops):
+    """int8 PTQ features stay within ~1-2% of the float features even under
+    random-init weights (which AMPLIFY per-layer quantization noise --
+    trained weights behave better; docs/PARITY.md)."""
+    bb_vars = {"params": estimator.variables["params"]["backbone"]}
+    if "batch_stats" in estimator.variables:
+        bb_vars["batch_stats"] = estimator.variables["batch_stats"]["backbone"]
+    ref = np.asarray(ResNet50().apply(bb_vars, crops))
+    scales = calibrate_resnet50(folded, crops[:2])
+    q = quantize_resnet50(folded, scales)
+    assert all("qkernel" in layer for layer in q.values())
+    got = np.asarray(jax.jit(lambda f, c: resnet50_forward(f, c, jnp.float32))(q, crops))
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05
+
+
+def test_quant_hmr_head_math_identical(estimator, folded, crops):
+    """hmr_forward_quant with the FLOAT folded backbone must reproduce
+    HMR.apply exactly (same head math, BN folding is the only difference)."""
+    model = HMR(n_iter=3)
+    r_ref, s_ref, c_ref = model.apply(estimator.variables, crops)
+    r_q, s_q, c_q = jax.jit(
+        lambda f, v, c: hmr_forward_quant(f, v, c, 3, jnp.float32)
+    )(folded, estimator.variables, crops)
+    np.testing.assert_allclose(np.asarray(r_q), np.asarray(r_ref), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(s_q), np.asarray(s_ref), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(c_q), np.asarray(c_ref), atol=5e-4)
+
+
+def test_quant_pose_core_runs(estimator, folded, crops):
+    """The throughput pose core accepts a quantized backbone and produces
+    valid rotations end to end."""
+    from poserisk_release_tpu.throughput import make_pose_core
+
+    scales = calibrate_resnet50(folded, crops[:2])
+    q = quantize_resnet50(folded, scales)
+    core = make_pose_core(3, estimator.parents, jnp.float32, quant_backbone=q)
+    euler, joint_cam, aa = jax.jit(core)(
+        estimator.variables, estimator.smpl_params, crops
+    )
+    assert euler.shape == (4, 24, 3) and np.isfinite(np.asarray(euler)).all()
+    assert joint_cam.shape == (4, 24, 3)
+    np.testing.assert_allclose(
+        np.asarray(aa)[:, 0], np.tile([3.14, 0.0, 0.0], (4, 1)), atol=1e-6
+    )

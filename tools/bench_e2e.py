@@ -1,0 +1,124 @@
+"""Wall-clock end-to-end Predictor benchmark (host stages INCLUDED).
+
+bench.py measures the steady-state device graph; this tool measures the real
+thing a user runs: mp4 on disk -> decode -> detect+track (overlapped) ->
+crop -> SPIN -> angles -> scoring -> stats/plots/txt (+ optional render),
+reporting wall-clock frames/sec and the per-stage split from
+Predictor.timings.
+
+The detector forward is the REAL YOLOv3 graph (rect canvas + int8 PTQ); its
+boxes, however, come from random-init weights (no real assets in this image,
+docs/PARITY.md), so a wrapper discards them in favour of a deterministic
+person box -- the device cost is honest while the downstream track stays
+scoreable.
+
+Environment caveat: this machine reaches its TPU through a ~4-10 MB/s relay
+(docs/PERF.md), so the absolute wall-clock number here is TRANSFER-bound --
+it measures the relay, not the pipeline (a production PCIe/ICI link moves
+the same bytes ~1000x faster). The number is still useful for (a) relative
+comparisons of pipeline structure (overlap on/off, fused crop+pose vs crop
+round trip) and (b) proving every host stage runs; the compute-capability
+number is bench.py's device-graph fps.
+
+Usage: python tools/bench_e2e.py [--frames 600] [--render]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as osp
+import tempfile
+import time
+
+import numpy as np
+
+
+class RealComputeStubBoxDetector:
+    """Runs the real detector forward per window, returns deterministic boxes."""
+
+    def __init__(self, yolo):
+        self.yolo = yolo
+
+    def __call__(self, frames_rgb):
+        real = self.yolo(frames_rgb)  # device compute happens here
+        N, H, W = frames_rgb.shape[0], frames_rgb.shape[1], frames_rgb.shape[2]
+        box = np.array([[W * 0.3, H * 0.1, W * 0.7, H * 0.95, 0.99]], np.float32)
+        del real
+        return [box.copy() for _ in range(N)]
+
+
+def synth_video(path: str, n_frames: int, w: int = 800, h: int = 450,
+                fps: float = 30.0) -> None:
+    import cv2
+
+    from poserisk_release_tpu.io.video import write_video
+
+    rng = np.random.RandomState(0)
+    frames = []
+    base = rng.randint(0, 50, (h, w, 3)).astype(np.uint8)
+    for i in range(n_frames):
+        img = base.copy()
+        x = int(w * 0.3) + (i % 40)
+        cv2.rectangle(img, (x, 45), (x + int(w * 0.25), int(h * 0.9)),
+                      (180, 150, 130), -1)
+        cv2.circle(img, (x + int(w * 0.12), 80), 25, (200, 180, 160), -1)
+        frames.append(img)
+    write_video(frames, fps=fps, file_path=path)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=600)
+    parser.add_argument("--render", action="store_true",
+                        help="include the annotated-video render stage")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from poserisk_release_tpu.config import default_config
+    from poserisk_release_tpu.models.detector import YoloDetector, fold_bn_params, init_yolo_params
+    from poserisk_release_tpu.pipeline import Predictor
+
+    with tempfile.TemporaryDirectory() as tmp:
+        video = osp.join(tmp, "clip.mp4")
+        synth_video(video, args.frames)
+
+        yolo = YoloDetector(
+            params=fold_bn_params(init_yolo_params()),
+            batch_size=64, rect=True, int8=True,
+        )
+        predictor = Predictor(
+            cfg=default_config(),
+            detector=RealComputeStubBoxDetector(yolo),
+            visualize=args.render,
+            fast=True,  # bf16 SPIN backbone: the throughput configuration
+        )
+        # warm the jit caches so the measurement is steady-state, as a long
+        # video would amortise compiles anyway
+        warm = osp.join(tmp, "warm.mp4")
+        synth_video(warm, 80)
+        predictor(warm, "/nonexistent.json", osp.join(tmp, "warm_out"))
+
+        t0 = time.perf_counter()
+        predictor(video, "/nonexistent.json", osp.join(tmp, "out"))
+        elapsed = time.perf_counter() - t0
+
+    fps = args.frames / elapsed
+    print(json.dumps({
+        "metric": "e2e_wallclock_fps",
+        "value": round(fps, 2),
+        "unit": f"frames/sec end-to-end (decode+detect+track+crop+SPIN+score"
+                f"{'+render' if args.render else ''}, wall clock)",
+        "elapsed_sec": round(elapsed, 3),
+        "stage_timings_sec": {k: round(v, 3) for k, v in predictor.timings.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
