@@ -24,7 +24,6 @@ import time
 import numpy as np
 
 REFERENCE_FPS_ESTIMATE = 30.0
-BATCH = 128
 # Production precision: bfloat16 conv towers (1.4x measured on both the
 # detector and the SPIN backbone vs f32; decode heads, IEF head, rotation
 # conversions, and scoring all stay f32), rectangular detector canvas
@@ -36,6 +35,7 @@ BATCH = 128
 import os as _os
 
 BENCH_DTYPE = _os.environ.get("BENCH_DTYPE", "bfloat16")
+BATCH = int(_os.environ.get("BENCH_BATCH", "128"))
 BENCH_INT8 = _os.environ.get("BENCH_INT8", "1") == "1"
 # Experimental: int8-PTQ SPIN backbone too (models/resnet_int8). Off by
 # default -- with this image's random weights the induced angle drift is

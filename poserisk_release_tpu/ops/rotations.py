@@ -154,6 +154,18 @@ def rotmat_to_euler_deg(R: jnp.ndarray) -> jnp.ndarray:
     return rotmat_to_euler_xyz(R) * (180.0 / jnp.pi)
 
 
+def is_rotation_matrix(R: jnp.ndarray, tol: float = 1e-6) -> jnp.ndarray:
+    """Orthonormality check, parity with the reference's isRotationMatrix
+    (/root/reference/lib/utils/coord_utils.py:62-67): ||R^T R - I|| < tol per
+    matrix. Returns a boolean array over the leading axes."""
+    R = jnp.asarray(R)
+    eye = jnp.eye(3, dtype=R.dtype)
+    defect = jnp.linalg.norm(
+        (jnp.swapaxes(R, -1, -2) @ R - eye).reshape(R.shape[:-2] + (9,)), axis=-1
+    )
+    return defect < tol
+
+
 def euler_roundtrip_defect(R: jnp.ndarray) -> jnp.ndarray:
     """Per-matrix signed-sum defect of the rotmat -> euler -> rotmat loop.
 

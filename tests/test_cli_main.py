@@ -54,3 +54,33 @@ def test_cli_main_bad_cfg_key(tmp_path):
     bad.write_text("NOPE:\n  x: 1\n")
     with pytest.raises(ValueError, match="not exist in config"):
         main(["--cpu", "--cfg", str(bad), "--input", "x.mp4", "--output", str(tmp_path)])
+
+
+def test_cli_fast_detector_and_jpeg_flags_plumb_config(monkeypatch, tmp_path):
+    """--fast_detector / --jpeg_ingest / --validate_rotations reach the
+    Predictor's config without running the pipeline."""
+    import poserisk_release_tpu.cli as cli_mod
+
+    captured = {}
+
+    class FakePredictor:
+        def __init__(self, cfg=None, **kwargs):
+            captured["cfg"] = cfg
+            captured["kwargs"] = kwargs
+
+        def __call__(self, *a, **k):
+            captured["called"] = True
+
+        timings = {}
+
+    monkeypatch.setattr("poserisk_release_tpu.pipeline.Predictor", FakePredictor)
+    rc = cli_mod.main([
+        "--cpu", "--input", "x.mp4", "--output", str(tmp_path),
+        "--num_devices", "1",
+        "--fast_detector", "--jpeg_ingest", "--validate_rotations",
+    ])
+    assert rc == 0 and captured["called"]
+    cfg = captured["cfg"]
+    assert cfg.DETECTOR.rect_letterbox and cfg.DETECTOR.int8
+    assert cfg.DATASET.jpeg_ingest
+    assert captured["kwargs"]["validate_rotations"] is True
