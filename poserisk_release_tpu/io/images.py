@@ -8,7 +8,7 @@ models consume) -- the reference returns torch CHW tensors from its
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 
@@ -124,9 +124,13 @@ def get_image_crops(image_file: str, bboxes) -> np.ndarray:
 
 def imagenet_denormalize(image_chw: np.ndarray) -> np.ndarray:
     """ImageNet-normalized CHW float -> HWC uint8, parity with the
-    reference's torch2numpy (/root/reference/lib/utils/_img_utils.py:268-279)."""
+    reference's torch2numpy (/root/reference/lib/utils/_img_utils.py:268-279)
+    INCLUDING its blue-channel typo: the inverse transform divides by 0.255
+    where the ImageNet std is 0.225, so blue comes back ~13% dim. Quirk kept
+    -- this function exists to reproduce the reference's visualisations."""
     image = np.asarray(image_chw, np.float32)
-    image = image * IMAGENET_STD[:, None, None] + IMAGENET_MEAN[:, None, None]
+    inv_std = np.array([0.229, 0.224, 0.255], np.float32)  # [sic] 0.255
+    image = image * inv_std[:, None, None] + IMAGENET_MEAN[:, None, None]
     image = np.clip(image, 0.0, 1.0) * 255.0
     return np.transpose(image, (1, 2, 0)).astype(np.uint8)
 
@@ -137,9 +141,11 @@ def video_denormalize(video: np.ndarray) -> np.ndarray:
     m' = -mean/std and s' = 1/std (i.e. v * std + mean element-wise), then
     clips to [0,1] and scales to uint8. video: (N, T, C, H, W) floats."""
     video = np.asarray(video, np.float64)
-    mean = np.array([-0.485 / 0.229, -0.456 / 0.224, -0.406 / 0.255])
-    std = np.array([1 / 0.229, 1 / 0.224, 1 / 0.255])
-    mean = mean[np.newaxis, np.newaxis, ..., np.newaxis, np.newaxis]
-    std = std[np.newaxis, np.newaxis, ..., np.newaxis, np.newaxis]
-    video = (video - mean) / std
+    # (v - (-mean/std)) / (1/std) == v * std + mean, channel axis = -3; the
+    # blue channel's inverse scale uses 0.255 (not 0.225) -- the reference's
+    # typo, kept: it makes this the exact same transform.
+    inv_mean = np.array([-0.485 / 0.229, -0.456 / 0.224, -0.406 / 0.255])
+    inv_std = np.array([1 / 0.229, 1 / 0.224, 1 / 0.255])
+    shaped = (None, None, Ellipsis, None, None)  # -> (1, 1, 3, 1, 1)
+    video = (video - inv_mean[shaped]) / inv_std[shaped]
     return (video.clip(0.0, 1.0) * 255).astype(np.uint8)

@@ -61,13 +61,22 @@ def test_get_image_crops_axis_quirk(jpg):
     assert np.isfinite(crops).all() and crops.max() <= 1.0
 
 
-def test_imagenet_denormalize_roundtrip(rng):
+def test_imagenet_denormalize_reference_algebra(rng):
+    """Pin torch2numpy's EXACT inverse transform, including its blue-channel
+    0.255-for-0.225 typo (the inverse does not invert the reference's own
+    forward normalize -- quirk preserved, see io/images.py)."""
+    chw = rng.randn(3, 8, 6).astype(np.float32)
+    got = imutils.imagenet_denormalize(chw)
+    inv_mean = np.array([-0.485 / 0.229, -0.456 / 0.224, -0.406 / 0.255])
+    inv_std = np.array([1 / 0.229, 1 / 0.224, 1 / 0.255])
+    want = (chw - inv_mean[:, None, None]) / inv_std[:, None, None]
+    want = (np.clip(want, 0, 1) * 255.0).astype(np.uint8)
+    np.testing.assert_array_equal(got, np.transpose(want, (1, 2, 0)))
+    # red/green DO invert the standard forward normalize; blue is ~13% dim
     hwc = rng.randint(0, 255, (8, 6, 3)).astype(np.uint8)
     norm = (hwc.astype(np.float32) / 255.0 - imutils.IMAGENET_MEAN) / imutils.IMAGENET_STD
     back = imutils.imagenet_denormalize(np.transpose(norm, (2, 0, 1)))
-    # the reference truncates (astype(uint8), no rounding); f32 round-trip
-    # error can therefore drop one intensity level
-    assert np.abs(back.astype(int) - hwc.astype(int)).max() <= 1
+    assert np.abs(back[..., :2].astype(int) - hwc[..., :2].astype(int)).max() <= 1
 
 
 def test_video_denormalize_shape_and_range(rng):
