@@ -43,13 +43,18 @@ class HMR(nn.Module):
 
     n_iter: int = 3
     dtype: jnp.dtype = jnp.float32
+    # remat=True rematerialises the backbone activations in the backward
+    # pass (jax.checkpoint via nn.remat) -- trades ~1/3 more FLOPs for the
+    # activation memory of 53 conv layers; the training-step default.
+    remat: bool = False
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         B = x.shape[0]
-        xf = ResNet50(dtype=self.dtype, name="backbone")(x)
+        backbone_cls = nn.remat(ResNet50) if self.remat else ResNet50
+        xf = backbone_cls(dtype=self.dtype, name="backbone")(x)
 
         init_pose = self.param("init_pose", nn.initializers.zeros, (1, NPOSE))
         init_shape = self.param("init_shape", nn.initializers.zeros, (1, 10))
