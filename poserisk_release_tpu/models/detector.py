@@ -207,30 +207,25 @@ def calibrate_yolo_activations(params: Dict[str, Dict], letterboxed: jnp.ndarray
                                compute_dtype=jnp.float32) -> Dict[str, float]:
     """Per-conv input absmax over a calibration batch of letterboxed frames.
 
-    Runs the reference-precision forward once, recording max|x| at every conv
-    input; these become the static activation scales of the int8 path
-    (standard per-tensor PTQ calibration). Returns {conv_name: absmax}."""
+    Runs the reference-precision forward once (the SAME graph walk as
+    yolo_forward, via its tap hook), recording max|x| at every conv input;
+    these become the static activation scales of the int8 path (standard
+    per-tensor PTQ calibration). Returns {conv_name: absmax}. Use
+    merge_absmax to accumulate over several batches."""
     absmax: Dict[str, float] = {}
-    outputs: List[jnp.ndarray] = []
-    x = letterboxed
-    for i, entry in enumerate(YOLOV3_SPEC):
-        kind = entry[0]
-        if kind == "conv":
-            absmax[f"conv_{i}"] = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
-            x = _conv_block(x, params[f"conv_{i}"], entry, compute_dtype)
-        elif kind == "shortcut":
-            x = x + outputs[i + entry[1]]
-        elif kind == "route":
-            refs = [r if r >= 0 else i + r for r in entry[1]]
-            parts = [outputs[r] for r in refs]
-            x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
-        elif kind == "upsample":
-            B, H, W, C = x.shape
-            x = jnp.broadcast_to(
-                x[:, :, None, :, None, :], (B, H, 2, W, 2, C)
-            ).reshape(B, H * 2, W * 2, C)
-        outputs.append(x)
+
+    def tap(name: str, x: jnp.ndarray) -> None:
+        absmax[name] = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+
+    _yolo_graph(params, letterboxed, compute_dtype, tap=tap)
     return absmax
+
+
+def merge_absmax(a: Dict[str, float], b: Dict[str, float]) -> Dict[str, float]:
+    """Elementwise max of two calibration records (multi-batch calibration)."""
+    if not a:
+        return dict(b)
+    return {k: max(a[k], b[k]) for k in a}
 
 
 def quantize_yolo_params(folded: Dict[str, Dict], act_absmax: Dict[str, float]
@@ -370,24 +365,20 @@ def _decode_head(raw, anchor_set, stride):
     return out.reshape(B, gh * gw * 3, 5)
 
 
-@partial(jax.jit, static_argnames=("img_size", "compute_dtype"))
-def yolo_forward(params: Dict, images: jnp.ndarray, img_size: int = 416,
-                 compute_dtype=jnp.float32) -> jnp.ndarray:
-    """images: (B, H, W, 3) float32 in [0,1] letterboxed; H and W must be
-    multiples of 32 but need not be equal (rectangular canvases skip the
-    gray-padding FLOPs of a square letterbox -- ops.crop.rect_canvas_geometry).
-    Returns (B, total_anchors, 5) decoded [cx, cy, w, h, person_score] in
-    canvas pixels.
-
-    compute_dtype=bfloat16 runs the conv tower at MXU-native precision (the
-    decode heads return to f32); detection scores shift by <1e-2, well under
-    the 0.1 detection threshold's granularity."""
+def _yolo_graph(params: Dict, images: jnp.ndarray, compute_dtype, tap=None
+                ) -> jnp.ndarray:
+    """THE YOLOV3_SPEC graph walk, shared by the jitted forward and the PTQ
+    calibration pass (one walker, so calibrated activation scales can never
+    desynchronise from the inference graph). tap(conv_name, conv_input) is
+    invoked per conv when given -- calibration-only, NOT jit-safe."""
     outputs: List[jnp.ndarray] = []
     detections: List[jnp.ndarray] = []
     x = images
     for i, entry in enumerate(YOLOV3_SPEC):
         kind = entry[0]
         if kind == "conv":
+            if tap is not None:
+                tap(f"conv_{i}", x)
             x = _conv_block(x, params[f"conv_{i}"], entry, compute_dtype)
         elif kind == "shortcut":
             x = x + outputs[i + entry[1]]
@@ -407,6 +398,21 @@ def yolo_forward(params: Dict, images: jnp.ndarray, img_size: int = 416,
             detections.append(_decode_head(x.astype(jnp.float32), entry[1], stride))
         outputs.append(x)
     return jnp.concatenate(detections, axis=1)
+
+
+@partial(jax.jit, static_argnames=("img_size", "compute_dtype"))
+def yolo_forward(params: Dict, images: jnp.ndarray, img_size: int = 416,
+                 compute_dtype=jnp.float32) -> jnp.ndarray:
+    """images: (B, H, W, 3) float32 in [0,1] letterboxed; H and W must be
+    multiples of 32 but need not be equal (rectangular canvases skip the
+    gray-padding FLOPs of a square letterbox -- ops.crop.rect_canvas_geometry).
+    Returns (B, total_anchors, 5) decoded [cx, cy, w, h, person_score] in
+    canvas pixels.
+
+    compute_dtype=bfloat16 runs the conv tower at MXU-native precision (the
+    decode heads return to f32); detection scores shift by <1e-2, well under
+    the 0.1 detection threshold's granularity."""
+    return _yolo_graph(params, images, compute_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -456,8 +462,10 @@ class YoloDetector:
     batch_size: int = 8
     rect: bool = False
     # int8 PTQ of the conv tower (quantize_yolo_params): measured 1.43x over
-    # bf16 on the rect canvas (28.6 vs 40.8 ms / 128 frames). Calibrates
-    # activation scales lazily on the first batch it sees. Opt-in like rect.
+    # bf16 on the rect canvas (28.6 vs 40.8 ms / 128 frames). The first
+    # __call__ runs float while calibrating activation scales over ALL its
+    # chunks, then quantizes; use calibrate() for explicit setup. Opt-in
+    # like rect.
     int8: bool = False
 
     @classmethod
@@ -495,20 +503,29 @@ class YoloDetector:
         # pixel; using them keeps the unmap bit-exact).
         sx, sy = new_w / W, new_h / H
 
-        compute_dtype = jnp.float32
+        quantized = any("qkernel" in l for l in self.params.values())
+        if self.int8 and not quantized:
+            if not any("folded_bias_leaky" in l for l in self.params.values()):
+                raise ValueError("int8 PTQ requires BN-folded params (fold_bn=True)")
+        # int8 lifecycle: the FIRST call runs the float graph while
+        # accumulating per-conv absmax over EVERY chunk (whole-call
+        # calibration -- a single dark opening window must not pin the
+        # scales); quantization happens at the end of that call, so later
+        # calls take the int8 path. Call `calibrate` explicitly for a
+        # deterministic, shared-instance setup.
+        calibrating = self.int8 and not quantized
+        compute_dtype = jnp.bfloat16 if (self.int8 and quantized) else jnp.float32
+        absmax: Dict[str, float] = {}
         results: List[np.ndarray] = []
         for start in range(0, N, self.batch_size):
             chunk = np.ascontiguousarray(frames_rgb[start : start + self.batch_size])
             # Letterbox on device (separable matmul resample; see ops/crop.py)
             # feeding the conv tower directly.
             letter = letterbox(jnp.asarray(chunk), self.img_size)
-            if self.int8 and not any("qkernel" in l for l in self.params.values()):
-                if not any("folded_bias_leaky" in l for l in self.params.values()):
-                    raise ValueError("int8 PTQ requires BN-folded params (fold_bn=True)")
-                scales = calibrate_yolo_activations(self.params, letter)
-                self.params = jax.device_put(quantize_yolo_params(self.params, scales))
-            if self.int8:
-                compute_dtype = jnp.bfloat16  # fastest measured dequant glue
+            if calibrating:
+                absmax = merge_absmax(
+                    absmax, calibrate_yolo_activations(self.params, letter)
+                )
             raw = np.asarray(
                 yolo_forward(self.params, letter, self.img_size,
                              compute_dtype=compute_dtype)
@@ -539,7 +556,31 @@ class YoloDetector:
                 results.append(
                     np.concatenate([boxes[keep], det[keep, 4:5]], axis=1).astype(np.float32)
                 )
+        if calibrating:
+            self.params = jax.device_put(quantize_yolo_params(self.params, absmax))
         return results
+
+    def calibrate(self, frames_rgb: np.ndarray) -> None:
+        """Explicit int8 calibration on representative frames: accumulates
+        per-conv activation absmax over batch_size chunks and quantizes.
+        Preferred over the implicit first-call calibration when a detector
+        instance is shared across videos (deterministic, order-independent)."""
+        from poserisk_release_tpu.ops.crop import letterbox_device, letterbox_device_rect
+
+        if not self.int8:
+            raise ValueError("calibrate() requires int8=True")
+        if any("qkernel" in l for l in self.params.values()):
+            return  # already quantized
+        letterbox = letterbox_device_rect if self.rect else letterbox_device
+        absmax: Dict[str, float] = {}
+        N = frames_rgb.shape[0]
+        for start in range(0, N, self.batch_size):
+            chunk = np.ascontiguousarray(frames_rgb[start : start + self.batch_size])
+            letter = letterbox(jnp.asarray(chunk), self.img_size)
+            absmax = merge_absmax(
+                absmax, calibrate_yolo_activations(self.params, letter)
+            )
+        self.params = jax.device_put(quantize_yolo_params(self.params, absmax))
 
 
 @dataclass

@@ -15,7 +15,7 @@ Reference network: torchvision ResNet-50 v1.5 inside SPIN's hmr
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -23,21 +23,6 @@ import numpy as np
 
 BN_EPS = 1e-5
 STAGES = ((1, 3, 64), (2, 4, 128), (3, 6, 256), (4, 3, 512))
-
-
-def _conv_layers() -> List[Tuple[str, int, int]]:
-    """(name, stride, pad) for every conv in forward order."""
-    layers = [("conv1", 2, 3)]
-    for stage, n_blocks, _planes in STAGES:
-        for block in range(n_blocks):
-            stride = 2 if (stage > 1 and block == 0) else 1
-            base = f"layer{stage}_{block}"
-            layers.append((f"{base}.conv1", 1, 0))
-            layers.append((f"{base}.conv2", stride, 1))
-            layers.append((f"{base}.conv3", 1, 0))
-            if block == 0:
-                layers.append((f"{base}.downsample", stride, 0))
-    return layers
 
 
 def _fold(kernel, bn_scale, bn_bias, bn_mean, bn_var):
@@ -58,7 +43,7 @@ def fold_resnet50_params(variables: Dict) -> Dict[str, Dict]:
         params = params["backbone"]
         stats = stats.get("backbone", {})
 
-    def grab(conv_path: List[str], bn_path: List[str]):
+    def grab(conv_path, bn_path):
         k = params
         for p in conv_path:
             k = k[p]

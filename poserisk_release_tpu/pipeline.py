@@ -117,8 +117,9 @@ class PoseEstimator:
 
     def _pose_step_from_frames(self, variables, smpl_params, frames_u8, bboxes):
         # Crop fused into the pose graph: the host uploads raw uint8 frames
-        # (3x smaller than f32 crops) and downloads only angles/joints --
-        # no crop-tensor round trip through the host at all.
+        # ONCE and downloads only angles/joints. The split path moved three
+        # image-sized tensors per frame (frames up, f32 crops down, f32
+        # crops up again); this moves one.
         crops = crop_batch(
             frames_u8, bboxes,
             scale=float(self.cfg.DATASET.bbox_scale),
@@ -143,10 +144,11 @@ class PoseEstimator:
                         bboxes: np.ndarray, chunk: int = 0):
         """Fused crop+pose execution straight from raw uint8 frames.
 
-        Uploads only the tracked frames (uint8, 3x smaller than f32 crops)
-        and downloads only angles/joints -- the crop tensor never exists on
-        the host. This is the Predictor's production path; `run` remains for
-        callers that already hold crops."""
+        Uploads only the tracked uint8 frames and downloads only
+        angles/joints -- the crop tensor never exists on the host, removing
+        the split path's crop download + re-upload (two extra image-sized
+        f32 transfers per frame). This is the Predictor's production path;
+        `run` remains for callers that already hold crops."""
         frame_ids = np.asarray(frame_ids)
         bboxes = np.asarray(bboxes, np.float32)
         return self._run_chunked(

@@ -63,24 +63,39 @@ class StreamResult:
         )
 
 
-def _decode_windows(path: str, window: int, out_q: "queue.Queue", max_frames: Optional[int]):
-    """Background thread: decode + resize-rule, emit (start_idx, frames) windows."""
+def _decode_windows(path: str, window: int, out_q: "queue.Queue",
+                    max_frames: Optional[int], stop: "threading.Event"):
+    """Background thread: decode + resize-rule, emit (start_idx, frames)
+    windows. Checks `stop` around every bounded put so an abandoned consumer
+    (exception mid-scoring) releases the thread, the VideoCapture handle and
+    the buffered windows instead of blocking forever on the full queue."""
     import cv2
+
+    def emit(item) -> bool:
+        while not stop.is_set():
+            try:
+                out_q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
-        out_q.put(("error", f"cannot open video: {path}"))
+        emit(("error", f"cannot open video: {path}"))
         return
     fps = cap.get(cv2.CAP_PROP_FPS)
     src_w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
     src_h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
     width, height = reference_resize_dims(src_w, src_h)
-    out_q.put(("meta", fps))
+    if not emit(("meta", fps)):
+        cap.release()
+        return
 
     buf: List[np.ndarray] = []
     idx = 0
     try:
-        while True:
+        while not stop.is_set():
             ret, frame = cap.read()
             if not ret or (max_frames is not None and idx >= max_frames):
                 break
@@ -88,13 +103,14 @@ def _decode_windows(path: str, window: int, out_q: "queue.Queue", max_frames: Op
             buf.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
             idx += 1
             if len(buf) == window:
-                out_q.put(("window", idx - window, np.stack(buf)))
+                if not emit(("window", idx - window, np.stack(buf))):
+                    return
                 buf = []
         if buf:
-            out_q.put(("window", idx - len(buf), np.stack(buf)))
+            emit(("window", idx - len(buf), np.stack(buf)))
     finally:
         cap.release()
-        out_q.put(("end", idx))
+        emit(("end", idx))
 
 
 def _window_stream(video_path: str, window: int, max_frames: Optional[int]):
@@ -102,8 +118,9 @@ def _window_stream(video_path: str, window: int, max_frames: Optional[int]):
 
     Yields ("meta", fps) | ("window", start_idx, frames) | ("end", total)."""
     q: "queue.Queue" = queue.Queue(maxsize=2)  # 1 window in flight + 1 ready
+    stop = threading.Event()
     thread = threading.Thread(
-        target=_decode_windows, args=(video_path, window, q, max_frames),
+        target=_decode_windows, args=(video_path, window, q, max_frames, stop),
         daemon=True,
     )
     thread.start()
@@ -116,6 +133,7 @@ def _window_stream(video_path: str, window: int, max_frames: Optional[int]):
             if item[0] == "end":
                 break
     finally:
+        stop.set()
         thread.join(timeout=5)
 
 

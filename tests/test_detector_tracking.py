@@ -138,20 +138,38 @@ class TestYolo:
         ds = np.abs(out_f[..., 4] - out_q[..., 4])
         assert np.quantile(ds, 0.99) < 0.05
 
-    def test_int8_wrapper_lazy_calibration(self, params):
-        """YoloDetector(int8=True) quantizes on its first batch and keeps the
-        MPT output contract."""
+    def test_int8_wrapper_first_call_calibrates(self, params):
+        """YoloDetector(int8=True): the first call runs float while
+        accumulating whole-call activation scales, quantizes at its end, and
+        later calls take the (deterministic) int8 path."""
         d = det.YoloDetector(
             params=det.fold_bn_params(params), img_size=96,
             detection_threshold=0.5, rect=True, int8=True,
         )
         frames = np.random.RandomState(5).randint(0, 255, (2, 30, 60, 3)).astype(np.uint8)
-        out = d(frames)
+        out = d(frames)  # float pass + calibration over every chunk
         assert len(out) == 2 and all(r.shape[1] == 5 for r in out)
         assert any("qkernel" in l for l in d.params.values())  # quantized in place
-        out2 = d(frames)  # second call reuses the quantized params
-        for a, b in zip(out, out2):
+        out2 = d(frames)  # int8 path
+        out3 = d(frames)  # int8 path, deterministic
+        for a, b in zip(out2, out3):
             np.testing.assert_array_equal(a, b)
+
+    def test_int8_explicit_calibrate(self, params):
+        """calibrate() quantizes without running detection, making shared
+        instances order-independent; a second calibrate is a no-op."""
+        d = det.YoloDetector(
+            params=det.fold_bn_params(params), img_size=96,
+            detection_threshold=0.5, rect=True, int8=True,
+        )
+        frames = np.random.RandomState(6).randint(0, 255, (2, 30, 60, 3)).astype(np.uint8)
+        d.calibrate(frames)
+        assert any("qkernel" in l for l in d.params.values())
+        before = {k: v for k, v in d.params.items()}
+        d.calibrate(frames)  # no-op once quantized
+        assert d.params is not None and all(d.params[k] is before[k] for k in before)
+        out = d(frames)
+        assert len(out) == 2
 
     def test_nms(self):
         boxes = np.array(

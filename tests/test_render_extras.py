@@ -53,3 +53,17 @@ def test_euler_deg_to_axis_angle_roundtrip(rng):
         back = oracle.euler_from_rotmat_xyz(oracle.rodrigues_vec_to_mat(a))
         np.testing.assert_allclose(np.rad2deg(back), e, atol=1e-5)
         del mat_ref
+
+
+def test_vis_2d_pose_writes_overlay_jpg(tmp_path, rng):
+    from poserisk_release_tpu.outputs.render import vis_2d_pose
+
+    img = rng.randint(0, 255, (80, 100, 3)).astype(np.uint8)
+    pred = np.array([[20.0, 30.0], [50.0, 60.0], [70.0, 20.0]])
+    skeleton = ((0, 1), (1, 2))
+    path = vis_2d_pose(pred, img, skeleton, str(tmp_path), prefix="unittest")
+    import os.path as osp
+
+    assert osp.isfile(path) and osp.getsize(path) > 0
+    base = osp.basename(path)
+    assert base.startswith("unittest_") and base.endswith("_2d_joint.jpg")

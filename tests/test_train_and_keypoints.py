@@ -311,3 +311,29 @@ class TestKeypointPreprocessing:
         np.testing.assert_allclose(got, want, atol=1e-3)
         # typo'd reference alias resolves to the same function
         assert kp.transfrom_keypoints is kp.transform_keypoints
+
+
+# ---------------------------------------------------------------------------
+# Training plots (train/plots.py vs funcs_utils.py:211-231, vis_utils.py:247-276)
+# ---------------------------------------------------------------------------
+class TestTrainingPlots:
+    def test_save_plot_writes_reference_named_pdf(self, tmp_path):
+        from poserisk_release_tpu.train.plots import save_plot
+
+        out = save_plot([3.0, 2.0, 1.5, 1.8], epoch=4, graph_dir=str(tmp_path))
+        assert out.endswith("train_loss.pdf")  # file name from the BARE title
+        import os.path as osp
+
+        assert osp.isfile(out) and osp.getsize(out) > 0
+
+    def test_plot_joint_error_pads_angle_series(self, tmp_path):
+        from poserisk_release_tpu.train.plots import plot_joint_error
+
+        mpjpe = np.linspace(40, 20, 60)
+        mpjve = np.linspace(5, 2, 60)
+        mpjae = np.linspace(9, 4, 59)  # one shorter; zero-padded like the ref
+        p1, p2 = plot_joint_error(mpjpe, mpjve, mpjae, str(tmp_path))
+        assert p1.endswith("mpjpe.jpg") and p2.endswith("mpjve_&_mpjae.jpg")
+        import os.path as osp
+
+        assert osp.isfile(p1) and osp.isfile(p2)

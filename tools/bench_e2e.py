@@ -93,16 +93,26 @@ def main() -> None:
             params=fold_bn_params(init_yolo_params()),
             batch_size=64, rect=True, int8=True,
         )
+        # Calibrate explicitly so the warm run already takes the int8 path
+        # (otherwise the first call runs float while calibrating and the
+        # int8 graph would compile inside the measured region).
+        rng = np.random.RandomState(1)
+        yolo.calibrate(rng.randint(0, 256, (8, 450, 800, 3)).astype(np.uint8))
         predictor = Predictor(
             cfg=default_config(),
             detector=RealComputeStubBoxDetector(yolo),
             visualize=args.render,
             fast=True,  # bf16 SPIN backbone: the throughput configuration
         )
-        # warm the jit caches so the measurement is steady-state, as a long
-        # video would amortise compiles anyway
+        # Warm the jit caches so the measurement is steady-state (a long
+        # video amortises compiles anyway). The warm clip must hit the SAME
+        # static shapes as the measured run: full 64-frame decode windows
+        # plus the trailing remainder window (each new shape costs a 40-90 s
+        # remote compile that would otherwise land inside the timed region).
+        window = 64
+        warm_frames = window + (args.frames % window or window)
         warm = osp.join(tmp, "warm.mp4")
-        synth_video(warm, 80)
+        synth_video(warm, warm_frames)
         predictor(warm, "/nonexistent.json", osp.join(tmp, "warm_out"))
 
         t0 = time.perf_counter()
