@@ -210,15 +210,24 @@ def calibrate_yolo_activations(params: Dict[str, Dict], letterboxed: jnp.ndarray
     Runs the reference-precision forward once (the SAME graph walk as
     yolo_forward, via its tap hook), recording max|x| at every conv input;
     these become the static activation scales of the int8 path (standard
-    per-tensor PTQ calibration). Returns {conv_name: absmax}. Use
-    merge_absmax to accumulate over several batches."""
-    absmax: Dict[str, float] = {}
+    per-tensor PTQ calibration). The walk runs as ONE jit graph returning all
+    75 reductions together -- an eager walk costs one remote dispatch (and
+    through this environment's TPU relay, one remote compile) per op.
+    Returns {conv_name: absmax}. Use merge_absmax to accumulate over several
+    batches."""
+    absmax: Dict[str, jnp.ndarray] = {}
 
-    def tap(name: str, x: jnp.ndarray) -> None:
-        absmax[name] = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+    def walk(p, x):
+        absmax.clear()
 
-    _yolo_graph(params, letterboxed, compute_dtype, tap=tap)
-    return absmax
+        def tap(name: str, v: jnp.ndarray) -> None:
+            absmax[name] = jnp.max(jnp.abs(v.astype(jnp.float32)))
+
+        _yolo_graph(p, x, compute_dtype, tap=tap)
+        return dict(absmax)
+
+    vals = jax.jit(walk)(params, letterboxed)
+    return {k: float(v) for k, v in vals.items()}
 
 
 def merge_absmax(a: Dict[str, float], b: Dict[str, float]) -> Dict[str, float]:
@@ -370,7 +379,8 @@ def _yolo_graph(params: Dict, images: jnp.ndarray, compute_dtype, tap=None
     """THE YOLOV3_SPEC graph walk, shared by the jitted forward and the PTQ
     calibration pass (one walker, so calibrated activation scales can never
     desynchronise from the inference graph). tap(conv_name, conv_input) is
-    invoked per conv when given -- calibration-only, NOT jit-safe."""
+    invoked per conv when given (calibration-only; the tap sees traced
+    values, so record jnp expressions and reduce outside)."""
     outputs: List[jnp.ndarray] = []
     detections: List[jnp.ndarray] = []
     x = images

@@ -92,7 +92,7 @@ def _qconv(layer: Dict, x, stride: int, pad: int, compute_dtype):
 
 def resnet50_forward(folded: Dict[str, Dict], x: jnp.ndarray,
                      compute_dtype=jnp.bfloat16,
-                     _record: Dict[str, float] | None = None) -> jnp.ndarray:
+                     _record: Dict[str, jnp.ndarray] | None = None) -> jnp.ndarray:
     """(B, 224, 224, 3) [0,1] -> (B, 2048) pooled features (f32).
 
     Identical math to models/resnet.ResNet50 with inference BN folded into
@@ -100,7 +100,7 @@ def resnet50_forward(folded: Dict[str, Dict], x: jnp.ndarray,
 
     def conv(name, t, stride, pad, relu=True):
         if _record is not None:
-            _record[name] = float(jnp.max(jnp.abs(t.astype(jnp.float32))))
+            _record[name] = t.astype(jnp.float32)
         out = _qconv(folded[name], t, stride, pad, compute_dtype)
         return jax.nn.relu(out) if relu else out
 
@@ -125,11 +125,34 @@ def resnet50_forward(folded: Dict[str, Dict], x: jnp.ndarray,
     return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
 
 
-def calibrate_resnet50(folded: Dict[str, Dict], crops: jnp.ndarray) -> Dict[str, float]:
-    """Per-conv input absmax over a calibration batch (f32 forward)."""
-    record: Dict[str, float] = {}
-    resnet50_forward(folded, jnp.asarray(crops), jnp.float32, _record=record)
-    return record
+def calibrate_resnet50(folded: Dict[str, Dict], crops: jnp.ndarray,
+                       percentile: float | None = None) -> Dict[str, float]:
+    """Per-conv input activation scales over a calibration batch (f32 walk).
+
+    percentile=None records absmax (conservative: no saturation, but outliers
+    stretch the int8 grid and cost resolution on the bulk of the values).
+    percentile=99.9-99.999 records that percentile of |x| instead -- standard
+    saturating PTQ calibration: the far tail clips at +-127 while everything
+    else gains quantization resolution. On random-init weights the two
+    measure equal (no outlier tail to clip: absmax median angle drift 0.289
+    deg == p99.999's, with p99.999 shrinking the wrap-prone tail, max 358 ->
+    7.8 deg); the percentile option exists for trained checkpoints, whose
+    outlier channels are exactly what absmax is weakest against.
+
+    Runs as ONE jit graph returning all reductions together -- an eager walk
+    pays one remote dispatch/compile per op through a TPU relay."""
+
+    def walk(p, x):
+        record: Dict[str, jnp.ndarray] = {}
+        resnet50_forward(p, x, jnp.float32, _record=record)
+        if percentile is None:
+            return {k: jnp.max(jnp.abs(v)) for k, v in record.items()}
+        return {
+            k: jnp.percentile(jnp.abs(v), percentile) for k, v in record.items()
+        }
+
+    vals = jax.jit(walk)(folded, jnp.asarray(crops))
+    return {k: float(v) for k, v in vals.items()}
 
 
 def quantize_resnet50(folded: Dict[str, Dict], act_absmax: Dict[str, float]

@@ -118,11 +118,18 @@ def hmr_forward_quant(qbackbone: dict, variables: dict, x: jnp.ndarray,
     return rotmat, pred_shape, pred_cam
 
 
-def quantize_spin_backbone(variables: dict, sample_crops) -> dict:
+def quantize_spin_backbone(variables: dict, sample_crops,
+                           percentile: float | None = None) -> dict:
     """Fold + calibrate + quantize the SPIN backbone in one step.
 
-    sample_crops: a small representative (N, 224, 224, 3) [0,1] batch; its
-    per-conv absmax become the static activation scales."""
+    sample_crops: a small representative (N, 224, 224, 3) [0,1] batch.
+    percentile: activation-scale calibration. None (default) = absmax.
+    A high percentile (99.9-99.999) enables saturating PTQ -- the standard
+    remedy for trained networks whose outlier activations stretch the int8
+    grid. On this image's random-init weights it measures NEUTRAL (gaussian
+    activations have no outlier tail: absmax median drift 0.289 deg vs
+    p99.999's 0.289), so absmax stays the default until real weights can be
+    measured (models/resnet_int8.calibrate_resnet50)."""
     from poserisk_release_tpu.models.resnet_int8 import (
         calibrate_resnet50,
         fold_resnet50_params,
@@ -130,7 +137,7 @@ def quantize_spin_backbone(variables: dict, sample_crops) -> dict:
     )
 
     folded = fold_resnet50_params(variables)
-    scales = calibrate_resnet50(folded, sample_crops)
+    scales = calibrate_resnet50(folded, sample_crops, percentile=percentile)
     return quantize_resnet50(folded, scales)
 
 

@@ -188,6 +188,22 @@ def joints_only(
     J = len(parents)
     aa = pose_axisang.reshape(B, J, 3)
     rotmats = axis_angle_to_rotmat_smpl(aa)
+    return joints_only_from_rotmats(params, rotmats, parents)
+
+
+def joints_only_from_rotmats(
+    params: Dict[str, jnp.ndarray], rotmats: jnp.ndarray, parents: Tuple[int, ...]
+) -> jnp.ndarray:
+    """joints_only taking per-joint rotation matrices (B, J, 3, 3) directly.
+
+    The training step differentiates through this: SPIN's head already
+    predicts rotation matrices, and routing them through axis-angle and back
+    is an identity with gradient singularities (the arccos/sqrt in
+    rotmat_to_axis_angle has infinite derivative at theta ~ 0/pi, which is
+    exactly where near-identity joint rotations live). Returns (B, J, 3) m.
+    """
+    B = rotmats.shape[0]
+    J = len(parents)
     v_shaped = params["v_template"][None] + jnp.matmul(
         params["template_betas"][None], params["shapedirs"].T, precision=_HI
     ).reshape(1, -1, 3)

@@ -1,0 +1,178 @@
+"""Fused letterbox + crop resampling as one Pallas kernel.
+
+The throughput graph (throughput.make_full_frame_step) resamples every raw
+frame twice: a shared-matrix letterbox feeding the detector
+(ops.crop.letterbox_device_rect) and a per-bbox 224x224 crop feeding SPIN
+(ops.crop.crop_batch). As separate XLA ops each pass re-reads the 450x800x3
+uint8 frame from HBM and materialises a bf16 copy plus a row-resampled
+intermediate -- ~5 full-frame HBM passes per step for what is arithmetically
+~250 GFLOP of two-tap separable matmuls.
+
+This kernel fuses both resamples over a (B,) grid, one frame per program:
+the uint8 frame is DMA'd to VMEM ONCE, both row/column matmul pairs run on
+the MXU from VMEM, and only the two small outputs (letterbox canvas + crop)
+return to HBM. The per-frame crop interpolation matrices are built in-kernel
+from the bbox scalars (SMEM), so the (B, 224, H) / (B, 224, W) tap tensors
+the jnp path materialises never exist.
+
+Layout note: frames enter as NCHW (channels-first) so the VMEM blocks tile
+on (H, W); a 3-lane NHWC block would pad 3 -> 128 lanes and blow VMEM. The
+jit wrapper transposes NHWC <-> NCHW at the boundaries (cheap single passes;
+XLA fuses the output transpose into consumers).
+
+Numerics match the jnp pair (letterbox_device_rect + crop_batch) to bf16
+rounding: same cv2 half-pixel letterbox matrices (reused verbatim), same
+crop tap construction as ops.crop._interp_matrices, same [0,1] + gray-border
+semantics. The jnp paths remain the strict-parity default; this kernel is
+the throughput option (see tests/test_resample_pallas.py for the parity
+bound and bench history in docs/PERF.md).
+
+Reference behaviour being reproduced: crop warp
+/root/reference/lib/utils/_img_utils.py:53-101 (rot=0 path) and the
+letterbox of the external detector dependency (SURVEY.md section 2.9).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from poserisk_release_tpu.ops.crop import (
+    _letterbox_axis_matrix,
+    rect_canvas_geometry,
+)
+
+
+def _taps_from_coords(coords, size: int, lane_axis: int):
+    """Two-tap interpolation matrix for one crop axis, built in-kernel.
+
+    coords: 2-D f32 sample positions -- (out, 1) when lane_axis=1 (returns
+    (out, size), taps along lanes) or (1, out) when lane_axis=0 (returns
+    (size, out), taps along sublanes; the pre-transposed column matrix).
+    Mosaic-safe: int32 iota only, everything stays 2-D, no transposes.
+    Semantics match ops.crop._interp_matrices: out-of-image taps carry zero
+    weight (constant zero border)."""
+    x0 = jnp.floor(coords)
+    frac = coords - x0
+    i0 = x0.astype(jnp.int32)
+    i1 = i0 + 1
+    w0 = ((i0 >= 0) & (i0 <= size - 1)).astype(jnp.float32) * (1.0 - frac)
+    w1 = ((i1 >= 0) & (i1 <= size - 1)).astype(jnp.float32) * frac
+    out = coords.shape[0] if lane_axis == 1 else coords.shape[1]
+    shape = (out, size) if lane_axis == 1 else (size, out)
+    idx = jax.lax.broadcasted_iota(jnp.int32, shape, lane_axis)
+    i0c = jnp.clip(i0, 0, size - 1)
+    i1c = jnp.clip(i1, 0, size - 1)
+    return (idx == i0c) * w0 + (idx == i1c) * w1
+
+
+def _kernel(bbox_ref, frame_ref, t_lb_ref, s_lb_t_ref, border_ref,
+            letter_ref, crop_ref, *, H, W, out_size, scale, acc_dtype):
+    inv255 = 1.0 / 255.0
+    # Per-frame crop tap matrices from the bbox scalars (cx, cy, w, h).
+    # bbox_ref is the WHOLE (B, 4) array in SMEM (per-block SMEM slices are
+    # not lowerable); index it by grid position.
+    b = pl.program_id(0)
+    offs_col = (
+        jax.lax.broadcasted_iota(jnp.int32, (out_size, 1), 0).astype(jnp.float32)
+        - out_size * 0.5
+    )
+    offs_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, out_size), 1).astype(jnp.float32)
+        - out_size * 0.5
+    )
+    cx, cy = bbox_ref[b, 0], bbox_ref[b, 1]
+    bw, bh = bbox_ref[b, 2], bbox_ref[b, 3]
+    ys = offs_col * (bh * scale / out_size) + cy  # (out, 1)
+    xs = offs_row * (bw * scale / out_size) + cx  # (1, out)
+    t_c = _taps_from_coords(ys, H, lane_axis=1).astype(acc_dtype)    # (out, H)
+    s_c_t = _taps_from_coords(xs, W, lane_axis=0).astype(acc_dtype)  # (W, out)
+
+    t_lb = t_lb_ref[:]
+    s_lb_t = s_lb_t_ref[:]
+    border = border_ref[:]
+    for c in range(3):
+        # Mosaic has no direct u8 -> bf16 cast; hop through i32/f32 (VPU-only).
+        x = frame_ref[0, c].astype(jnp.int32).astype(jnp.float32).astype(acc_dtype)
+        rows_lb = jnp.dot(t_lb, x, preferred_element_type=jnp.float32)
+        lb = jnp.dot(rows_lb.astype(acc_dtype), s_lb_t,
+                     preferred_element_type=jnp.float32)
+        letter_ref[0, c] = (lb * inv255 + border).astype(letter_ref.dtype)
+        rows_c = jnp.dot(t_c, x, preferred_element_type=jnp.float32)
+        cr = jnp.dot(rows_c.astype(acc_dtype), s_c_t,
+                     preferred_element_type=jnp.float32)
+        crop_ref[0, c] = (cr * inv255).astype(crop_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_size", "out_size", "scale", "multiple",
+                     "compute_dtype", "interpret"),
+)
+def fused_letterbox_crop(
+    frames: jnp.ndarray,  # (B, H, W, 3) uint8
+    bboxes: jnp.ndarray,  # (B, 4) [cx, cy, w, h] float
+    img_size: int = 416,
+    out_size: int = 224,
+    scale: float = 1.2,
+    multiple: int = 32,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Returns (letterbox (B, ch, cw, 3), crops (B, out, out, 3)), both
+    compute_dtype in [0, 1], matching letterbox_device_rect + crop_batch."""
+    B, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
+    canvas_h, canvas_w, new_w, new_h, pad_x, pad_y = rect_canvas_geometry(
+        H, W, img_size, multiple
+    )
+    t_lb = _letterbox_axis_matrix(canvas_h, pad_y, new_h, H)
+    s_lb = _letterbox_axis_matrix(canvas_w, pad_x, new_w, W)
+    coverage = jnp.sum(t_lb, axis=1)[:, None] * jnp.sum(s_lb, axis=1)[None, :]
+    border = (128.0 / 255.0) * (1.0 - coverage)
+
+    acc_dtype = compute_dtype
+    frames_chw = jnp.transpose(frames, (0, 3, 1, 2))
+    bboxes = bboxes.astype(jnp.float32)
+
+    letter_chw, crop_chw = pl.pallas_call(
+        functools.partial(
+            _kernel, H=H, W=W, out_size=out_size, scale=float(scale),
+            acc_dtype=acc_dtype,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, H, W), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((canvas_h, H), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, canvas_w), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((canvas_h, canvas_w), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 3, canvas_h, canvas_w), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, out_size, out_size), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 3, canvas_h, canvas_w), compute_dtype),
+            jax.ShapeDtypeStruct((B, 3, out_size, out_size), compute_dtype),
+        ),
+        interpret=interpret,
+    )(
+        bboxes,
+        frames_chw,
+        t_lb.astype(acc_dtype),
+        jnp.transpose(s_lb).astype(acc_dtype),
+        border.astype(acc_dtype),
+    )
+    letter = jnp.transpose(letter_chw, (0, 2, 3, 1))
+    crops = jnp.transpose(crop_chw, (0, 2, 3, 1))
+    return letter, crops

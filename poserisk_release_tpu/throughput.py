@@ -86,7 +86,8 @@ def make_pose_and_score_step(n_iter: int, parents: Tuple[int, ...],
 def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
                          yolo_params: Dict | None = None, img_size: int = 416,
                          compute_dtype=jnp.float32, rect: bool = True,
-                         quant_backbone: Dict | None = None):
+                         quant_backbone: Dict | None = None,
+                         fused_resample: bool = False):
     """Full per-frame device path including the detector forward.
 
     step(yolo_params, spin_variables, smpl_params, frames_u8, bboxes,
@@ -98,9 +99,17 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
     rect=True (throughput default) letterboxes onto the rectangular canvas
     (ops.crop.rect_canvas_geometry: 416x288 for 800x450 ingest, 1.44x fewer
     detector FLOPs); rect=False keeps the square canvas contract.
+
+    fused_resample=True (requires rect) computes the letterbox AND the crop
+    in one Pallas kernel that reads each frame from HBM once
+    (ops.resample_pallas.fused_letterbox_crop); numerics match the jnp pair
+    to bf16 rounding (tests/test_resample_pallas.py).
     """
     from poserisk_release_tpu.models.detector import yolo_forward
     from poserisk_release_tpu.ops.crop import letterbox_device, letterbox_device_rect
+
+    if fused_resample and not rect:
+        raise ValueError("fused_resample implements the rect-canvas contract")
 
     # (frame dimensions are read from the runtime batch; the device letterbox
     # is shape-polymorphic)
@@ -108,16 +117,23 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
     pose_step = make_pose_and_score_step(n_iter, parents, compute_dtype, quant_backbone)
 
     def step(yolo_p, spin_variables, smpl_params, frames, bboxes, info_reba, info_rula):
-        letter = (
-            letterbox(frames, img_size, compute_dtype=compute_dtype)
-            if rect
-            else letterbox(frames, img_size)
-        )
+        if fused_resample:
+            from poserisk_release_tpu.ops.resample_pallas import fused_letterbox_crop
+
+            letter, crops = fused_letterbox_crop(
+                frames, bboxes, img_size, 224, 1.2, compute_dtype=compute_dtype
+            )
+        else:
+            letter = (
+                letterbox(frames, img_size, compute_dtype=compute_dtype)
+                if rect
+                else letterbox(frames, img_size)
+            )
+            crops = crop_batch(frames, bboxes, scale=1.2, out_size=224,
+                               compute_dtype=compute_dtype)
         det = yolo_forward(yolo_p, letter, img_size, compute_dtype=compute_dtype)
         det_best = jnp.max(det[..., 4], axis=1)
 
-        crops = crop_batch(frames, bboxes, scale=1.2, out_size=224,
-                           compute_dtype=compute_dtype)
         reba, rula, _euler, _jc = pose_step(
             spin_variables, smpl_params, crops, info_reba, info_rula
         )

@@ -23,8 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from poserisk_release_tpu.models.spin import HMR
-from poserisk_release_tpu.ops.lbs import joints_only, smpl_params_to_jax
-from poserisk_release_tpu.ops.rotations import rotmat_to_axis_angle
+from poserisk_release_tpu.ops.lbs import joints_only_from_rotmats
 from poserisk_release_tpu.train.losses import coord_loss
 from poserisk_release_tpu.train.optim import get_optimizer
 
@@ -41,8 +40,12 @@ def make_train_step(n_iter: int, parents: Tuple[int, ...], optimizer,
         if batch_stats:
             variables["batch_stats"] = batch_stats
         rotmat, _betas, _cam = model.apply(variables, crops)
-        aa = rotmat_to_axis_angle(rotmat).reshape(crops.shape[0], -1)
-        joints = joints_only(smpl_params, aa, parents)
+        # Differentiate through the rotation MATRICES: the eval path's
+        # rotmat -> axis-angle -> rotmat round trip is an identity whose
+        # gradient blows up at theta ~ 0/pi (arccos/sqrt singularities in
+        # rotmat_to_axis_angle) -- near-identity joint rotations NaN the
+        # whole step. joints_only_from_rotmats skips the round trip.
+        joints = joints_only_from_rotmats(smpl_params, rotmat, parents)
         joints = joints - joints[:, :1]  # root-centered, like the eval path
         return coord_loss(joints, target_joints, joint_valid)
 

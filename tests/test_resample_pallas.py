@@ -1,0 +1,74 @@
+"""Fused letterbox+crop Pallas kernel parity vs the jnp resample paths.
+
+Runs in interpret mode on the CPU mesh (same pattern as test_lbs_pallas).
+The jnp paths (ops.crop.letterbox_device_rect / crop_batch) are themselves
+pinned against cv2 oracles in test_letterbox.py / test_crop.py, so agreement
+here chains the Pallas kernel to the reference convention."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from poserisk_release_tpu.ops.crop import crop_batch, letterbox_device_rect
+from poserisk_release_tpu.ops.resample_pallas import fused_letterbox_crop
+
+BBOXES = np.array(
+    [
+        [400.0, 225.0, 220.0, 220.0],  # centered person box
+        [100.0, 80.0, 60.0, 120.0],    # small, off-center
+        [780.0, 440.0, 100.0, 50.0],   # straddles the right/bottom border
+        [-20.0, 10.0, 80.0, 80.0],     # partially outside (zero-border taps)
+    ],
+    np.float32,
+)
+
+
+def _frames(shape, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, shape).astype(np.uint8)
+
+
+@pytest.mark.parametrize("hw", [(450, 800), (360, 640)])
+def test_f32_matches_jnp_paths_exactly(hw):
+    H, W = hw
+    frames = jnp.asarray(_frames((4, H, W, 3)))
+    bboxes = jnp.asarray(BBOXES)
+    letter, crops = fused_letterbox_crop(
+        frames, bboxes, compute_dtype=jnp.float32, interpret=True
+    )
+    letter_ref = letterbox_device_rect(frames, 416)
+    crops_ref = crop_batch(frames, bboxes)
+    assert letter.shape == letter_ref.shape
+    assert crops.shape == crops_ref.shape
+    np.testing.assert_allclose(np.asarray(letter), np.asarray(letter_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(crops), np.asarray(crops_ref),
+                               atol=1e-5)
+
+
+def test_bf16_within_quantization_tolerance():
+    """bf16 taps/accumulation deviate by at most a few intensity steps --
+    the same tolerance class as the bf16 jnp path the bench already uses."""
+    frames = jnp.asarray(_frames((2, 450, 800, 3), seed=3))
+    bboxes = jnp.asarray(BBOXES[:2])
+    letter, crops = fused_letterbox_crop(
+        frames, bboxes, compute_dtype=jnp.bfloat16, interpret=True
+    )
+    letter_ref = letterbox_device_rect(frames, 416)
+    crops_ref = crop_batch(frames, bboxes)
+    assert float(jnp.max(jnp.abs(letter.astype(jnp.float32) - letter_ref))) < 4.0 / 255.0
+    assert float(jnp.max(jnp.abs(crops.astype(jnp.float32) - crops_ref))) < 4.0 / 255.0
+
+
+def test_values_in_unit_range_and_gray_border():
+    frames = jnp.asarray(_frames((1, 450, 800, 3), seed=7))
+    bboxes = jnp.asarray(BBOXES[:1])
+    letter, crops = fused_letterbox_crop(
+        frames, bboxes, compute_dtype=jnp.float32, interpret=True
+    )
+    letter = np.asarray(letter)
+    # 800x450 -> 416x234 content on a 416x288 canvas: rows above/below the
+    # content band are the 128/255 gray fill.
+    assert np.allclose(letter[0, :2, :, :], 128.0 / 255.0, atol=1e-6)
+    assert np.asarray(crops).min() >= 0.0
+    assert np.asarray(crops).max() <= 1.0 + 1e-6

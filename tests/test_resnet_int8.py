@@ -63,6 +63,20 @@ def test_int8_backbone_bounded_drift(estimator, folded, crops):
     assert rel < 0.05
 
 
+def test_percentile_calibration_scales_and_forward(estimator, folded, crops):
+    """Saturating (percentile) calibration yields per-tensor scales <= absmax
+    and a working quantized forward. The option targets trained checkpoints
+    (outlier channels); on random weights it measures neutral, so absmax
+    stays the default (models/spin.quantize_spin_backbone)."""
+    absmax = calibrate_resnet50(folded, crops[:2])
+    pct = calibrate_resnet50(folded, crops[:2], percentile=99.9)
+    assert set(pct) == set(absmax)
+    assert all(pct[k] <= absmax[k] + 1e-9 for k in absmax)
+    q = quantize_resnet50(folded, pct)
+    feat = jax.jit(lambda f, c: resnet50_forward(f, c, jnp.float32))(q, crops[:2])
+    assert np.isfinite(np.asarray(feat)).all()
+
+
 def test_quant_hmr_head_math_identical(estimator, folded, crops):
     """hmr_forward_quant with the FLOAT folded backbone must reproduce
     HMR.apply exactly (same head math, BN folding is the only difference)."""
