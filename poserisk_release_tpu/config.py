@@ -85,6 +85,11 @@ class DetectorConfig:
     # int8 post-training quantization of the conv tower (1.43x over bf16;
     # models/detector.quantize_yolo_params). Opt-in, like rect_letterbox.
     int8: bool = False
+    # Device-side top-k detection pre-selection: the host pulls (B, k, 5)
+    # instead of all ~10k decoded anchors (~40x less device->host traffic).
+    # Results stay identical to the full pull -- chunks whose k-th score
+    # still clears the threshold re-pull unfiltered. 0 disables.
+    max_device_dets: int = 256
 
 
 @dataclass(frozen=True)

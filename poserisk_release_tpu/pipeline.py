@@ -258,6 +258,7 @@ class Predictor:
                     batch_size=self.cfg.DETECTOR.batch_size,
                     rect=self.cfg.DETECTOR.rect_letterbox,
                     int8=self.cfg.DETECTOR.int8,
+                    max_device_dets=self.cfg.DETECTOR.max_device_dets,
                 )
             else:
                 print("[poserisk] no detector weights found; using full-frame stub detector")

@@ -58,6 +58,37 @@ class TestYolo:
         for r in out:
             assert r.shape[1] == 5  # (k, 5), likely k == 0 at this threshold
 
+    def test_topk_path_identical_to_full_pull(self, params):
+        """Device-side top-k pre-selection must never change host results.
+
+        Case 1 (genuine top-k): threshold set between the 24th and 25th best
+        score so ~24 << k anchors survive -> the k-th score is below the
+        threshold, no fallback, and results must equal the full pull exactly.
+        Case 2 (fallback): near-zero threshold -> every anchor clears it, the
+        k-th score trips the truncation guard, and the wrapper re-pulls the
+        full set -- again identical results."""
+        rng = np.random.RandomState(3)
+        frames = rng.randint(0, 255, (2, 96, 128, 3)).astype(np.uint8)
+        from poserisk_release_tpu.ops.crop import letterbox_device
+
+        letter = letterbox_device(jnp.asarray(frames), 64)
+        scores = np.asarray(det.yolo_forward(params, letter, 64))[..., 4]
+        srt = np.sort(scores.reshape(-1))[::-1]
+        thr = float((srt[23] + srt[24]) / 2)
+
+        def run(threshold, k):
+            d = det.YoloDetector(params=params, img_size=64,
+                                 detection_threshold=threshold,
+                                 max_device_dets=k, batch_size=2)
+            return d(frames)
+
+        for threshold in (thr, 1e-9):
+            full = run(threshold, 0)
+            topk = run(threshold, 64)
+            assert len(full) == len(topk) == 2
+            for a, b in zip(full, topk):
+                np.testing.assert_array_equal(a, b)
+
     def test_rect_path_equals_square_on_degenerate_geometry(self, params):
         """H=53, W=80 @ img_size 160: the rect canvas geometry degenerates to
         the exact square letterbox (content 160x106, pads 27/27). The rect
