@@ -176,3 +176,72 @@ def fused_letterbox_crop(
     letter = jnp.transpose(letter_chw, (0, 2, 3, 1))
     crops = jnp.transpose(crop_chw, (0, 2, 3, 1))
     return letter, crops
+
+
+def _crop_kernel(bbox_ref, frame_ref, crop_ref, *, H, W, out_size, scale,
+                 acc_dtype):
+    b = pl.program_id(0)
+    offs_col = (
+        jax.lax.broadcasted_iota(jnp.int32, (out_size, 1), 0).astype(jnp.float32)
+        - out_size * 0.5
+    )
+    offs_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, out_size), 1).astype(jnp.float32)
+        - out_size * 0.5
+    )
+    cx, cy = bbox_ref[b, 0], bbox_ref[b, 1]
+    bw, bh = bbox_ref[b, 2], bbox_ref[b, 3]
+    ys = offs_col * (bh * scale / out_size) + cy
+    xs = offs_row * (bw * scale / out_size) + cx
+    t_c = _taps_from_coords(ys, H, lane_axis=1).astype(acc_dtype)
+    s_c_t = _taps_from_coords(xs, W, lane_axis=0).astype(acc_dtype)
+    inv255 = 1.0 / 255.0
+    for c in range(3):
+        x = frame_ref[0, c].astype(jnp.int32).astype(jnp.float32).astype(acc_dtype)
+        rows_c = jnp.dot(t_c, x, preferred_element_type=jnp.float32)
+        cr = jnp.dot(rows_c.astype(acc_dtype), s_c_t,
+                     preferred_element_type=jnp.float32)
+        crop_ref[0, c] = (cr * inv255).astype(crop_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "out_size", "compute_dtype", "interpret"),
+)
+def crop_batch_pallas(
+    frames: jnp.ndarray,  # (B, H, W, 3) uint8
+    bboxes: jnp.ndarray,  # (B, 4) [cx, cy, w, h] float
+    scale: float = 1.2,
+    out_size: int = 224,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Crop-only variant of the fused kernel, for the product pose path
+    (pipeline.PoseEstimator.run_from_frames), where the letterbox already
+    happened in the detection stage: one VMEM pass per frame, crop taps
+    built in-kernel, no bf16 frame copy / interp-matrix / row-intermediate
+    HBM tensors. Semantics match ops.crop.crop_batch ([0,1], zero border)."""
+    if frames.dtype != jnp.uint8:
+        raise TypeError("crop_batch_pallas takes uint8 frames (the in-kernel "
+                        "u8 -> f32 hop assumes integer pixel values); use "
+                        "ops.crop.crop_batch for float inputs")
+    B, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
+    frames_chw = jnp.transpose(frames, (0, 3, 1, 2))
+    crop_chw = pl.pallas_call(
+        functools.partial(
+            _crop_kernel, H=H, W=W, out_size=out_size, scale=float(scale),
+            acc_dtype=compute_dtype,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, H, W), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, out_size, out_size),
+                               lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 3, out_size, out_size), compute_dtype),
+        interpret=interpret,
+    )(bboxes.astype(jnp.float32), frames_chw)
+    return jnp.transpose(crop_chw, (0, 2, 3, 1))

@@ -88,6 +88,13 @@ class PoseEstimator:
         if mesh is not None:
             self.variables = pmesh.replicate_tree(mesh, self.variables)
             self.smpl_params = pmesh.replicate_tree(mesh, self.smpl_params)
+        # fast mode on real TPU crops through the Pallas kernel (one VMEM
+        # pass per frame, bf16 output -- same tolerance class as the bf16
+        # backbone it feeds); the strict-parity f32 default and all CPU runs
+        # keep the jnp separable-matmul crop.
+        self._pallas_crop = bool(
+            fast and jax.devices()[0].platform == "tpu" and mesh is None
+        )
         self._step = jax.jit(self._pose_step)
         self._step_frames = jax.jit(self._pose_step_from_frames)
 
@@ -120,11 +127,20 @@ class PoseEstimator:
         # ONCE and downloads only angles/joints. The split path moved three
         # image-sized tensors per frame (frames up, f32 crops down, f32
         # crops up again); this moves one.
-        crops = crop_batch(
-            frames_u8, bboxes,
-            scale=float(self.cfg.DATASET.bbox_scale),
-            out_size=int(self.cfg.MODEL.input_shape[0]),
-        )
+        if self._pallas_crop:
+            from poserisk_release_tpu.ops.resample_pallas import crop_batch_pallas
+
+            crops = crop_batch_pallas(
+                frames_u8, bboxes,
+                scale=float(self.cfg.DATASET.bbox_scale),
+                out_size=int(self.cfg.MODEL.input_shape[0]),
+            )
+        else:
+            crops = crop_batch(
+                frames_u8, bboxes,
+                scale=float(self.cfg.DATASET.bbox_scale),
+                out_size=int(self.cfg.MODEL.input_shape[0]),
+            )
         return self._pose_core(variables, smpl_params, crops)
 
     def run(self, crops: np.ndarray, chunk: int = 0):

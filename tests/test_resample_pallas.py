@@ -60,6 +60,22 @@ def test_bf16_within_quantization_tolerance():
     assert float(jnp.max(jnp.abs(crops.astype(jnp.float32) - crops_ref))) < 4.0 / 255.0
 
 
+def test_crop_only_kernel_matches_crop_batch():
+    """crop_batch_pallas (the fast-mode product crop in
+    pipeline.PoseEstimator.run_from_frames) matches ops.crop.crop_batch."""
+    from poserisk_release_tpu.ops.resample_pallas import crop_batch_pallas
+
+    frames = jnp.asarray(_frames((4, 450, 800, 3), seed=11))
+    bboxes = jnp.asarray(BBOXES)
+    crops = crop_batch_pallas(frames, bboxes, compute_dtype=jnp.float32,
+                              interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(crops), np.asarray(crop_batch(frames, bboxes)), atol=1e-5
+    )
+    with pytest.raises(TypeError):
+        crop_batch_pallas(frames.astype(jnp.float32), bboxes, interpret=True)
+
+
 def test_values_in_unit_range_and_gray_border():
     frames = jnp.asarray(_frames((1, 450, 800, 3), seed=7))
     bboxes = jnp.asarray(BBOXES[:1])
