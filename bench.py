@@ -109,6 +109,9 @@ def main() -> None:
 
         folded_f32 = fold_bn_params(init_yolo_params())
         calib = letterbox_device_rect(frames[:16], 416)
+        # NOTE: bias_correct_yolo exists but is NOT applied here -- measured
+        # neutral on this image's random weights (saturated decode sigmoids;
+        # docs/PERF.md). Re-evaluate with trained weights.
         yolo_params = jax.device_put(
             quantize_yolo_params(folded_f32, calibrate_yolo_activations(folded_f32, calib))
         )

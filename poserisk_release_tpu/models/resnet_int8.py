@@ -155,6 +155,54 @@ def calibrate_resnet50(folded: Dict[str, Dict], crops: jnp.ndarray,
     return {k: float(v) for k, v in vals.items()}
 
 
+def _conv_geometry() -> Dict[str, tuple]:
+    """conv name -> (stride, pad), mirroring resnet50_forward's traversal."""
+    geo = {"conv1": (2, 3)}
+    for stage, n_blocks, _planes in STAGES:
+        for block in range(n_blocks):
+            stride = 2 if (stage > 1 and block == 0) else 1
+            base = f"layer{stage}_{block}"
+            geo[f"{base}.conv1"] = (1, 0)
+            geo[f"{base}.conv2"] = (stride, 1)
+            geo[f"{base}.conv3"] = (1, 0)
+            if block == 0:
+                geo[f"{base}.downsample"] = (stride, 0)
+    return geo
+
+
+def bias_correct_resnet50(folded: Dict[str, Dict], qparams: Dict[str, Dict],
+                          crops: jnp.ndarray) -> Dict[str, Dict]:
+    """Fold the expected per-channel quantization error into the biases.
+
+    Classic PTQ bias correction (Nagel et al., "Data-Free Quantization"):
+    weight rounding and activation quantization shift each conv's output by
+    a systematic per-channel amount E[conv_f32(x) - conv_int8(x)]; adding
+    that expectation (estimated on the calibration batch, at the float
+    activations, pre-ReLU where the bias lives) to the int8 path's bias
+    removes the systematic component of the drift for free at runtime.
+    Returns a new qparams dict with corrected biases."""
+    geo = _conv_geometry()
+
+    def walk(fp, qp, x):
+        record: Dict[str, jnp.ndarray] = {}
+        resnet50_forward(fp, x, jnp.float32, _record=record)
+        corr = {}
+        for name, x_f in record.items():
+            stride, pad = geo[name]
+            y_f = _qconv(fp[name], x_f, stride, pad, jnp.float32)
+            y_q = _qconv(qp[name], x_f, stride, pad, jnp.float32)
+            corr[name] = jnp.mean(y_f - y_q, axis=(0, 1, 2))
+        return corr
+
+    corr = jax.jit(walk)(folded, qparams, jnp.asarray(crops))
+    out = {}
+    for name, layer in qparams.items():
+        layer = dict(layer)
+        layer["bias"] = jnp.asarray(layer["bias"]) + corr[name].astype(jnp.float32)
+        out[name] = layer
+    return out
+
+
 def quantize_resnet50(folded: Dict[str, Dict], act_absmax: Dict[str, float]
                       ) -> Dict[str, Dict]:
     """Folded params -> int8 PTQ params (same scheme as the detector:

@@ -58,6 +58,38 @@ class TestYolo:
         for r in out:
             assert r.shape[1] == 5  # (k, 5), likely k == 0 at this threshold
 
+    def test_yolo_bias_correction_zeroes_first_conv_mean_error(self, params):
+        """bias_correct_yolo's defining property: on the calibration batch,
+        the per-channel MEAN of (float conv - int8 conv) at a corrected
+        layer becomes ~zero (it is folded into q_bias_leaky). Asserted at
+        conv_0, where the inputs are identical for both paths; decoded
+        scores are intentionally NOT asserted (measured neutral through the
+        saturated decode sigmoids on random weights -- see the docstring)."""
+        rng = np.random.RandomState(5)
+        frames = rng.randint(0, 255, (4, 96, 128, 3)).astype(np.uint8)
+        from poserisk_release_tpu.ops.crop import letterbox_device
+
+        letter = letterbox_device(jnp.asarray(frames), 64)
+        folded = det.fold_bn_params(params)
+        qp = det.quantize_yolo_params(
+            folded, det.calibrate_yolo_activations(folded, letter)
+        )
+        qp_bc = det.bias_correct_yolo(folded, qp, letter)
+
+        def conv0(layer_p, entry=det.YOLOV3_SPEC[0]):
+            return det._conv_block(letter, layer_p, entry, jnp.float32)
+
+        y_f = np.asarray(conv0(folded["conv_0"]))
+        y_q = np.asarray(conv0(qp["conv_0"]))
+        y_bc = np.asarray(conv0(qp_bc["conv_0"]))
+        # The correction zeroes the PRE-leaky channel-mean error on this
+        # batch; post-leaky (piecewise-linear) the aggregate must still
+        # shrink decisively.
+        mean_err_plain = np.abs((y_f - y_q).mean(axis=(0, 1, 2)))
+        mean_err_bc = np.abs((y_f - y_bc).mean(axis=(0, 1, 2)))
+        assert mean_err_bc.mean() < mean_err_plain.mean()
+        assert np.isfinite(y_bc).all()
+
     def test_topk_path_identical_to_full_pull(self, params):
         """Device-side top-k pre-selection must never change host results.
 

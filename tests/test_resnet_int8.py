@@ -10,6 +10,7 @@ from poserisk_release_tpu.body.smpl import SMPLFamily
 from poserisk_release_tpu.config import default_config
 from poserisk_release_tpu.models.resnet import ResNet50
 from poserisk_release_tpu.models.resnet_int8 import (
+    bias_correct_resnet50,
     calibrate_resnet50,
     fold_resnet50_params,
     quantize_resnet50,
@@ -61,6 +62,25 @@ def test_int8_backbone_bounded_drift(estimator, folded, crops):
     got = np.asarray(jax.jit(lambda f, c: resnet50_forward(f, c, jnp.float32))(q, crops))
     rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 0.05
+
+
+def test_bias_correction_reduces_feature_error(estimator, folded, crops):
+    """PTQ bias correction (quantize_spin_backbone default) folds the mean
+    per-channel quantization error into the biases: the quantized features
+    must land measurably closer to the float features. Measured on this
+    random-init model: ~2.6x lower feature MAE, median angle drift halved
+    (docs/PARITY.md)."""
+    ref = np.asarray(
+        jax.jit(lambda f, c: resnet50_forward(f, c, jnp.float32))(folded, crops)
+    )
+    scales = calibrate_resnet50(folded, crops[:2])
+    q = quantize_resnet50(folded, scales)
+    q_bc = bias_correct_resnet50(folded, q, crops[:2])
+    fwd = jax.jit(lambda f, c: resnet50_forward(f, c, jnp.float32))
+    mae_plain = np.abs(np.asarray(fwd(q, crops)) - ref).mean()
+    mae_bc = np.abs(np.asarray(fwd(q_bc, crops)) - ref).mean()
+    assert mae_bc < mae_plain * 0.8
+    assert set(q_bc) == set(q)
 
 
 def test_percentile_calibration_scales_and_forward(estimator, folded, crops):
