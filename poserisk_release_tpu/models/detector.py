@@ -203,6 +203,22 @@ def cast_conv_kernels(params: Dict[str, Dict], dtype) -> Dict[str, Dict]:
 # ---------------------------------------------------------------------------
 # Post-training int8 quantization (PTQ)
 # ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def _calibration_walk(params: Dict[str, Dict], letterboxed: jnp.ndarray,
+                      compute_dtype) -> Dict[str, jnp.ndarray]:
+    # Module-level jit: the per-chunk calibration loop in YoloDetector must
+    # hit the SAME compiled graph every chunk (a jit built inside the
+    # calling function would be keyed on a fresh closure and recompile the
+    # 75-conv walk per chunk -- minutes per chunk through a TPU relay).
+    absmax: Dict[str, jnp.ndarray] = {}
+
+    def tap(name: str, v: jnp.ndarray) -> None:
+        absmax[name] = jnp.max(jnp.abs(v.astype(jnp.float32)))
+
+    _yolo_graph(params, letterboxed, compute_dtype, tap=tap)
+    return dict(absmax)
+
+
 def calibrate_yolo_activations(params: Dict[str, Dict], letterboxed: jnp.ndarray,
                                compute_dtype=jnp.float32) -> Dict[str, float]:
     """Per-conv input absmax over a calibration batch of letterboxed frames.
@@ -210,23 +226,12 @@ def calibrate_yolo_activations(params: Dict[str, Dict], letterboxed: jnp.ndarray
     Runs the reference-precision forward once (the SAME graph walk as
     yolo_forward, via its tap hook), recording max|x| at every conv input;
     these become the static activation scales of the int8 path (standard
-    per-tensor PTQ calibration). The walk runs as ONE jit graph returning all
-    75 reductions together -- an eager walk costs one remote dispatch (and
-    through this environment's TPU relay, one remote compile) per op.
-    Returns {conv_name: absmax}. Use merge_absmax to accumulate over several
-    batches."""
-    absmax: Dict[str, jnp.ndarray] = {}
-
-    def walk(p, x):
-        absmax.clear()
-
-        def tap(name: str, v: jnp.ndarray) -> None:
-            absmax[name] = jnp.max(jnp.abs(v.astype(jnp.float32)))
-
-        _yolo_graph(p, x, compute_dtype, tap=tap)
-        return dict(absmax)
-
-    vals = jax.jit(walk)(params, letterboxed)
+    per-tensor PTQ calibration). The walk runs as ONE cached jit graph
+    returning all 75 reductions together -- an eager walk costs one remote
+    dispatch (and through this environment's TPU relay, one remote compile)
+    per op. Returns {conv_name: absmax}. Use merge_absmax to accumulate
+    over several batches."""
+    vals = jax.device_get(_calibration_walk(params, letterboxed, compute_dtype))
     return {k: float(v) for k, v in vals.items()}
 
 
@@ -513,8 +518,14 @@ def yolo_forward(params: Dict, images: jnp.ndarray, img_size: int = 416,
 # NMS + detector wrapper
 # ---------------------------------------------------------------------------
 def nms_xyxy(boxes: np.ndarray, scores: np.ndarray, iou_thr: float) -> np.ndarray:
-    """Greedy IoU NMS; returns kept indices sorted by descending score."""
-    order = scores.argsort()[::-1]
+    """Greedy IoU NMS; returns kept indices sorted by descending score.
+
+    Ties break by INPUT ORDER (stable sort): both detector paths present
+    equal-scored boxes in anchor order (the full pull trivially;
+    yolo_forward_topk because lax.top_k breaks ties by lower index), so a
+    stable descending sort makes NMS deterministic and path-independent --
+    load-bearing for the top-k path's results-identical contract."""
+    order = np.argsort(-scores, kind="stable")
     keep = []
     while order.size > 0:
         i = order[0]

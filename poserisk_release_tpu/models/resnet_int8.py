@@ -15,6 +15,7 @@ Reference network: torchvision ResNet-50 v1.5 inside SPIN's hmr
 
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import jax
@@ -139,20 +140,33 @@ def calibrate_resnet50(folded: Dict[str, Dict], crops: jnp.ndarray,
     7.8 deg); the percentile option exists for trained checkpoints, whose
     outlier channels are exactly what absmax is weakest against.
 
-    Runs as ONE jit graph returning all reductions together -- an eager walk
-    pays one remote dispatch/compile per op through a TPU relay."""
-
-    def walk(p, x):
-        record: Dict[str, jnp.ndarray] = {}
-        resnet50_forward(p, x, jnp.float32, _record=record)
-        if percentile is None:
-            return {k: jnp.max(jnp.abs(v)) for k, v in record.items()}
-        return {
-            k: jnp.percentile(jnp.abs(v), percentile) for k, v in record.items()
-        }
-
-    vals = jax.jit(walk)(folded, jnp.asarray(crops))
+    Runs as ONE cached jit graph returning all reductions together -- an
+    eager walk pays one remote dispatch/compile per op through a TPU relay,
+    and a jit built per call would recompile on every calibration."""
+    vals = jax.device_get(
+        _resnet_calibration_walk(folded, jnp.asarray(crops), percentile)
+    )
     return {k: float(v) for k, v in vals.items()}
+
+
+@jax.jit
+def _resnet_calibration_walk_absmax(folded, crops):
+    record: Dict[str, jnp.ndarray] = {}
+    resnet50_forward(folded, crops, jnp.float32, _record=record)
+    return {k: jnp.max(jnp.abs(v)) for k, v in record.items()}
+
+
+def _resnet_calibration_walk(folded, crops, percentile):
+    if percentile is None:
+        return _resnet_calibration_walk_absmax(folded, crops)
+    return _resnet_calibration_walk_percentile(folded, crops, percentile)
+
+
+@functools.partial(jax.jit, static_argnames=("percentile",))
+def _resnet_calibration_walk_percentile(folded, crops, percentile):
+    record: Dict[str, jnp.ndarray] = {}
+    resnet50_forward(folded, crops, jnp.float32, _record=record)
+    return {k: jnp.percentile(jnp.abs(v), percentile) for k, v in record.items()}
 
 
 def _conv_geometry() -> Dict[str, tuple]:

@@ -70,12 +70,12 @@ def _taps_from_coords(coords, size: int, lane_axis: int):
     return (idx == i0c) * w0 + (idx == i1c) * w1
 
 
-def _kernel(bbox_ref, frame_ref, t_lb_ref, s_lb_t_ref, border_ref,
-            letter_ref, crop_ref, *, H, W, out_size, scale, acc_dtype):
-    inv255 = 1.0 / 255.0
-    # Per-frame crop tap matrices from the bbox scalars (cx, cy, w, h).
-    # bbox_ref is the WHOLE (B, 4) array in SMEM (per-block SMEM slices are
-    # not lowerable); index it by grid position.
+def _bbox_tap_matrices(bbox_ref, H, W, out_size, scale, acc_dtype):
+    """Per-frame crop tap matrices (t_c (out, H), s_c_t (W, out)) from the
+    bbox scalars (cx, cy, w, h). bbox_ref is the WHOLE (B, 4) array in SMEM
+    (per-block SMEM slices are not lowerable); indexed by grid position.
+    Shared by the fused and crop-only kernels -- ONE place for the sampling
+    convention."""
     b = pl.program_id(0)
     offs_col = (
         jax.lax.broadcasted_iota(jnp.int32, (out_size, 1), 0).astype(jnp.float32)
@@ -89,22 +89,33 @@ def _kernel(bbox_ref, frame_ref, t_lb_ref, s_lb_t_ref, border_ref,
     bw, bh = bbox_ref[b, 2], bbox_ref[b, 3]
     ys = offs_col * (bh * scale / out_size) + cy  # (out, 1)
     xs = offs_row * (bw * scale / out_size) + cx  # (1, out)
-    t_c = _taps_from_coords(ys, H, lane_axis=1).astype(acc_dtype)    # (out, H)
-    s_c_t = _taps_from_coords(xs, W, lane_axis=0).astype(acc_dtype)  # (W, out)
+    t_c = _taps_from_coords(ys, H, lane_axis=1).astype(acc_dtype)
+    s_c_t = _taps_from_coords(xs, W, lane_axis=0).astype(acc_dtype)
+    return t_c, s_c_t
 
+
+def _load_channel(frame_ref, c, acc_dtype):
+    # Mosaic has no direct u8 -> bf16 cast; hop through i32/f32 (VPU-only).
+    return frame_ref[0, c].astype(jnp.int32).astype(jnp.float32).astype(acc_dtype)
+
+
+def _resample(x, t, s_t, acc_dtype):
+    rows = jnp.dot(t, x, preferred_element_type=jnp.float32)
+    return jnp.dot(rows.astype(acc_dtype), s_t, preferred_element_type=jnp.float32)
+
+
+def _kernel(bbox_ref, frame_ref, t_lb_ref, s_lb_t_ref, border_ref,
+            letter_ref, crop_ref, *, H, W, out_size, scale, acc_dtype):
+    inv255 = 1.0 / 255.0
+    t_c, s_c_t = _bbox_tap_matrices(bbox_ref, H, W, out_size, scale, acc_dtype)
     t_lb = t_lb_ref[:]
     s_lb_t = s_lb_t_ref[:]
     border = border_ref[:]
     for c in range(3):
-        # Mosaic has no direct u8 -> bf16 cast; hop through i32/f32 (VPU-only).
-        x = frame_ref[0, c].astype(jnp.int32).astype(jnp.float32).astype(acc_dtype)
-        rows_lb = jnp.dot(t_lb, x, preferred_element_type=jnp.float32)
-        lb = jnp.dot(rows_lb.astype(acc_dtype), s_lb_t,
-                     preferred_element_type=jnp.float32)
+        x = _load_channel(frame_ref, c, acc_dtype)
+        lb = _resample(x, t_lb, s_lb_t, acc_dtype)
         letter_ref[0, c] = (lb * inv255 + border).astype(letter_ref.dtype)
-        rows_c = jnp.dot(t_c, x, preferred_element_type=jnp.float32)
-        cr = jnp.dot(rows_c.astype(acc_dtype), s_c_t,
-                     preferred_element_type=jnp.float32)
+        cr = _resample(x, t_c, s_c_t, acc_dtype)
         crop_ref[0, c] = (cr * inv255).astype(crop_ref.dtype)
 
 
@@ -125,6 +136,10 @@ def fused_letterbox_crop(
 ):
     """Returns (letterbox (B, ch, cw, 3), crops (B, out, out, 3)), both
     compute_dtype in [0, 1], matching letterbox_device_rect + crop_batch."""
+    if frames.dtype != jnp.uint8:
+        raise TypeError("fused_letterbox_crop takes uint8 frames (the "
+                        "in-kernel u8 -> f32 hop assumes integer pixel "
+                        "values); use the jnp letterbox/crop for floats")
     B, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
     canvas_h, canvas_w, new_w, new_h, pad_x, pad_y = rect_canvas_geometry(
         H, W, img_size, multiple
@@ -180,27 +195,11 @@ def fused_letterbox_crop(
 
 def _crop_kernel(bbox_ref, frame_ref, crop_ref, *, H, W, out_size, scale,
                  acc_dtype):
-    b = pl.program_id(0)
-    offs_col = (
-        jax.lax.broadcasted_iota(jnp.int32, (out_size, 1), 0).astype(jnp.float32)
-        - out_size * 0.5
-    )
-    offs_row = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, out_size), 1).astype(jnp.float32)
-        - out_size * 0.5
-    )
-    cx, cy = bbox_ref[b, 0], bbox_ref[b, 1]
-    bw, bh = bbox_ref[b, 2], bbox_ref[b, 3]
-    ys = offs_col * (bh * scale / out_size) + cy
-    xs = offs_row * (bw * scale / out_size) + cx
-    t_c = _taps_from_coords(ys, H, lane_axis=1).astype(acc_dtype)
-    s_c_t = _taps_from_coords(xs, W, lane_axis=0).astype(acc_dtype)
+    t_c, s_c_t = _bbox_tap_matrices(bbox_ref, H, W, out_size, scale, acc_dtype)
     inv255 = 1.0 / 255.0
     for c in range(3):
-        x = frame_ref[0, c].astype(jnp.int32).astype(jnp.float32).astype(acc_dtype)
-        rows_c = jnp.dot(t_c, x, preferred_element_type=jnp.float32)
-        cr = jnp.dot(rows_c.astype(acc_dtype), s_c_t,
-                     preferred_element_type=jnp.float32)
+        x = _load_channel(frame_ref, c, acc_dtype)
+        cr = _resample(x, t_c, s_c_t, acc_dtype)
         crop_ref[0, c] = (cr * inv255).astype(crop_ref.dtype)
 
 
