@@ -152,6 +152,7 @@ class StreamingScorer:
         mesh=None,
         spin_variables=None,
         selection: str = "reference",
+        fast: bool = False,
     ):
         from poserisk_release_tpu.body.smpl import SMPLFamily
         from poserisk_release_tpu.models.detector import StubDetector
@@ -163,7 +164,11 @@ class StreamingScorer:
         self.window = window
         self.selection = selection
         self.smpl = SMPLFamily(self.cfg.SPIN.smpl_model_dir)
-        self.estimator = PoseEstimator(self.cfg, self.smpl, mesh=mesh, variables=spin_variables)
+        # fast=True: same contract as Predictor's --fast (bf16 SPIN backbone,
+        # and on real TPU hardware the Pallas crop inside the fused
+        # crop+pose jit).
+        self.estimator = PoseEstimator(self.cfg, self.smpl, mesh=mesh,
+                                       variables=spin_variables, fast=fast)
         self.detector = detector if detector is not None else StubDetector()
 
     def __call__(self, video_path: str, add_info: Dict,

@@ -48,6 +48,20 @@ def test_windows_cover_all_frames(long_clip):
     assert len(result.rula_scores) == 40
 
 
+def test_fast_mode_scores_whole_clip(long_clip):
+    """StreamingScorer(fast=True) runs the bf16 pose path (and on real TPU
+    the Pallas crop); on the CPU mesh the crop stays jnp and the scores must
+    agree with the f32 path (bf16 angle drift is far below the integer-
+    degree rule thresholds for this synthetic clip)."""
+    slow = StreamingScorer(detector=StubDetector(), window=16)(long_clip, INFO)
+    fast = StreamingScorer(detector=StubDetector(), window=16, fast=True)(
+        long_clip, INFO
+    )
+    assert fast.frames == slow.frames
+    assert fast.reba_scores == slow.reba_scores
+    assert fast.rula_scores == slow.rula_scores
+
+
 def test_stats_match_batch_predictor(long_clip, tmp_path):
     """Windowed scoring must reproduce the whole-clip Predictor's stats."""
     stream = StreamingScorer(detector=StubDetector(), window=16)(long_clip, INFO)

@@ -1,0 +1,169 @@
+"""Reproducible per-stage profiler: regenerates docs/PERF.md's stage table.
+
+Times every device stage of the pipeline in ONE process on the current
+backend with the bench's measurement discipline (loop-inside-process,
+best-of-two passes, device-side accumulation + one scalar readback as the
+completion barrier -- jax.block_until_ready is a no-op through the remote
+relay used in this environment, see utils/profiling.device_sync):
+
+  letterbox (rect canvas)      ops.crop.letterbox_device_rect
+  crop 224                     ops.crop.crop_batch
+  fused letterbox+crop         ops.resample_pallas.fused_letterbox_crop
+  crop 224 (pallas)            ops.resample_pallas.crop_batch_pallas
+  YOLOv3 fwd (bf16)            models.detector.yolo_forward
+  YOLOv3 fwd (int8 PTQ)        quantize_yolo_params + yolo_forward
+  pose+score step (bf16)       throughput.make_pose_and_score_step
+  FULL step (bench default)    throughput.make_full_frame_step
+
+Usage: python tools/profile_stages.py [batch]   (default 128; ~10 min of
+remote compiles on first run). Prints a markdown table.
+
+Run it EXCLUSIVELY: the TPU is single-tenant and the relay shares the
+1-core host -- a concurrent pytest/bench process inflates stage timings
+well beyond the relay's usual ~10% jitter (bandwidth-bound stages up to
+~2x).
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+MEASURE = 24
+FRAME_HW = (450, 800)
+
+
+def _sync_expr(out):
+    """Device-side accumulation over every output leaf (no readback)."""
+    acc = jnp.float32(0)
+    for leaf in jax.tree_util.tree_leaves(out):
+        acc = acc + jnp.sum(leaf.astype(jnp.float32))
+    return acc
+
+
+def timeit(fn, args, sync) -> float:
+    sync(fn(*args))
+    sync(fn(*args))
+
+    def one_pass() -> float:
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(MEASURE)]
+        acc = jnp.float32(0)
+        for o in outs:
+            acc = acc + _sync_expr(o)
+        float(acc)
+        return time.perf_counter() - t0
+
+    return min(one_pass(), one_pass()) / MEASURE * 1000.0
+
+
+def main() -> None:
+    from poserisk_release_tpu.body.smpl import SMPLFamily
+    from poserisk_release_tpu.config import default_config
+    from poserisk_release_tpu.models.detector import (
+        calibrate_yolo_activations,
+        fold_bn_params,
+        init_yolo_params,
+        quantize_yolo_params,
+        yolo_forward,
+    )
+    from poserisk_release_tpu.models.spin import cast_backbone_params
+    from poserisk_release_tpu.ops.crop import crop_batch, letterbox_device_rect
+    from poserisk_release_tpu.ops.resample_pallas import (
+        crop_batch_pallas,
+        fused_letterbox_crop,
+    )
+    from poserisk_release_tpu.pipeline import PoseEstimator
+    from poserisk_release_tpu.throughput import (
+        default_packed_infos,
+        make_full_frame_step,
+        make_pose_and_score_step,
+    )
+
+    def sync(out):
+        return float(_sync_expr(out))
+
+    frames = jax.jit(
+        lambda k: jax.random.randint(k, (B, *FRAME_HW, 3), 0, 256, jnp.uint8)
+    )(jax.random.PRNGKey(0))
+    bboxes = jnp.asarray(
+        np.tile(np.array([400.0, 225.0, 220.0, 220.0], np.float32), (B, 1))
+    )
+
+    cfg = default_config()
+    estimator = PoseEstimator(cfg, SMPLFamily(cfg.SPIN.smpl_model_dir))
+    spin_bf16 = cast_backbone_params(estimator.variables)
+    info_reba, info_rula = map(jnp.asarray, default_packed_infos())
+
+    folded = fold_bn_params(init_yolo_params())
+    folded_bf16 = fold_bn_params(init_yolo_params(), jnp.bfloat16)
+    letter_bf16 = jax.jit(
+        lambda f: letterbox_device_rect(f, 416, compute_dtype=jnp.bfloat16)
+    )(frames)
+    qparams = jax.device_put(
+        quantize_yolo_params(
+            folded, calibrate_yolo_activations(folded, letter_bf16[:16].astype(jnp.float32))
+        )
+    )
+    folded_bf16 = jax.device_put(folded_bf16)
+
+    pose_step = jax.jit(
+        make_pose_and_score_step(cfg.SPIN.ief_iters, estimator.parents, jnp.bfloat16)
+    )
+    full_step = jax.jit(
+        make_full_frame_step(cfg.SPIN.ief_iters, estimator.parents,
+                             compute_dtype=jnp.bfloat16, fused_resample=True)
+    )
+
+    rows = []
+
+    def add(label, fn, args):
+        ms = timeit(fn, args, sync)
+        rows.append((label, ms))
+        print(f"  {label}: {ms:.2f} ms / {B} frames", flush=True)
+
+    print(f"profiling on {jax.devices()[0].platform}, batch {B}", flush=True)
+    add("letterbox rect (bf16)",
+        jax.jit(lambda f: letterbox_device_rect(f, 416, compute_dtype=jnp.bfloat16)),
+        (frames,))
+    add("crop 224 (bf16 jnp)",
+        jax.jit(lambda f, b: crop_batch(f, b, scale=1.2, out_size=224,
+                                        compute_dtype=jnp.bfloat16)),
+        (frames, bboxes))
+    add("fused letterbox+crop (pallas)",
+        jax.jit(lambda f, b: fused_letterbox_crop(f, b, compute_dtype=jnp.bfloat16)),
+        (frames, bboxes))
+    add("crop 224 (pallas)",
+        jax.jit(lambda f, b: crop_batch_pallas(f, b, compute_dtype=jnp.bfloat16)),
+        (frames, bboxes))
+    add("YOLOv3 fwd rect (bf16)",
+        jax.jit(lambda p, x: yolo_forward(p, x, 416, compute_dtype=jnp.bfloat16)),
+        (folded_bf16, letter_bf16))
+    add("YOLOv3 fwd rect (int8)",
+        jax.jit(lambda p, x: yolo_forward(p, x, 416, compute_dtype=jnp.bfloat16)),
+        (qparams, letter_bf16))
+    crops = jax.jit(
+        lambda f, b: crop_batch(f, b, scale=1.2, out_size=224,
+                                compute_dtype=jnp.float32)
+    )(frames, bboxes)
+    add("pose+score step (bf16)", pose_step,
+        (spin_bf16, estimator.smpl_params, crops, info_reba, info_rula))
+    add("FULL step (bench default)", full_step,
+        (qparams, spin_bf16, estimator.smpl_params, frames, bboxes,
+         info_reba, info_rula))
+
+    print("\n| stage | ms / %d frames | fps |" % B)
+    print("|---|---|---|")
+    for label, ms in rows:
+        print(f"| {label} | {ms:.2f} | {B / ms * 1000:.0f} |")
+
+
+if __name__ == "__main__":
+    main()
