@@ -80,12 +80,16 @@ def get_single_image_crop(image, bbox: Sequence[float], scale: float = 1.3,
 
 def get_single_image_crop_demo(image, bbox: Sequence[float], kp_2d=None,
                                scale: float = 1.2, crop_size: int = 224):
-    """(crop [0,1], raw crop [0,1], transformed kp_2d) -- the demo-path
-    wrapper (/root/reference/lib/utils/_img_utils.py:219-252): keypoints, if
-    given, are mapped through the same warp."""
+    """(crop [0,1], RAW crop uint8 0..255, transformed kp_2d) -- the
+    demo-path wrapper (/root/reference/lib/utils/_img_utils.py:219-252):
+    keypoints, if given, are mapped through the same warp. The reference
+    copies the warped image BEFORE convert_cvimg_to_tensor, so its second
+    return value is un-normalised 0..255 pixels (what visualisers
+    re-encode); only the first is the [0,1] network tensor."""
     from poserisk_release_tpu.io.keypoints import affine_transform_points
 
     crop = get_single_image_crop(image, bbox, scale=scale, crop_size=crop_size)
+    raw = np.clip(np.rint(crop * 255.0), 0, 255).astype(np.uint8)
     out_kp = None
     if kp_2d is not None:
         kp = np.asarray(kp_2d, np.float64).copy()
@@ -94,7 +98,7 @@ def get_single_image_crop_demo(image, bbox: Sequence[float], kp_2d=None,
             crop_size, crop_size, scale,
         )
         out_kp = kp
-    return crop, crop.copy(), out_kp
+    return crop, raw, out_kp
 
 
 def get_image_crops(image_file: str, bboxes) -> np.ndarray:
@@ -114,12 +118,19 @@ def get_image_crops(image_file: str, bboxes) -> np.ndarray:
         h, w = bb[2] - bb[0], bb[3] - bb[1]
         w = h = np.where(w / h > 1, w, h)
         centers.append(np.array([c_x, c_y, w, h], np.float32))
-    crops = crop_batch(
-        jnp.asarray(np.broadcast_to(img, (len(centers),) + img.shape)),
-        jnp.asarray(np.stack(centers)),
-        scale=1.3, out_size=224,
-    )
-    return np.asarray(crops)
+    # Chunk the box axis: crop_batch takes one image per box, and a single
+    # broadcast of a large still to N copies can dominate device memory
+    # (50 boxes x 4K frame ~ GBs); 8 shared-image copies at a time bounds it.
+    boxes = np.stack(centers)
+    out = []
+    for start in range(0, len(boxes), 8):
+        chunk = boxes[start : start + 8]
+        out.append(np.asarray(crop_batch(
+            jnp.asarray(np.broadcast_to(img, (len(chunk),) + img.shape)),
+            jnp.asarray(chunk),
+            scale=1.3, out_size=224,
+        )))
+    return np.concatenate(out, axis=0)
 
 
 def imagenet_denormalize(image_chw: np.ndarray) -> np.ndarray:

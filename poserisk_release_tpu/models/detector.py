@@ -205,18 +205,22 @@ def cast_conv_kernels(params: Dict[str, Dict], dtype) -> Dict[str, Dict]:
 # ---------------------------------------------------------------------------
 @partial(jax.jit, static_argnames=("compute_dtype",))
 def _calibration_walk(params: Dict[str, Dict], letterboxed: jnp.ndarray,
-                      compute_dtype) -> Dict[str, jnp.ndarray]:
-    # Module-level jit: the per-chunk calibration loop in YoloDetector must
-    # hit the SAME compiled graph every chunk (a jit built inside the
-    # calling function would be keyed on a fresh closure and recompile the
-    # 75-conv walk per chunk -- minutes per chunk through a TPU relay).
+                      compute_dtype):
+    """Returns ({conv_name: absmax}, decoded detections) from ONE walk.
+
+    Module-level jit: the per-chunk calibration loop in YoloDetector must
+    hit the SAME compiled graph every chunk (a jit built inside the calling
+    function would be keyed on a fresh closure and recompile the 75-conv
+    walk per chunk -- minutes per chunk through a TPU relay). The decoded
+    detections come along for free, so the calibrating first call detects
+    each chunk without running the graph a second time."""
     absmax: Dict[str, jnp.ndarray] = {}
 
     def tap(name: str, v: jnp.ndarray) -> None:
         absmax[name] = jnp.max(jnp.abs(v.astype(jnp.float32)))
 
-    _yolo_graph(params, letterboxed, compute_dtype, tap=tap)
-    return dict(absmax)
+    det = _yolo_graph(params, letterboxed, compute_dtype, tap=tap)
+    return dict(absmax), det
 
 
 def calibrate_yolo_activations(params: Dict[str, Dict], letterboxed: jnp.ndarray,
@@ -231,8 +235,8 @@ def calibrate_yolo_activations(params: Dict[str, Dict], letterboxed: jnp.ndarray
     dispatch (and through this environment's TPU relay, one remote compile)
     per op. Returns {conv_name: absmax}. Use merge_absmax to accumulate
     over several batches."""
-    vals = jax.device_get(_calibration_walk(params, letterboxed, compute_dtype))
-    return {k: float(v) for k, v in vals.items()}
+    vals, _ = _calibration_walk(params, letterboxed, compute_dtype)
+    return {k: float(v) for k, v in jax.device_get(vals).items()}
 
 
 def merge_absmax(a: Dict[str, float], b: Dict[str, float]) -> Dict[str, float]:
@@ -480,7 +484,7 @@ def _yolo_graph(params: Dict, images: jnp.ndarray, compute_dtype, tap=None
     return jnp.concatenate(detections, axis=1)
 
 
-@partial(jax.jit, static_argnames=("img_size", "k", "compute_dtype"))
+@partial(jax.jit, static_argnames=("k", "compute_dtype"))
 def yolo_forward_topk(params: Dict, images: jnp.ndarray, img_size: int = 416,
                       k: int = 256, compute_dtype=jnp.float32) -> jnp.ndarray:
     """yolo_forward + device-side top-k selection by person score.
@@ -499,7 +503,7 @@ def yolo_forward_topk(params: Dict, images: jnp.ndarray, img_size: int = 416,
     return jnp.take_along_axis(det, idx[..., None], axis=1)
 
 
-@partial(jax.jit, static_argnames=("img_size", "compute_dtype"))
+@partial(jax.jit, static_argnames=("compute_dtype",))
 def yolo_forward(params: Dict, images: jnp.ndarray, img_size: int = 416,
                  compute_dtype=jnp.float32) -> jnp.ndarray:
     """images: (B, H, W, 3) float32 in [0,1] letterboxed; H and W must be
@@ -510,7 +514,12 @@ def yolo_forward(params: Dict, images: jnp.ndarray, img_size: int = 416,
 
     compute_dtype=bfloat16 runs the conv tower at MXU-native precision (the
     decode heads return to f32); detection scores shift by <1e-2, well under
-    the 0.1 detection threshold's granularity."""
+    the 0.1 detection threshold's granularity.
+
+    img_size is accepted for API compatibility but unused (and deliberately
+    NOT a static jit arg): strides derive from the canvas shape, so varying
+    it must not trigger a recompile."""
+    del img_size
     return _yolo_graph(params, images, compute_dtype)
 
 
@@ -578,6 +587,13 @@ class YoloDetector:
     # like rect.
     int8: bool = False
 
+    @property
+    def needs_calibration(self) -> bool:
+        """True when int8 is requested but activation scales are not set yet
+        (the Predictor's windowed ingest calibrates explicitly up front
+        instead of letting the first 64-frame window pin the scales)."""
+        return self.int8 and not any("qkernel" in l for l in self.params.values())
+
     @classmethod
     def from_weights(cls, weights_path: str | None, fold_bn: bool = True,
                      **kwargs) -> "YoloDetector":
@@ -633,10 +649,15 @@ class YoloDetector:
             # feeding the conv tower directly.
             letter = letterbox(jnp.asarray(chunk), self.img_size)
             if calibrating:
+                # One walk yields the chunk's absmax AND its detections --
+                # no second full forward during the calibrating call.
+                vals, det_dev = _calibration_walk(self.params, letter, jnp.float32)
                 absmax = merge_absmax(
-                    absmax, calibrate_yolo_activations(self.params, letter)
+                    absmax,
+                    {k: float(v) for k, v in jax.device_get(vals).items()},
                 )
-            if self.max_device_dets:
+                raw = np.asarray(det_dev)
+            elif self.max_device_dets:
                 raw = np.asarray(
                     yolo_forward_topk(self.params, letter, self.img_size,
                                       k=self.max_device_dets,

@@ -108,8 +108,6 @@ def _letterbox_axis_matrix(out_size: int, pad: int, new_len: int, size: int):
     padding bands (the border term fills those). Built with numpy at trace
     time -- the letterbox geometry is static, so one (out, size) matrix is
     shared by the whole batch instead of crop_batch's per-image matrices."""
-    import numpy as np
-
     mat = np.zeros((out_size, size), np.float32)
     o = np.arange(pad, pad + new_len)
     src = np.clip((o - pad + 0.5) * (size / new_len) - 0.5, 0.0, size - 1.0)

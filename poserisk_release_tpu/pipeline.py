@@ -366,14 +366,23 @@ class Predictor:
         )
         return self._process_track(clip, bboxes, frames, info_path, output_path)
 
-    def _ingest_and_track_overlapped(self, input_path: str, window: int = 64):
+    def _ingest_and_track_overlapped(self, input_path: str,
+                                     window: int | None = None):
         """Decode windows on a background thread (streaming._window_stream)
         and feed them straight into the tracker: the YOLO forward of window k
         runs while window k+1 decodes. Frames are retained for the crop and
-        render stages, so peak memory matches the sequential path."""
+        render stages, so peak memory matches the sequential path.
+
+        The window size follows DETECTOR.batch_size (the knob that exists to
+        amortise device dispatch latency) so raising it actually widens the
+        detector batches."""
+        import itertools
+
         from poserisk_release_tpu.io.video import VideoClip
         from poserisk_release_tpu.streaming import _window_stream
 
+        if window is None:
+            window = int(self.cfg.DETECTOR.batch_size)
         fps = 0.0
         pieces = []
 
@@ -386,7 +395,21 @@ class Predictor:
                     pieces.append(item[2])
                     yield item[1], item[2]
 
-        tracking_results = self.tracker.track_windows(windows())
+        gen = iter(windows())
+        if getattr(self.tracker.detector, "needs_calibration", False):
+            # int8 PTQ lifecycle under windowed ingest: the detector's
+            # implicit whole-call calibration would otherwise complete after
+            # window 1 anyway (and leave that window detected by the float
+            # graph -- inconsistent within one video). Calibrate explicitly
+            # on the first decoded window, then detect EVERY window incl.
+            # the first through the int8 path. For production, prefer an
+            # explicit detector.calibrate() over representative frames --
+            # a dark opening window pins the scales either way.
+            first = next(gen, None)
+            if first is not None:
+                self.tracker.detector.calibrate(first[1])
+                gen = itertools.chain([first], gen)
+        tracking_results = self.tracker.track_windows(gen)
         if not pieces:
             raise ValueError(f"video decoded to zero frames: {input_path}")
         clip = VideoClip(frames=np.concatenate(pieces), fps=fps)

@@ -49,6 +49,15 @@ class MultiPersonTracker:
         people: Dict[int, Dict[str, list]] = {}
         for start_idx, frames_rgb in windows:
             detections = self.detector(frames_rgb)
+            if len(detections) != len(frames_rgb):
+                # A scripted stub that ignores its frames argument would
+                # otherwise replay ALL its detections per window, silently
+                # corrupting SORT state and frame indices.
+                raise ValueError(
+                    f"detector returned {len(detections)} per-frame results "
+                    f"for a {len(frames_rgb)}-frame window; detectors must "
+                    "emit exactly one (k, 5) array per input frame"
+                )
             for local_idx, dets in enumerate(detections):
                 tracks = tracker.update(np.asarray(dets, np.float64).reshape(-1, 5))
                 accumulate_tracks(people, start_idx + local_idx, tracks)

@@ -45,7 +45,10 @@ def test_get_single_image_crop_demo_keypoints(rng):
     kp = np.array([[60.0, 50.0, 1.0], [70.0, 55.0, 1.0]])
     crop, raw, kp_out = imutils.get_single_image_crop_demo(img, bbox, kp.copy())
     assert crop.shape == (224, 224, 3)
-    np.testing.assert_array_equal(crop, raw)
+    # reference parity: raw is the PRE-ToTensor warp output -- uint8 0..255
+    # (_img_utils.py:248 copies before convert_cvimg_to_tensor)
+    assert raw.dtype == np.uint8
+    np.testing.assert_allclose(raw / 255.0, crop, atol=0.5 / 255.0)
     # the bbox center maps to the crop center
     np.testing.assert_allclose(kp_out[0, :2], [112.0, 112.0], atol=1e-6)
     assert kp_out[0, 2] == 1.0  # confidence untouched

@@ -150,3 +150,33 @@ def test_multichip_mesh_run(synthetic_video, info_path, tmp_path):
     out2 = str(tmp_path / "single_out")
     summary2 = single(synthetic_video, info_path, out2)
     assert summary["REBA"][0] == summary2["REBA"][0]
+
+
+def test_windowed_int8_detector_calibrates_before_tracking(synthetic_video,
+                                                           info_path, tmp_path):
+    """Predictor + int8 YoloDetector + windows smaller than the clip: the
+    detector must be calibrated (quantized) up front from the first decoded
+    window -- not left to the implicit first-call lifecycle, which under
+    windowed ingest would pin scales after window 1 AND detect that window
+    with the float graph (inconsistent within one video)."""
+    from poserisk_release_tpu.models.detector import (
+        YoloDetector, fold_bn_params, init_yolo_params,
+    )
+
+    det = YoloDetector(
+        params=fold_bn_params(init_yolo_params()),
+        img_size=64, int8=True, rect=True, batch_size=8,
+        detection_threshold=0.999999,  # random weights: keep dets sparse
+    )
+    assert det.needs_calibration
+    cfg = _test_config().replace(DETECTOR={"batch_size": 8})
+    predictor = Predictor(cfg=cfg, score_type="REBA", detector=det,
+                          visualize=False)
+    try:
+        predictor(synthetic_video, info_path, str(tmp_path / "out"))
+    except ValueError as exc:
+        # random-weight detections at this threshold may leave no usable
+        # track; the lifecycle assertion below is the point of the test
+        assert "track" in str(exc) or "person" in str(exc)
+    assert not det.needs_calibration  # quantized during the run
+    assert any("qkernel" in l for l in det.params.values())
