@@ -164,6 +164,44 @@ def main() -> None:
     for label, ms in rows:
         print(f"| {label} | {ms:.2f} | {B / ms * 1000:.0f} |")
 
+    # Serving latency: per-step time of the FULL graph at small batches,
+    # measured with the loop INSIDE one jit (lax.fori_loop threading the
+    # step output back into the input signal) -- the only formulation whose
+    # small-batch numbers reflect the chip rather than the relay's
+    # 10-100 ms per-dispatch round trip. The loop index perturbs the frames
+    # so XLA cannot hoist the body out of the loop.
+    STEPS = 16
+    print("\n| serving latency (full step, loop-in-jit) | ms / step |")
+    print("|---|---|")
+    for b in (1, 8, 32):
+        fr = frames[:b]
+        bb = bboxes[:b]
+
+        def looped(fr, bb, qp, sv, sp, ir, iu):
+            # params enter as arguments (not jit-captured constants)
+            def body(i, acc):
+                f = fr + i.astype(jnp.uint8)  # wraps mod 256; breaks hoisting
+                reba, rula, det = full_step(qp, sv, sp, f, bb, ir, iu)
+                return acc + jnp.sum(reba) + jnp.sum(det)
+            return jax.lax.fori_loop(0, STEPS, body, jnp.float32(0))
+
+        fn = jax.jit(looped)
+        args = (fr, bb, qparams, spin_bf16, estimator.smpl_params,
+                info_reba, info_rula)
+
+        def fn_call():
+            return fn(*args)
+
+        float(fn_call())  # compile + warm
+
+        def one() -> float:
+            t0 = time.perf_counter()
+            float(fn_call())
+            return time.perf_counter() - t0
+
+        ms = min(one(), one()) / STEPS * 1000
+        print(f"| batch {b} | {ms:.2f} |")
+
 
 if __name__ == "__main__":
     main()
