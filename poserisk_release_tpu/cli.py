@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="print per-stage wall-clock report after the run")
     parser.add_argument("--fast", action="store_true",
                         help="bfloat16 SPIN backbone (4.2x pose step; <0.1 deg angle drift)")
+    parser.add_argument("--spin_int8", action="store_true",
+                        help="int8 PTQ SPIN backbone (calibrated + bias-"
+                             "corrected on the first crop batch; ~0.17 deg "
+                             "median angle drift -- docs/PERF.md)")
     parser.add_argument("--fast_detector", action="store_true",
                         help="rect canvas + int8 PTQ detector (2.1x; see "
                              "docs/PARITY.md for the quantified deviations)")
@@ -89,6 +93,7 @@ def main(argv=None) -> int:
         gender=args.gender,
         multi_person=args.multi_person,
         fast=args.fast,
+        spin_int8=args.spin_int8,
         validate_rotations=args.validate_rotations,
     )
     predictor(args.input, args.info, args.output)

@@ -65,12 +65,20 @@ class PoseEstimator:
 
     def __init__(self, cfg: Config, smpl_family: SMPLFamily,
                  mesh: Optional[object] = None, variables: Optional[Dict] = None,
-                 gender: str = "neutral", fast: bool = False):
+                 gender: str = "neutral", fast: bool = False,
+                 spin_int8: bool = False):
         """fast=True runs the SPIN backbone in bfloat16 with bf16-stored
         params (4.2x on the pose step, <0.1 deg angle drift); the default is
-        the strict f32 parity configuration."""
+        the strict f32 parity configuration.
+
+        spin_int8=True additionally routes the ResNet-50 backbone through
+        the int8 MXU path (models/resnet_int8), PTQ-calibrated with bias
+        correction on the FIRST batch of crops this estimator processes
+        (same implicit lifecycle as the int8 detector). Opt-in: with this
+        image's random weights the induced angle drift is median ~0.17 deg
+        against integer-degree scoring thresholds (docs/PERF.md)."""
         self.cfg = cfg
-        dtype = jnp.bfloat16 if fast else jnp.float32
+        self._dtype = dtype = jnp.bfloat16 if fast else jnp.float32
         self.mesh = mesh
         neutral = smpl_family[gender]
         self.smpl_params = smpl_params_to_jax(neutral)
@@ -81,6 +89,11 @@ class PoseEstimator:
 
         self._pose_core = make_pose_core(cfg.SPIN.ief_iters, self.parents, dtype)
         self.variables = variables if variables is not None else self._load_variables(cfg)
+        # Keep the f32 tree for PTQ folding (BN stats fold in f32 even when
+        # the live variables are bf16-stored).
+        self._variables_f32 = self.variables
+        self._spin_int8 = bool(spin_int8)
+        self._quant_backbone = None
         if fast:
             from poserisk_release_tpu.models.spin import cast_backbone_params
 
@@ -117,6 +130,29 @@ class PoseEstimator:
             n_iter=cfg.SPIN.ief_iters,
         )
 
+    def _ensure_spin_quantized(self, calib_crops) -> None:
+        """spin_int8 lifecycle: fold+calibrate+bias-correct the backbone on
+        the first crops this estimator sees, then rebuild the jitted steps
+        around the quantized core. No-op once quantized (or if disabled)."""
+        if not self._spin_int8 or self._quant_backbone is not None:
+            return
+        from poserisk_release_tpu.models.spin import quantize_spin_backbone
+        from poserisk_release_tpu.throughput import make_pose_core
+
+        calib = jnp.asarray(calib_crops, jnp.float32)[:8]
+        quant = quantize_spin_backbone(self._variables_f32, calib)
+        if self.mesh is not None:
+            quant = pmesh.replicate_tree(self.mesh, quant)
+        else:
+            quant = jax.device_put(quant)
+        self._quant_backbone = quant
+        self._pose_core = make_pose_core(
+            self.cfg.SPIN.ief_iters, self.parents, self._dtype,
+            quant_backbone=quant,
+        )
+        self._step = jax.jit(self._pose_step)
+        self._step_frames = jax.jit(self._pose_step_from_frames)
+
     def _pose_step(self, variables, smpl_params, crops):
         # Single source of truth for the ordering-sensitive pose math:
         # throughput.make_pose_core (shared with the fused bench graph).
@@ -149,6 +185,8 @@ class PoseEstimator:
         chunk == 0 picks frames_per_step * mesh_size (static shapes, one
         compile); the final partial chunk is edge-padded then trimmed.
         """
+        if crops.shape[0]:
+            self._ensure_spin_quantized(crops[:8])
         return self._run_chunked(
             crops.shape[0],
             lambda start, size: (crops[start : start + size],),
@@ -167,6 +205,14 @@ class PoseEstimator:
         `run` remains for callers that already hold crops."""
         frame_ids = np.asarray(frame_ids)
         bboxes = np.asarray(bboxes, np.float32)
+        if self._spin_int8 and self._quant_backbone is None and len(frame_ids):
+            calib = crop_batch(
+                jnp.asarray(frames_rgb[frame_ids[:8]]),
+                jnp.asarray(bboxes[:8]),
+                scale=float(self.cfg.DATASET.bbox_scale),
+                out_size=int(self.cfg.MODEL.input_shape[0]),
+            )
+            self._ensure_spin_quantized(calib)
         return self._run_chunked(
             len(frame_ids),
             lambda start, size: (
@@ -252,6 +298,7 @@ class Predictor:
         gender: str = "neutral",
         multi_person: bool = False,
         fast: bool = False,
+        spin_int8: bool = False,
         validate_rotations: bool = False,
     ):
         self.cfg = cfg or default_config()
@@ -261,7 +308,7 @@ class Predictor:
         self.lbs_neutral = LBS(self.smpl[gender])
         self.pose_estimator = PoseEstimator(
             self.cfg, self.smpl, mesh=mesh, variables=spin_variables, gender=gender,
-            fast=fast,
+            fast=fast, spin_int8=spin_int8,
         )
 
         if detector is None:

@@ -110,6 +110,23 @@ def test_quant_hmr_head_math_identical(estimator, folded, crops):
     np.testing.assert_allclose(np.asarray(c_q), np.asarray(c_ref), atol=5e-4)
 
 
+def test_pose_estimator_spin_int8_lifecycle(small_chunk_config, rng):
+    """The product surface for the int8 backbone (Predictor --spin_int8):
+    the estimator quantizes on the FIRST batch it processes (fold +
+    calibrate + bias-correct) and then scores through the int8 core."""
+    est = PoseEstimator(
+        small_chunk_config, SMPLFamily(small_chunk_config.SPIN.smpl_model_dir),
+        spin_int8=True,
+    )
+    assert est._quant_backbone is None
+    frames = rng.randint(0, 255, (8, 96, 128, 3)).astype(np.uint8)
+    bboxes = np.tile(np.array([64.0, 48.0, 40.0, 60.0], np.float32), (8, 1))
+    euler, joint_cam, _aa = est.run_from_frames(frames, np.arange(8), bboxes)
+    assert est._quant_backbone is not None  # calibrated during the run
+    assert euler.shape == (8, 24, 3) and np.isfinite(np.asarray(euler)).all()
+    assert joint_cam.shape == (8, 24, 3)
+
+
 def test_quant_pose_core_runs(estimator, folded, crops):
     """The throughput pose core accepts a quantized backbone and produces
     valid rotations end to end."""
