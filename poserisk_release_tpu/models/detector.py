@@ -497,7 +497,14 @@ def yolo_forward_topk(params: Dict, images: jnp.ndarray, img_size: int = 416,
     score clears the threshold the k-cap MAY have truncated candidates --
     YoloDetector falls back to the full pull for that chunk, so host results
     are always identical to the unfiltered path."""
-    det = _yolo_graph(params, images, compute_dtype)
+    del img_size
+    return _topk_select(_yolo_graph(params, images, compute_dtype), k)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _topk_select(det: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(B, anchors, 5) -> the k best by score, score-descending (ties by
+    lower anchor index, per lax.top_k -- load-bearing for NMS determinism)."""
     k = min(k, det.shape[1])  # small canvases can have < k anchors
     _, idx = jax.lax.top_k(det[..., 4], k)
     return jnp.take_along_axis(det, idx[..., None], axis=1)
@@ -650,13 +657,20 @@ class YoloDetector:
             letter = letterbox(jnp.asarray(chunk), self.img_size)
             if calibrating:
                 # One walk yields the chunk's absmax AND its detections --
-                # no second full forward during the calibrating call.
+                # no second full forward during the calibrating call. The
+                # top-k transfer reduction (and its truncation-guarded
+                # fallback) applies here too: det_dev is already on device.
                 vals, det_dev = _calibration_walk(self.params, letter, jnp.float32)
                 absmax = merge_absmax(
                     absmax,
                     {k: float(v) for k, v in jax.device_get(vals).items()},
                 )
-                raw = np.asarray(det_dev)
+                if self.max_device_dets:
+                    raw = np.asarray(_topk_select(det_dev, self.max_device_dets))
+                    if (raw[:, -1, 4] > self.detection_threshold).any():
+                        raw = np.asarray(det_dev)
+                else:
+                    raw = np.asarray(det_dev)
             elif self.max_device_dets:
                 raw = np.asarray(
                     yolo_forward_topk(self.params, letter, self.img_size,

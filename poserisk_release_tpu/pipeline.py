@@ -60,6 +60,30 @@ def _finite(value):
     return value if np.isfinite(v) else None
 
 
+def load_spin_variables(cfg: Config) -> Dict:
+    """SPIN weights resolution: converted-npz cache > torch checkpoint
+    (converted once, init_* filled from mean params, then cached) > random
+    init with mean params. THE single conversion path -- tools that ingest
+    a checkpoint (e.g. tools/validate_real_assets.py) reuse this so the
+    logic cannot drift from the Predictor's."""
+    npz_path = cfg.SPIN.checkpoint + ".flax.npz"
+    if osp.isfile(npz_path):
+        return model_convert.load_flax_variables(npz_path)
+    if osp.isfile(cfg.SPIN.checkpoint):
+        variables = model_convert.load_spin_checkpoint(cfg.SPIN.checkpoint)
+        mean = load_mean_params(cfg.SPIN.smpl_mean_params)
+        params = dict(variables["params"])
+        for key in ("init_pose", "init_shape", "init_cam"):
+            params.setdefault(key, jnp.asarray(mean[key]))
+        variables["params"] = params
+        model_convert.save_flax_variables(variables, npz_path)
+        return variables
+    return init_spin_params(
+        jax.random.PRNGKey(0), load_mean_params(cfg.SPIN.smpl_mean_params),
+        n_iter=cfg.SPIN.ief_iters,
+    )
+
+
 class PoseEstimator:
     """Crops -> (euler deg, joint_cam mm, axis-angle) in one jitted graph."""
 
@@ -90,8 +114,9 @@ class PoseEstimator:
         self._pose_core = make_pose_core(cfg.SPIN.ief_iters, self.parents, dtype)
         self.variables = variables if variables is not None else self._load_variables(cfg)
         # Keep the f32 tree for PTQ folding (BN stats fold in f32 even when
-        # the live variables are bf16-stored).
-        self._variables_f32 = self.variables
+        # the live variables are bf16-stored) -- only while int8 needs it;
+        # otherwise fast mode must be able to release the f32 copy.
+        self._variables_f32 = self.variables if spin_int8 else None
         self._spin_int8 = bool(spin_int8)
         self._quant_backbone = None
         if fast:
@@ -112,23 +137,7 @@ class PoseEstimator:
         self._step_frames = jax.jit(self._pose_step_from_frames)
 
     def _load_variables(self, cfg: Config) -> Dict:
-        """Converted-npz > torch checkpoint > random init with mean params."""
-        npz_path = cfg.SPIN.checkpoint + ".flax.npz"
-        if osp.isfile(npz_path):
-            return model_convert.load_flax_variables(npz_path)
-        if osp.isfile(cfg.SPIN.checkpoint):
-            variables = model_convert.load_spin_checkpoint(cfg.SPIN.checkpoint)
-            mean = load_mean_params(cfg.SPIN.smpl_mean_params)
-            params = dict(variables["params"])
-            for key in ("init_pose", "init_shape", "init_cam"):
-                params.setdefault(key, jnp.asarray(mean[key]))
-            variables["params"] = params
-            model_convert.save_flax_variables(variables, npz_path)
-            return variables
-        return init_spin_params(
-            jax.random.PRNGKey(0), load_mean_params(cfg.SPIN.smpl_mean_params),
-            n_iter=cfg.SPIN.ief_iters,
-        )
+        return load_spin_variables(cfg)
 
     def _ensure_spin_quantized(self, calib_crops) -> None:
         """spin_int8 lifecycle: fold+calibrate+bias-correct the backbone on

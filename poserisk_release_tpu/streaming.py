@@ -274,13 +274,9 @@ class StreamingScorer:
 
     # -- shared helpers ----------------------------------------------------
     def _detect(self, frames: np.ndarray) -> List[np.ndarray]:
-        detections = self.detector(frames)
-        if len(detections) != len(frames):
-            raise ValueError(
-                f"detector returned {len(detections)} per-frame results "
-                f"for a {len(frames)}-frame window"
-            )
-        return detections
+        from poserisk_release_tpu.tracking.mpt import detect_frames
+
+        return detect_frames(self.detector, frames)
 
     def _scorers(self):
         from poserisk_release_tpu.scoring.reba import REBAScorer

@@ -48,20 +48,27 @@ class MultiPersonTracker:
         )
         people: Dict[int, Dict[str, list]] = {}
         for start_idx, frames_rgb in windows:
-            detections = self.detector(frames_rgb)
-            if len(detections) != len(frames_rgb):
-                # A scripted stub that ignores its frames argument would
-                # otherwise replay ALL its detections per window, silently
-                # corrupting SORT state and frame indices.
-                raise ValueError(
-                    f"detector returned {len(detections)} per-frame results "
-                    f"for a {len(frames_rgb)}-frame window; detectors must "
-                    "emit exactly one (k, 5) array per input frame"
-                )
+            detections = detect_frames(self.detector, frames_rgb)
             for local_idx, dets in enumerate(detections):
                 tracks = tracker.update(np.asarray(dets, np.float64).reshape(-1, 5))
                 accumulate_tracks(people, start_idx + local_idx, tracks)
         return finalize_tracks(people)
+
+
+def detect_frames(detector, frames_rgb) -> List[np.ndarray]:
+    """Run the detector on one window and validate the per-frame contract
+    (exactly one (k, 5) array per input frame). A scripted stub that ignores
+    its frames argument would otherwise replay ALL its detections per
+    window, silently corrupting SORT state and frame indices. Shared by the
+    whole-clip tracker and the streaming scorer."""
+    detections = detector(frames_rgb)
+    if len(detections) != len(frames_rgb):
+        raise ValueError(
+            f"detector returned {len(detections)} per-frame results for a "
+            f"{len(frames_rgb)}-frame window; detectors must emit exactly "
+            "one (k, 5) array per input frame"
+        )
+    return detections
 
 
 def accumulate_tracks(people: Dict[int, Dict[str, list]], frame_idx: int,

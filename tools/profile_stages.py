@@ -174,6 +174,9 @@ def main() -> None:
     print("\n| serving latency (full step, loop-in-jit) | ms / step |")
     print("|---|---|")
     for b in (1, 8, 32):
+        if b > B:
+            print(f"| batch {b} | (skipped: tool batch arg is {B}) |")
+            continue
         fr = frames[:b]
         bb = bboxes[:b]
 

@@ -103,18 +103,15 @@ def main() -> None:
     else:
         import torch
 
-        from poserisk_release_tpu.models import convert as model_convert
         from poserisk_release_tpu.models.spin import (
             HMR, cast_backbone_params, load_mean_params, quantize_spin_backbone,
         )
         from poserisk_release_tpu.ops.rotations import rotmat_to_euler_deg
+        from poserisk_release_tpu.pipeline import load_spin_variables
 
-        variables = model_convert.load_spin_checkpoint(cfg.SPIN.checkpoint)
+        # THE conversion path the Predictor uses (incl. the .flax.npz cache)
+        variables = load_spin_variables(cfg)
         mean = load_mean_params(cfg.SPIN.smpl_mean_params)
-        params = dict(variables["params"])
-        for key in ("init_pose", "init_shape", "init_cam"):
-            params.setdefault(key, jnp.asarray(mean[key]))
-        variables["params"] = params
         crops = jnp.asarray(rng.rand(8, 224, 224, 3).astype(np.float32))
 
         model = HMR(n_iter=cfg.SPIN.ief_iters)
@@ -239,8 +236,16 @@ def main() -> None:
                     continue
                 rows_s = open(csv_s).read().splitlines()
                 rows_f = open(csv_f).read().splitlines()
-                flips = sum(a != b for a, b in zip(rows_s, rows_f))
-                print(f"  {osp.basename(csv_s)}: {flips}/{len(rows_s)} "
+                # Positional zip would silently drop tail rows when the two
+                # runs tracked different frame counts -- count those as
+                # disagreements (they ARE fast-path deviations).
+                n = max(len(rows_s), len(rows_f))
+                flips = sum(
+                    1 for i in range(n)
+                    if (rows_s[i] if i < len(rows_s) else None)
+                    != (rows_f[i] if i < len(rows_f) else None)
+                )
+                print(f"  {osp.basename(csv_s)}: {flips}/{n} "
                       f"differing per-frame rows strict vs all-fast", flush=True)
 
     print("\ndone.", flush=True)
