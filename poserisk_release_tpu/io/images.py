@@ -118,6 +118,8 @@ def get_image_crops(image_file: str, bboxes) -> np.ndarray:
         h, w = bb[2] - bb[0], bb[3] - bb[1]
         w = h = np.where(w / h > 1, w, h)
         centers.append(np.array([c_x, c_y, w, h], np.float32))
+    if not centers:
+        return np.zeros((0, 224, 224, 3), np.float32)
     # Chunk the box axis: crop_batch takes one image per box, and a single
     # broadcast of a large still to N copies can dominate device memory
     # (50 boxes x 4K frame ~ GBs); 8 shared-image copies at a time bounds it.

@@ -236,6 +236,10 @@ def calibrate_yolo_activations(params: Dict[str, Dict], letterboxed: jnp.ndarray
     per op. Returns {conv_name: absmax}. Use merge_absmax to accumulate
     over several batches."""
     vals, _ = _calibration_walk(params, letterboxed, compute_dtype)
+    return _absmax_floats(vals)
+
+
+def _absmax_floats(vals: Dict[str, jnp.ndarray]) -> Dict[str, float]:
     return {k: float(v) for k, v in jax.device_get(vals).items()}
 
 
@@ -594,6 +598,20 @@ class YoloDetector:
     # like rect.
     int8: bool = False
 
+    def _pull_detections(self, det_dev) -> np.ndarray:
+        """Device-resident full decode -> host array, via the top-k transfer
+        reduction when enabled: pull only the k best per frame; if some
+        frame's k-th score still clears the threshold the cap MAY have
+        truncated its candidate set, so fall back to pulling the full
+        tensor -- a pure transfer, never a recompute (det_dev is already
+        computed). Shared by the calibrating and steady-state branches so
+        the truncation guard cannot diverge between them."""
+        if self.max_device_dets:
+            raw = np.asarray(_topk_select(det_dev, self.max_device_dets))
+            if not (raw[:, -1, 4] > self.detection_threshold).any():
+                return raw
+        return np.asarray(det_dev)
+
     @property
     def needs_calibration(self) -> bool:
         """True when int8 is requested but activation scales are not set yet
@@ -657,40 +675,13 @@ class YoloDetector:
             letter = letterbox(jnp.asarray(chunk), self.img_size)
             if calibrating:
                 # One walk yields the chunk's absmax AND its detections --
-                # no second full forward during the calibrating call. The
-                # top-k transfer reduction (and its truncation-guarded
-                # fallback) applies here too: det_dev is already on device.
+                # no second full forward during the calibrating call.
                 vals, det_dev = _calibration_walk(self.params, letter, jnp.float32)
-                absmax = merge_absmax(
-                    absmax,
-                    {k: float(v) for k, v in jax.device_get(vals).items()},
-                )
-                if self.max_device_dets:
-                    raw = np.asarray(_topk_select(det_dev, self.max_device_dets))
-                    if (raw[:, -1, 4] > self.detection_threshold).any():
-                        raw = np.asarray(det_dev)
-                else:
-                    raw = np.asarray(det_dev)
-            elif self.max_device_dets:
-                raw = np.asarray(
-                    yolo_forward_topk(self.params, letter, self.img_size,
-                                      k=self.max_device_dets,
-                                      compute_dtype=compute_dtype)
-                )
-                if (raw[:, -1, 4] > self.detection_threshold).any():
-                    # Some frame's k-th best still clears the threshold: the
-                    # cap may have truncated its candidate set (dense scene
-                    # or uncalibrated weights). Exactness over bandwidth --
-                    # re-pull this chunk unfiltered.
-                    raw = np.asarray(
-                        yolo_forward(self.params, letter, self.img_size,
-                                     compute_dtype=compute_dtype)
-                    )
+                absmax = merge_absmax(absmax, _absmax_floats(vals))
             else:
-                raw = np.asarray(
-                    yolo_forward(self.params, letter, self.img_size,
-                                 compute_dtype=compute_dtype)
-                )
+                det_dev = yolo_forward(self.params, letter, self.img_size,
+                                       compute_dtype=compute_dtype)
+            raw = self._pull_detections(det_dev)
             for det in raw:
                 mask = det[:, 4] > self.detection_threshold
                 det = det[mask]
@@ -732,6 +723,11 @@ class YoloDetector:
             raise ValueError("calibrate() requires int8=True")
         if any("qkernel" in l for l in self.params.values()):
             return  # already quantized
+        if not any("folded_bias_leaky" in l for l in self.params.values()):
+            # Fail BEFORE the expensive float walk: quantize_yolo_params
+            # would silently no-op on unfolded params and the next __call__
+            # would raise anyway (same check/message as __call__).
+            raise ValueError("int8 PTQ requires BN-folded params (fold_bn=True)")
         letterbox = letterbox_device_rect if self.rect else letterbox_device
         absmax: Dict[str, float] = {}
         N = frames_rgb.shape[0]

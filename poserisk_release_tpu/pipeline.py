@@ -155,6 +155,7 @@ class PoseEstimator:
         else:
             quant = jax.device_put(quant)
         self._quant_backbone = quant
+        self._variables_f32 = None  # folding done; release the f32 copy
         self._pose_core = make_pose_core(
             self.cfg.SPIN.ief_iters, self.parents, self._dtype,
             quant_backbone=quant,
