@@ -608,7 +608,18 @@ class YoloDetector:
         the truncation guard cannot diverge between them."""
         if self.max_device_dets:
             raw = np.asarray(_topk_select(det_dev, self.max_device_dets))
-            if not (raw[:, -1, 4] > self.detection_threshold).any():
+            if raw.shape[1] >= det_dev.shape[1]:
+                # k covered every anchor: raw IS the full set (sorted); a
+                # second full pull would only double the transfer.
+                return raw
+            scores = raw[..., 4]
+            # Non-finite scores would break the guard two ways: a NaN in the
+            # top-k can evict a finite above-threshold detection while the
+            # `> thr` comparison on the NaN k-th score reads False, silently
+            # skipping the fallback. Any non-finite score -> pull in full.
+            if np.isfinite(scores).all() and not (
+                scores[:, -1] > self.detection_threshold
+            ).any():
                 return raw
         return np.asarray(det_dev)
 

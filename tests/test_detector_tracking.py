@@ -121,6 +121,43 @@ class TestYolo:
             for a, b in zip(full, topk):
                 np.testing.assert_array_equal(a, b)
 
+    def test_pull_detections_skips_fallback_when_k_covers_all_anchors(self):
+        """When max_device_dets >= the anchor count, the top-k result IS the
+        complete set (just score-sorted) -- the truncation guard must not
+        trigger a second, redundant full transfer even when every score
+        clears the threshold."""
+        rng = np.random.RandomState(0)
+        det_dev = jnp.asarray(rng.uniform(0.5, 1.0, (2, 10, 5)).astype(np.float32))
+        d = det.YoloDetector(params={}, detection_threshold=0.1,
+                             max_device_dets=256)
+        raw = d._pull_detections(det_dev)
+        assert raw.shape == (2, 10, 5)
+        # The complete-set early return is the SORTED tensor (the old
+        # fallback returned det_dev unsorted); content must match per frame.
+        assert (np.diff(raw[:, :, 4], axis=1) <= 0).all()
+        for b in range(2):
+            np.testing.assert_array_equal(
+                np.sort(raw[b], axis=0), np.sort(np.asarray(det_dev)[b], axis=0)
+            )
+
+    def test_pull_detections_nan_scores_force_full_pull(self):
+        """A NaN score inside the top-k could evict finite above-threshold
+        detections while the k-th-score guard (NaN > thr is False) never
+        fires -- non-finite scores must force the full pull."""
+        rng = np.random.RandomState(1)
+        full = rng.uniform(0.0, 0.05, (1, 300, 5)).astype(np.float32)
+        # Every score NaN except one finite above-threshold detection: the
+        # top-16 then necessarily contains NaNs whatever lax.top_k's NaN
+        # order is.
+        full[0, :, 4] = np.nan
+        full[0, 250, 4] = 0.9
+        det_dev = jnp.asarray(full)
+        d = det.YoloDetector(params={}, detection_threshold=0.1,
+                             max_device_dets=16)
+        raw = d._pull_detections(det_dev)
+        assert raw.shape == (1, 300, 5)  # full pull, not the k=16 slice
+        np.testing.assert_array_equal(raw, full)
+
     def test_rect_path_equals_square_on_degenerate_geometry(self, params):
         """H=53, W=80 @ img_size 160: the rect canvas geometry degenerates to
         the exact square letterbox (content 160x106, pads 27/27). The rect
