@@ -233,6 +233,31 @@ def quat_to_rotmat(quat: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
+def rotation_matrix_to_rot_vec(R: jnp.ndarray) -> jnp.ndarray:
+    """Named counterpart of the reference's standalone scalar util
+    rotation_matrix_to_rotVec (coord_utils.py:32-43), vmappable over (..., 3, 3).
+
+    Deliberately replicates the reference formula rather than delegating to
+    rotmat_to_axis_angle (the cv2 mirror): theta = arccos((trace-1)/2), and
+    the degenerate test is `sin(theta) == 0` EXACTLY -- in floats that fires
+    only for theta == 0 (math.sin(pi) is ~1.2e-16, not 0), so near-pi
+    matrices go through the generic formula and degrade, exactly like the
+    reference. Deviation: an invalid trace (|c| > 1 from accumulated error)
+    yields NaN here where math.acos would raise ValueError.
+    """
+    R = jnp.asarray(R)
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    theta = jnp.arccos((trace - 1.0) * 0.5)
+    sin_theta = jnp.sin(theta)
+    degenerate = sin_theta == 0
+    multi = 1.0 / (2.0 * jnp.where(degenerate, jnp.ones_like(sin_theta), sin_theta))
+    rx = multi * (R[..., 2, 1] - R[..., 1, 2]) * theta
+    ry = multi * (R[..., 0, 2] - R[..., 2, 0]) * theta
+    rz = multi * (R[..., 1, 0] - R[..., 0, 1]) * theta
+    vec = jnp.stack([rx, ry, rz], axis=-1)
+    return jnp.where(degenerate[..., None], jnp.zeros_like(vec), vec)
+
+
 def euler_deg_to_axis_angle(euler_deg: jnp.ndarray) -> jnp.ndarray:
     """XYZ Euler degrees (..., 3) -> axis-angle, cv2 convention.
 

@@ -230,6 +230,20 @@ def render_joint_cam_video(
 SMPL_RIGHT_JOINTS = (2, 5, 8, 11, 14, 17, 19, 21, 23)
 
 
+def axis_equal_3d(ax) -> None:
+    """Equalize a 3-D axes' aspect from its CURRENT limits
+    (vis_utils.py:172-179 parity): each axis is re-centered on its midpoint
+    with half-range = half the largest current extent. Called after
+    vis_3d_pose's fixed +-800 limits it is an exact no-op (every extent is
+    already 1600 and centered on 0), matching the reference's call order."""
+    extents = np.array([getattr(ax, f"get_{dim}lim")() for dim in "xyz"])
+    sz = extents[:, 1] - extents[:, 0]
+    centers = np.mean(extents, axis=1)
+    r = max(abs(sz)) / 2
+    for ctr, dim in zip(centers, "xyz"):
+        getattr(ax, f"set_{dim}lim")(ctr - r, ctr + r)
+
+
 def vis_3d_pose(
     kps_3d: np.ndarray,
     skeleton: Sequence,
@@ -261,5 +275,6 @@ def vis_3d_pose(
     ax.set_ylim3d(-800, 800)
     ax.set_zlim3d(-800, 800)
     ax.set_title(f"3D Skeleton - frame: {frame}")
+    axis_equal_3d(ax)  # reference call order (vis_utils.py:230); no-op here
     fig.savefig(file_path)
     plt.close(fig=fig)

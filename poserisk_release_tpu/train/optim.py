@@ -82,6 +82,37 @@ def lr_warmup(base_lr: float, epoch: int, base_epochs: int) -> float:
     return base_lr * (epoch / base_epochs)
 
 
+def lr_check(lr, epoch: int) -> float:
+    """Training-loop LR report (funcs_utils.py:96-104 parity).
+
+    The reference resolves the optimizer's current lr and prints
+    `Current epoch {epoch}, lr: {lr}`; its warmup call is dead code (guarded
+    by `if False and epoch <= base_epoch`), so none happens here either.
+    Accepts either a float lr or an optax schedule (called at `epoch`)."""
+    curr_lr = float(lr(epoch)) if callable(lr) else float(lr)
+    print(f"Current epoch {epoch}, lr: {curr_lr}")
+    return curr_lr
+
+
+def get_scheduler(
+    name: str | None,
+    base_lr: float,
+    milestones: Iterable[int] = (),
+    gamma: float = 0.1,
+):
+    """Config-driven scheduler factory (funcs_utils.py:181-189 parity).
+
+    'step' -> MultiStepLR-equivalent optax schedule (step_schedule);
+    'platue' (the reference's spelling) -> host-side PlateauScheduler with
+    the reference's hardwired mode='min', patience=10, min_lr=1e-5; any
+    other name -> None, exactly like the reference's fall-through."""
+    if name == "step":
+        return step_schedule(base_lr, milestones, gamma)
+    if name == "platue":
+        return PlateauScheduler(lr=base_lr, factor=gamma, patience=10, min_lr=1e-5)
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint IO (flat-npz pytree store; no torch on the runtime path).
 # Shares the '/'-joined flatten/unflatten with models.convert so there is

@@ -9,11 +9,52 @@ import jax.numpy as jnp
 from poserisk_release_tpu.body.smpl import SKELETON
 from poserisk_release_tpu.ops import rotations as R
 from poserisk_release_tpu.outputs.render import (
+    axis_equal_3d,
     render_joint_cam_video,
     vis_keypoints,
     vis_keypoints_with_skeleton,
 )
 from tests.oracles import reference_geometry as oracle
+
+
+def _axes3d():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure()
+    return fig, fig.add_subplot(111, projection="3d")
+
+
+def test_axis_equal_3d_equalizes_uneven_limits():
+    """vis_utils.py:172-179 parity: each axis re-centered on its midpoint
+    with half-range = half the LARGEST current extent."""
+    import matplotlib.pyplot as plt
+
+    fig, ax = _axes3d()
+    ax.set_xlim3d(0, 10)
+    ax.set_ylim3d(-2, 2)
+    ax.set_zlim3d(100, 101)
+    axis_equal_3d(ax)
+    np.testing.assert_allclose(ax.get_xlim3d(), (0.0, 10.0))
+    np.testing.assert_allclose(ax.get_ylim3d(), (-5.0, 5.0))
+    np.testing.assert_allclose(ax.get_zlim3d(), (95.5, 105.5))
+    plt.close(fig)
+
+
+def test_axis_equal_3d_noop_on_symmetric_limits():
+    """After vis_3d_pose's fixed +-800 limits the reference's call is a
+    no-op; ours must be too."""
+    import matplotlib.pyplot as plt
+
+    fig, ax = _axes3d()
+    for dim in "xyz":
+        getattr(ax, f"set_{dim}lim3d")(-800, 800)
+    axis_equal_3d(ax)
+    for dim in "xyz":
+        np.testing.assert_allclose(getattr(ax, f"get_{dim}lim3d")(), (-800.0, 800.0))
+    plt.close(fig)
 
 
 def test_vis_keypoints(rng):

@@ -72,6 +72,47 @@ class TestRotmatToAxisAngle:
         np.testing.assert_allclose(back, aas, atol=1e-2)
 
 
+class TestRotationMatrixToRotVec:
+    """Named counterpart of the reference's scalar rotation_matrix_to_rotVec
+    (coord_utils.py:32-43), including its exact `sin(theta) == 0` degenerate
+    test."""
+
+    @staticmethod
+    def _reference_formula(Rmat):
+        import math
+
+        theta = math.acos(((Rmat[0, 0] + Rmat[1, 1] + Rmat[2, 2]) - 1) / 2)
+        sin_theta = math.sin(theta)
+        if sin_theta == 0:
+            return np.zeros(3)
+        multi = 1 / (2 * math.sin(theta))
+        return np.array([
+            multi * (Rmat[2, 1] - Rmat[1, 2]) * theta,
+            multi * (Rmat[0, 2] - Rmat[2, 0]) * theta,
+            multi * (Rmat[1, 0] - Rmat[0, 1]) * theta,
+        ])
+
+    def test_matches_reference_formula(self, rng):
+        aas = _random_axis_angles(rng, 128, max_angle=np.pi - 0.05)
+        mats = np.stack([oracle.rodrigues_vec_to_mat(aa) for aa in aas])
+        got = np.asarray(R.rotation_matrix_to_rot_vec(jnp.asarray(mats, jnp.float64)))
+        for mat, vec in zip(mats, got):
+            np.testing.assert_allclose(vec, self._reference_formula(mat), atol=1e-7)
+
+    def test_identity_gives_zero(self):
+        got = np.asarray(R.rotation_matrix_to_rot_vec(jnp.eye(3)))
+        np.testing.assert_array_equal(got, np.zeros(3))
+
+    def test_agrees_with_cv2_mirror_away_from_pi(self, rng):
+        aas = _random_axis_angles(rng, 128, max_angle=np.pi - 0.2)
+        mats = jnp.asarray(
+            np.stack([oracle.rodrigues_vec_to_mat(aa) for aa in aas]), jnp.float64
+        )
+        a = np.asarray(R.rotation_matrix_to_rot_vec(mats))
+        b = np.asarray(R.rotmat_to_axis_angle(mats))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 class TestEuler:
     def test_extraction_matches_reference(self, rng):
         aas = _random_axis_angles(rng, 256)

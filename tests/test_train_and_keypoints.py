@@ -178,6 +178,32 @@ class TestOptim:
             lr = sched.step(metric)
         assert lr == 0.5
 
+    def test_get_scheduler_factory(self):
+        """funcs_utils.py:181-189 parity: 'step'/'platue' (the reference's
+        spelling)/fall-through None, with the hardwired plateau params."""
+        sched = optim.get_scheduler("step", 1.0, milestones=[10], gamma=0.1)
+        assert float(sched(5)) == pytest.approx(1.0)
+        assert float(sched(15)) == pytest.approx(0.1)
+
+        plateau = optim.get_scheduler("platue", 2.0, gamma=0.5)
+        assert isinstance(plateau, optim.PlateauScheduler)
+        assert (plateau.lr, plateau.factor, plateau.patience, plateau.min_lr) == (
+            2.0, 0.5, 10, 1e-5,
+        )
+        assert optim.get_scheduler("cosine", 1.0) is None
+        assert optim.get_scheduler(None, 1.0) is None
+
+    def test_lr_check_prints_and_returns(self, capsys):
+        """funcs_utils.py:96-104 parity: reports the current lr (warmup is
+        dead code in the reference and performs none here)."""
+        assert optim.lr_check(0.125, epoch=3) == 0.125
+        assert "Current epoch 3, lr: 0.125" in capsys.readouterr().out
+
+        sched = optim.step_schedule(1.0, milestones=[2], gamma=0.1)
+        got = optim.lr_check(sched, epoch=5)
+        assert got == pytest.approx(0.1)
+        assert "Current epoch 5" in capsys.readouterr().out
+
     def test_checkpoint_roundtrip(self, tmp_path):
         state = {"params": {"layer": {"kernel": np.arange(6.0).reshape(2, 3)}},
                  "opt": {"count": np.asarray(7)}}
