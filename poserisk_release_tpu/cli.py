@@ -49,6 +49,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--fast_detector", action="store_true",
                         help="rect canvas + int8 PTQ detector (2.1x; see "
                              "docs/PARITY.md for the quantified deviations)")
+    parser.add_argument("--calibration", type=str, default="",
+                        help="explicit int8 calibration source (video file, "
+                             "image dir, or .npy/.npz of frames) for the "
+                             "--fast_detector / --spin_int8 paths; scales are "
+                             "derived from it BEFORE the input video, so an "
+                             "unrepresentative opening window cannot pin them")
+    parser.add_argument("--calibration_frames", type=int, default=64,
+                        help="frames drawn evenly from the calibration source")
+    parser.add_argument("--recalibrate_per_video", action="store_true",
+                        help="re-derive int8 scales at the start of every "
+                             "video (shared-Predictor lifecycle)")
     parser.add_argument("--jpeg_ingest", action="store_true",
                         help="reference-parity ingest: route frames through "
                              "the %%09d.jpg disk round trip before detection")
@@ -57,7 +68,38 @@ def build_parser() -> argparse.ArgumentParser:
                              "reference's coord_utils assert")
     parser.add_argument("--num_devices", type=int, default=0,
                         help="devices in the data mesh (0 = all visible)")
+    parser.add_argument("--streaming", action="store_true",
+                        help="bounded-memory long-video mode: two-pass "
+                             "reference-consistent target selection, peak "
+                             "host memory ~2 windows of frames; writes the "
+                             "result txts/plots but no annotated video")
+    parser.add_argument("--streaming_window", type=int, default=256,
+                        help="frames per streaming window")
     return parser
+
+
+def run_streaming(args, cfg) -> int:
+    """--streaming entry: StreamingScorer with the Predictor's detector
+    policy and info fallback, emitting reference-format result files."""
+    from poserisk_release_tpu.pipeline import build_detector, load_add_info
+    from poserisk_release_tpu.streaming import StreamingScorer
+
+    scorer = StreamingScorer(
+        cfg=cfg,
+        detector=build_detector(cfg),
+        window=args.streaming_window,
+        fast=args.fast,
+    )
+    result = scorer(args.input, load_add_info(cfg, args.info))
+    summary = scorer.write_outputs(result, args.output, score_type=args.type)
+    print("\n\n===> DONE! (streaming)")
+    print("Result files saved in ", args.output)
+    for title, (final_scores, action_level, action_name) in summary.items():
+        print(f"\n----- {title} -----")
+        print("MODE Score:\t", final_scores[4])
+        print("Action Level:\t", action_level)
+        print("Action:\t\t", action_name)
+    return 0
 
 
 def main(argv=None) -> int:
@@ -77,6 +119,15 @@ def main(argv=None) -> int:
         cfg = cfg.replace(DETECTOR={"rect_letterbox": True, "int8": True})
     if args.jpeg_ingest:
         cfg = cfg.replace(DATASET={"jpeg_ingest": True})
+    if args.calibration or args.recalibrate_per_video:
+        cfg = cfg.replace(DETECTOR={
+            "calibration": args.calibration,
+            "calibration_frames": args.calibration_frames,
+            "recalibrate_per_video": args.recalibrate_per_video,
+        })
+
+    if args.streaming:
+        return run_streaming(args, cfg)
 
     n_devices = args.num_devices or len(jax.devices())
     mesh = make_mesh(n_devices) if n_devices > 1 else None

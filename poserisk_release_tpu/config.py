@@ -90,6 +90,21 @@ class DetectorConfig:
     # Results stay identical to the full pull -- chunks whose k-th score
     # still clears the threshold re-pull unfiltered. 0 disables.
     max_device_dets: int = 256
+    # Explicit int8 calibration source (io/video.load_calibration_frames):
+    # a video file, an image directory, or a .npy/.npz of (N, H, W, 3)
+    # uint8 frames. When set, activation scales for the int8 detector (and
+    # crops for the int8 SPIN backbone) come from these representative
+    # frames BEFORE any video is processed -- a dark opening window can no
+    # longer pin the scales (pipeline.py's implicit first-window lifecycle
+    # remains the fallback when empty).
+    calibration: str = ""
+    # Frames drawn (evenly) from the calibration source.
+    calibration_frames: int = 64
+    # Shared-instance lifecycle: drop the int8 scales at the start of every
+    # Predictor.__call__ so each video re-calibrates (from `calibration` if
+    # set, else its own first window) instead of inheriting the previous
+    # video's exposure statistics.
+    recalibrate_per_video: bool = False
 
 
 @dataclass(frozen=True)

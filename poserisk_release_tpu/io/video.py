@@ -66,6 +66,62 @@ def read_video(path: str, max_frames: int | None = None) -> VideoClip:
     return VideoClip(frames=np.stack(frames), fps=float(fps))
 
 
+def load_calibration_frames(path: str, n: int = 64) -> np.ndarray:
+    """Load representative frames for int8 PTQ calibration
+    (DetectorConfig.calibration). Accepts:
+
+      * a video file -- decoded with the reference resize rule, then
+        subsampled EVENLY to at most n frames (even coverage beats a prefix:
+        the whole clip's exposure range informs the scales);
+      * a directory of images (jpg/jpeg/png/bmp, sorted by name, first n),
+        each resized by the same rule so canvas geometry matches the
+        detector's ingest;
+      * a .npy/.npz of (N, H, W, 3) uint8 RGB frames (first array in the
+        npz), subsampled evenly to n.
+
+    Returns (n', H, W, 3) uint8 RGB. Raises on empty/unreadable sources --
+    silent mis-calibration is worse than a crash."""
+    if path.endswith((".npy", ".npz")):
+        data = np.load(path)
+        frames = data[data.files[0]] if hasattr(data, "files") else data
+        frames = np.asarray(frames)
+        if frames.ndim != 4 or frames.shape[-1] != 3:
+            raise ValueError(
+                f"calibration array must be (N, H, W, 3), got {frames.shape}")
+        return _subsample(frames.astype(np.uint8, copy=False), n)
+    if osp.isdir(path):
+        import cv2
+
+        names = sorted(
+            f for f in os.listdir(path)
+            if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
+        )[:n]
+        if not names:
+            raise ValueError(f"no images found in calibration dir: {path}")
+        frames = []
+        for name in names:
+            bgr = cv2.imread(osp.join(path, name))
+            if bgr is None:
+                raise ValueError(f"unreadable calibration image: {name}")
+            w, h = reference_resize_dims(bgr.shape[1], bgr.shape[0])
+            bgr = cv2.resize(bgr, (w, h))
+            frames.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+        shapes = {f.shape for f in frames}
+        if len(shapes) > 1:
+            raise ValueError(
+                f"calibration images resize to mixed shapes: {sorted(shapes)}")
+        return np.stack(frames)
+    clip = read_video(path)
+    return _subsample(clip.frames, n)
+
+
+def _subsample(frames: np.ndarray, n: int) -> np.ndarray:
+    if len(frames) <= n:
+        return frames
+    idx = np.linspace(0, len(frames) - 1, n).round().astype(np.int64)
+    return frames[idx]
+
+
 def dump_frames(clip: VideoClip, tmp_path: str) -> int:
     """Write the reference-format '%09d.jpg' frame tree (debug parity only)."""
     import cv2

@@ -630,6 +630,25 @@ class YoloDetector:
         instead of letting the first 64-frame window pin the scales)."""
         return self.int8 and not any("qkernel" in l for l in self.params.values())
 
+    def _snapshot_float_params(self) -> None:
+        """Host-side copy of the float (BN-folded) params, taken once just
+        before quantization so reset_calibration can restore them. Host
+        memory, not HBM: ~62 MB of f32 kernels."""
+        if getattr(self, "_float_params", None) is None:
+            self._float_params = jax.device_get(self.params)
+
+    def reset_calibration(self) -> None:
+        """Drop the int8 activation scales: restore the float params saved at
+        quantization time, so the NEXT call (or an explicit calibrate())
+        re-derives scales from fresh frames. The per-video re-calibration
+        hook for detector instances shared across videos with different
+        exposure statistics (DetectorConfig.recalibrate_per_video)."""
+        if not self.int8:
+            return
+        saved = getattr(self, "_float_params", None)
+        if saved is not None and any("qkernel" in l for l in self.params.values()):
+            self.params = jax.device_put(saved)
+
     @classmethod
     def from_weights(cls, weights_path: str | None, fold_bn: bool = True,
                      **kwargs) -> "YoloDetector":
@@ -720,6 +739,7 @@ class YoloDetector:
                     np.concatenate([boxes[keep], det[keep, 4:5]], axis=1).astype(np.float32)
                 )
         if calibrating:
+            self._snapshot_float_params()
             self.params = jax.device_put(quantize_yolo_params(self.params, absmax))
         return results
 
@@ -748,6 +768,7 @@ class YoloDetector:
             absmax = merge_absmax(
                 absmax, calibrate_yolo_activations(self.params, letter)
             )
+        self._snapshot_float_params()
         self.params = jax.device_put(quantize_yolo_params(self.params, absmax))
 
 

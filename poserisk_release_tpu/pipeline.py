@@ -49,7 +49,11 @@ from poserisk_release_tpu.outputs.writers import (
 from poserisk_release_tpu.parallel import mesh as pmesh
 from poserisk_release_tpu.scoring.reba import REBAScorer
 from poserisk_release_tpu.scoring.rula import RULAScorer
-from poserisk_release_tpu.tracking.mpt import MultiPersonTracker, filter_and_select_target
+from poserisk_release_tpu.tracking.mpt import (
+    MultiPersonTracker,
+    detect_frames,
+    filter_and_select_target,
+)
 
 def _finite(value):
     """NaN/inf -> None so run_summary.json stays strictly machine-readable."""
@@ -162,6 +166,19 @@ class PoseEstimator:
         )
         self._step = jax.jit(self._pose_step)
         self._step_frames = jax.jit(self._pose_step_from_frames)
+
+    def calibrate_spin(self, crops) -> None:
+        """Explicit spin_int8 calibration on representative person crops
+        ((N, 224, 224, 3) float [0,1]); preferred over the implicit
+        first-batch lifecycle when the opening frames of a video are not
+        representative (dark intro) or when the estimator is shared across
+        videos. No-op if spin_int8 is off or already quantized."""
+        if self._spin_int8 and self._quant_backbone is None and len(crops):
+            self._ensure_spin_quantized(np.asarray(crops)[:8])
+
+    @property
+    def spin_needs_calibration(self) -> bool:
+        return self._spin_int8 and self._quant_backbone is None
 
     def _pose_step(self, variables, smpl_params, crops):
         # Single source of truth for the ordering-sensitive pose math:
@@ -290,6 +307,35 @@ class PoseEstimator:
         )
 
 
+def build_detector(cfg: Config):
+    """The Predictor's detector policy as a shared factory (also used by the
+    CLI's --streaming path): YOLOv3 from DETECTOR.weights when the file
+    exists, else the full-frame StubDetector that keeps weight-free
+    environments runnable."""
+    if osp.isfile(cfg.DETECTOR.weights):
+        return YoloDetector.from_weights(
+            cfg.DETECTOR.weights,
+            img_size=cfg.DETECTOR.img_size,
+            detection_threshold=cfg.DETECTOR.detection_threshold,
+            nms_threshold=cfg.DETECTOR.nms_threshold,
+            batch_size=cfg.DETECTOR.batch_size,
+            rect=cfg.DETECTOR.rect_letterbox,
+            int8=cfg.DETECTOR.int8,
+            max_device_dets=cfg.DETECTOR.max_device_dets,
+        )
+    print("[poserisk] no detector weights found; using full-frame stub detector")
+    return StubDetector()
+
+
+def load_add_info(cfg: Config, info_path: str) -> Dict:
+    """Additional-information JSON with the reference's default fallback
+    (base.py:137-142): a missing --info path silently falls back to the
+    packaged default_information.json."""
+    path = info_path if osp.isfile(info_path) else cfg.DATASET.default_information
+    with open(path) as f:
+        return json.load(f)
+
+
 class Predictor:
     """Reference-compatible orchestrator. See module docstring."""
 
@@ -322,20 +368,7 @@ class Predictor:
         )
 
         if detector is None:
-            if osp.isfile(self.cfg.DETECTOR.weights):
-                detector = YoloDetector.from_weights(
-                    self.cfg.DETECTOR.weights,
-                    img_size=self.cfg.DETECTOR.img_size,
-                    detection_threshold=self.cfg.DETECTOR.detection_threshold,
-                    nms_threshold=self.cfg.DETECTOR.nms_threshold,
-                    batch_size=self.cfg.DETECTOR.batch_size,
-                    rect=self.cfg.DETECTOR.rect_letterbox,
-                    int8=self.cfg.DETECTOR.int8,
-                    max_device_dets=self.cfg.DETECTOR.max_device_dets,
-                )
-            else:
-                print("[poserisk] no detector weights found; using full-frame stub detector")
-                detector = StubDetector()
+            detector = build_detector(self.cfg)
         self.tracker = MultiPersonTracker(detector)
 
         self.reba, self.rula = REBAScorer(debug), RULAScorer(debug)
@@ -363,8 +396,60 @@ class Predictor:
         self.timings: Dict[str, float] = {}
 
     # ------------------------------------------------------------------
+    def _apply_explicit_calibration(self) -> None:
+        """Production int8 calibration lifecycle (DetectorConfig.calibration):
+        derive activation scales from an operator-supplied representative
+        source BEFORE any video frame is seen, so a dark opening window can
+        never pin them (the implicit first-window path at
+        _ingest_and_track_overlapped remains the fallback). The same frames
+        also calibrate the int8 SPIN backbone: the freshly calibrated
+        detector proposes person boxes (MPT squared-cxcywh convention;
+        full-frame fallback when nothing clears the threshold) and the
+        resulting crops feed quantize_spin_backbone."""
+        src = self.cfg.DETECTOR.calibration
+        if not src:
+            return
+        det = self.tracker.detector
+        needs_det = getattr(det, "needs_calibration", False)
+        needs_spin = self.pose_estimator.spin_needs_calibration
+        if not (needs_det or needs_spin):
+            return
+        from poserisk_release_tpu.io.video import load_calibration_frames
+
+        frames = load_calibration_frames(src, self.cfg.DETECTOR.calibration_frames)
+        if needs_det:
+            det.calibrate(frames)
+        if needs_spin:
+            sample = frames[:: max(1, len(frames) // 8)][:8]
+            H, W = sample.shape[1:3]
+            boxes = []
+            for dets in detect_frames(det, sample):
+                if len(dets):
+                    best = dets[np.argmax(
+                        (dets[:, 2] - dets[:, 0]) * (dets[:, 3] - dets[:, 1])
+                    )]
+                    w, h = best[2] - best[0], best[3] - best[1]
+                    cx, cy = best[0] + w / 2.0, best[1] + h / 2.0
+                    side = max(w, h)
+                else:
+                    cx, cy, side = W / 2.0, H / 2.0, float(max(H, W))
+                boxes.append([cx, cy, side, side])
+            crops = crop_batch(
+                jnp.asarray(sample), jnp.asarray(np.asarray(boxes, np.float32)),
+                scale=float(self.cfg.DATASET.bbox_scale),
+                out_size=int(self.cfg.MODEL.input_shape[0]),
+            )
+            self.pose_estimator.calibrate_spin(np.asarray(crops))
+
     def __call__(self, input_path: str, info_path: str, output_path: str):
         os.makedirs(output_path, exist_ok=True)
+
+        # Shared-instance lifecycle: optionally re-derive int8 scales per
+        # video instead of inheriting the previous video's exposure stats.
+        if self.cfg.DETECTOR.recalibrate_per_video:
+            if hasattr(self.tracker.detector, "reset_calibration"):
+                self.tracker.detector.reset_calibration()
+        self._apply_explicit_calibration()
 
         # --- ingest + tracking -------------------------------------------
         # Default: decode on a background thread with one-window lookahead
@@ -508,12 +593,7 @@ class Predictor:
             return None
 
         # --- additional info ------------------------------------------------
-        if osp.isfile(info_path):
-            with open(info_path) as f:
-                add_info = json.load(f)
-        else:
-            with open(self.cfg.DATASET.default_information) as f:
-                add_info = json.load(f)
+        add_info = load_add_info(self.cfg, info_path)
 
         pose_str = pose_to_str(result)
         if self.debugging and self.debug_joints is not None:

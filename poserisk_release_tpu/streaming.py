@@ -284,6 +284,73 @@ class StreamingScorer:
 
         return REBAScorer(), RULAScorer()
 
+    def write_outputs(self, result: StreamResult, output_path: str,
+                      score_type: str = "REBA,RULA") -> Dict:
+        """Reference-format result files from a stream result: the
+        {title}_score.png plot + {title.lower()}_result.txt (same stats/
+        action-level/whitespace semantics as the Predictor, via the SAME
+        post_process_scores/format_result_txt code) and a machine-readable
+        stream_summary.json. `score_type` filters the emitted families with
+        the Predictor's --type parsing (scoring both is free; only the
+        output files are gated). No annotated video: rendering needs every
+        clip frame in memory, which contradicts the bounded-memory contract
+        -- use the batch Predictor when a video artifact is required.
+        Returns {title: (final_scores, action_level, action_name)}."""
+        import json
+        import os
+
+        import os.path as osp
+
+        from poserisk_release_tpu.outputs.stats import (
+            format_result_txt,
+            post_process_scores,
+        )
+        from poserisk_release_tpu.pipeline import _finite
+
+        os.makedirs(output_path, exist_ok=True)
+        wanted = score_type.replace(" ", "").upper().split(",")
+        reba, rula = self._scorers()
+        timestamp = (0, np.asarray(result.frames), result.total_frames)
+        summary: Dict[str, tuple] = {}
+        for title, scorer, scores in (
+            ("REBA", reba, result.reba_scores),
+            ("RULA", rula, result.rula_scores),
+        ):
+            if title not in wanted or not scores:
+                continue
+            final_scores, _, _ = post_process_scores(
+                [{"score": s, "log_score": []} for s in scores],
+                timestamp, output_path, title=title,
+            )
+            action_level, action_name = scorer.action_level(final_scores[4])
+            body = format_result_txt(
+                final_scores, action_level, action_name,
+                trailing_space=(title == "REBA"),
+            )
+            with open(osp.join(output_path, title.lower() + "_result.txt"), "w") as f:
+                f.write(body)
+            summary[title] = (final_scores, action_level, action_name)
+        with open(osp.join(output_path, "stream_summary.json"), "w") as f:
+            json.dump(
+                {
+                    "frames_total": int(result.total_frames),
+                    "frames_scored": len(result.frames),
+                    "fps": result.fps,
+                    "scores": {
+                        # Same NaN policy as run_summary.json: the parity txt
+                        # may carry NaN (reference top-10% of <10 frames); the
+                        # machine-readable JSON gets null.
+                        t: {"avg": _finite(s[0][0]), "p50": _finite(s[0][1]),
+                            "p10": _finite(s[0][2]), "max": _finite(s[0][3]),
+                            "mode": _finite(s[0][4]),
+                            "action_level": s[1], "action": s[2]}
+                        for t, s in summary.items()
+                    },
+                },
+                f, indent=2,
+            )
+        return summary
+
     def _score_window(self, frames: np.ndarray, local_ids: np.ndarray,
                       boxes: np.ndarray, start_idx: int, add_info: Dict,
                       reba, rula, result: StreamResult) -> None:
