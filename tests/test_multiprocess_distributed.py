@@ -1,9 +1,13 @@
 """Exercise the REAL jax.distributed.initialize branch (SURVEY.md 5.8).
 
-Round 1 only tested initialize_distributed's single-process no-op path; here
-two actual OS processes form a cluster over a localhost coordinator, build
-the global 1-D data mesh, and psum the score histogram across processes --
-the exact collective of the multi-host design (throughput.score_histogram_psum).
+Round 1 only tested initialize_distributed's single-process no-op path;
+round 2 added two actual OS processes forming a cluster over a localhost
+coordinator and psum-ing the score histogram. Round 3 closes VERDICT #4:
+the same 2-process cluster now executes the REAL pose+score step
+(throughput.make_pose_and_score_step -- SPIN forward, rotation conversions,
+SMPL joints, both scorers) on crops sharded across the processes via
+jax.make_array_from_process_local_data, and every process-local shard is
+asserted identical to the single-process whole-batch run.
 """
 
 import json
@@ -35,6 +39,7 @@ from poserisk_release_tpu.throughput import score_histogram_psum
 devices = np.asarray(jax.devices())
 mesh = Mesh(devices, ("data",))
 
+# --- collective 1: cross-process psum of the score histogram --------------
 # Each process holds DIFFERENT local per-frame scores; the psum'd histogram
 # must be identical on every process (global reduction across the cluster).
 local_scores = jnp.asarray(np.full((4,), pid + 1, np.int32))  # proc 0 -> 1s, proc 1 -> 2s
@@ -47,13 +52,72 @@ hist_fn = shard_map(
     mesh=mesh, in_specs=P("data"), out_specs=P(),
 )
 hist = np.asarray(jax.jit(hist_fn)(global_scores))
-print("RESULT " + json.dumps({
-    "topo": topo, "hist": hist.tolist(),
-}), flush=True)
+
+# --- the REAL pose+score step, sharded across the cluster -----------------
+from poserisk_release_tpu.body.smpl import SMPLFamily
+from poserisk_release_tpu.config import default_config
+from poserisk_release_tpu.pipeline import PoseEstimator
+from poserisk_release_tpu.throughput import (
+    default_packed_infos,
+    make_pose_and_score_step,
+)
+
+cfg = default_config()
+est = PoseEstimator(cfg, SMPLFamily(cfg.SPIN.smpl_model_dir))
+# Host numpy trees: identical on both processes (deterministic init), and
+# uncommitted so jit replicates them across the global mesh.
+variables = jax.device_get(est.variables)
+smpl_params = jax.device_get(est.smpl_params)
+info_reba, info_rula = default_packed_infos()
+
+step = jax.jit(make_pose_and_score_step(cfg.SPIN.ief_iters, est.parents))
+
+B = 8
+crops_full = np.random.RandomState(0).uniform(0, 1, (B, 224, 224, 3)).astype(np.float32)
+per_proc = B // n_proc
+sharding = NamedSharding(mesh, P("data"))
+global_crops = jax.make_array_from_process_local_data(
+    sharding, crops_full[pid * per_proc : (pid + 1) * per_proc]
+)
+
+reba_d, rula_d, euler_d, _ = step(
+    variables, smpl_params, global_crops, info_reba, info_rula
+)
+
+# Every process emits its addressable shards (global index + values); the
+# host test stitches them together and compares against worker 0's
+# single-process whole-batch reference.
+shards = []
+for s_r, s_u, s_e in zip(reba_d.addressable_shards,
+                         rula_d.addressable_shards,
+                         euler_d.addressable_shards):
+    start = s_r.index[0].start or 0
+    shards.append({
+        "start": int(start),
+        "reba": np.asarray(s_r.data).tolist(),
+        "rula": np.asarray(s_u.data).tolist(),
+        "euler_sum": float(np.abs(np.asarray(s_e.data, np.float64)).sum()),
+    })
+
+result = {"topo": topo, "hist": hist.tolist(), "shards": shards, "B": B}
+
+if pid == 0:
+    # Single-process whole-batch reference: same jitted step, replicated
+    # local inputs only (no cross-process work -- safe SPMD divergence).
+    reba_l, rula_l, euler_l, _ = step(
+        variables, smpl_params, crops_full, info_reba, info_rula
+    )
+    result["local_reba"] = np.asarray(reba_l).tolist()
+    result["local_rula"] = np.asarray(rula_l).tolist()
+    result["local_euler_sums"] = [
+        float(np.abs(np.asarray(euler_l[i], np.float64)).sum()) for i in range(B)
+    ]
+
+print("RESULT " + json.dumps(result), flush=True)
 """
 
 
-def test_two_process_cluster_psum(tmp_path):
+def test_two_process_cluster_psum_and_pose_step(tmp_path):
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -75,7 +139,7 @@ def test_two_process_cluster_psum(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=300)
+        out, err = p.communicate(timeout=900)
         assert p.returncode == 0, f"worker failed:\nstdout:{out}\nstderr:{err[-3000:]}"
         outs.append(out)
 
@@ -95,3 +159,29 @@ def test_two_process_cluster_psum(tmp_path):
     want = [4.0, 4.0] + [0.0] * 10
     assert results[0]["hist"] == want
     assert results[1]["hist"] == want
+
+    # --- the sharded pose+score step ran and matches single-process -------
+    B = results[0]["B"]
+    ref_reba = results[0]["local_reba"]
+    ref_rula = results[0]["local_rula"]
+    ref_euler = results[0]["local_euler_sums"]
+    assert len(ref_reba) == B
+
+    covered = set()
+    for r in results:
+        for shard in r["shards"]:
+            start = shard["start"]
+            n = len(shard["reba"])
+            assert n > 0
+            covered.update(range(start, start + n))
+            # Scores are integers from thresholded rules: exact equality.
+            assert shard["reba"] == ref_reba[start : start + n]
+            assert shard["rula"] == ref_rula[start : start + n]
+            # Euler angles: f32 graph, batch-split must not change numerics
+            # beyond accumulation noise.
+            want_sums = ref_euler[start : start + n]
+            got_sum = shard["euler_sum"]
+            np.testing.assert_allclose(got_sum, sum(want_sums), rtol=1e-5)
+    assert covered == set(range(B)), (
+        f"distributed shards covered {sorted(covered)} of {B} frames"
+    )

@@ -28,6 +28,7 @@ docs/PERF.md's round-2 "what we did not ship" note.
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -35,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from poserisk_release_tpu.models.detector import (  # noqa: E402
     LEAKY_SLOPE,

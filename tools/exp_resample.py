@@ -7,6 +7,7 @@ and reports the bf16 output deltas between the two.
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -14,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from poserisk_release_tpu.ops.crop import crop_batch, letterbox_device_rect  # noqa: E402
 from poserisk_release_tpu.ops.resample_pallas import fused_letterbox_crop  # noqa: E402

@@ -24,12 +24,13 @@ Usage: python tools/validate_real_assets.py [--video demo.mp4] [--cpu]
 from __future__ import annotations
 
 import argparse
+import os
 import os.path as osp
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def section(title: str):
