@@ -91,30 +91,40 @@ def test_cli_streaming_writes_result_files(tmp_path):
 
 
 def test_streaming_rss_bounded_on_long_clip(tmp_path):
-    """Peak RSS growth while streaming a clip must stay well under HALF the
-    clip's decoded size (the batch Predictor holds all frames + crops, the
-    reference additionally a jpg tree). Window memory: 2 lookahead windows
-    + one in-flight scoring chunk ~ 3 x 64 frames ~ 200 MB transients incl.
-    XLA buffers; the full 512-frame 800x450 clip is ~553 MB decoded."""
-    n_frames, h, w, window = 512, 450, 800, 64
-    clip_mb = n_frames * h * w * 3 / 1e6
+    """Bounded memory means O(window), not O(clip): peak host RSS while
+    streaming a 4x-longer clip must grow by far less than the extra decoded
+    frames (the batch Predictor holds ALL frames + crops, so its peak grows
+    ~1:1 with the clip; the reference additionally writes a jpg tree). The
+    comparison is peak-vs-peak between a short and a long run because the
+    ABSOLUTE peak on XLA:CPU is dominated by the batch-64 SPIN forward's
+    activation transients (~GB-scale) which are clip-length-independent --
+    an absolute "growth < clip/2" bound can never hold here and would not
+    measure streaming anyway. Measured on this image: short(128f) peak
+    ~2.6 GB, long(512f) peak +~140 MB vs +415 MB of decoded delta."""
+    short_frames, long_frames, h, w, window = 128, 512, 450, 800, 64
+    delta_decoded_mb = (long_frames - short_frames) * h * w * 3 / 1e6
 
     warm = str(tmp_path / "warm.mp4")
     _make_clip(warm, n_frames=window + 8, h=h, w=w)
+    short = str(tmp_path / "short.mp4")
+    _make_clip(short, n_frames=short_frames, h=h, w=w)
     video = str(tmp_path / "long.mp4")
-    _make_clip(video, n_frames=n_frames, h=h, w=w)
+    _make_clip(video, n_frames=long_frames, h=h, w=w)
 
     scorer = StreamingScorer(detector=StubDetector(), window=window)
     scorer(warm, INFO)  # absorb jit-compile + allocator warmup memory
 
-    baseline = _rss_mb()
-    with _PeakRss() as mon:
+    with _PeakRss() as mon_short:
+        scorer(short, INFO)
+    with _PeakRss() as mon_long:
         result = scorer(video, INFO)
-    growth = max(0.0, mon.peak - baseline)
+    growth = mon_long.peak - mon_short.peak
 
-    assert len(result.reba_scores) == n_frames
-    assert result.frames == list(range(n_frames))
-    assert growth < clip_mb * 0.5, (
-        f"streaming RSS grew {growth:.0f} MB on a {clip_mb:.0f} MB clip "
-        f"(baseline {baseline:.0f} MB, peak {mon.peak:.0f} MB)"
+    assert len(result.reba_scores) == long_frames
+    assert result.frames == list(range(long_frames))
+    assert growth < delta_decoded_mb * 0.5, (
+        f"streaming peak RSS grew {growth:.0f} MB when the clip grew "
+        f"{delta_decoded_mb:.0f} MB decoded (short peak "
+        f"{mon_short.peak:.0f} MB, long peak {mon_long.peak:.0f} MB) -- "
+        f"memory is scaling with clip length, not window size"
     )
