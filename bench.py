@@ -37,6 +37,11 @@ import os as _os
 BENCH_DTYPE = _os.environ.get("BENCH_DTYPE", "bfloat16")
 BATCH = int(_os.environ.get("BENCH_BATCH", "128"))
 BENCH_INT8 = _os.environ.get("BENCH_INT8", "1") == "1"
+# Mixed-precision int8 boundary / q8 handoff knobs for A/B only: the
+# round-3 in-situ measurement (tools/exp_mixed_int8.py) found whole-
+# tower int8 fastest, so both default to the round-2 behaviour.
+BENCH_INT8_MIN_DS = int(_os.environ.get("BENCH_INT8_MIN_DS", "1"))
+BENCH_Q8 = _os.environ.get("BENCH_Q8", "0") == "1"
 # Experimental: int8-PTQ SPIN backbone too (models/resnet_int8). Off by
 # default -- with this image's random weights the induced angle drift is
 # median ~0.3 deg (trained weights behave far better, but that is the
@@ -113,7 +118,10 @@ def main() -> None:
         # neutral on this image's random weights (saturated decode sigmoids;
         # docs/PERF.md). Re-evaluate with trained weights.
         yolo_params = jax.device_put(
-            quantize_yolo_params(folded_f32, calibrate_yolo_activations(folded_f32, calib))
+            quantize_yolo_params(
+                folded_f32, calibrate_yolo_activations(folded_f32, calib),
+                min_downsample=BENCH_INT8_MIN_DS, q8_handoff=BENCH_Q8,
+            )
         )
     bboxes = jnp.asarray(
         np.tile(np.array([400.0, 225.0, 220.0, 220.0], np.float32), (BATCH, 1))

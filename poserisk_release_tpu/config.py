@@ -85,6 +85,11 @@ class DetectorConfig:
     # int8 post-training quantization of the conv tower (1.43x over bf16;
     # models/detector.quantize_yolo_params). Opt-in, like rect_letterbox.
     int8: bool = False
+    # Mixed-precision boundary for int8: only convs whose input sits at
+    # >= this downsample factor quantize; shallower layers stay bf16.
+    # Whole tower (1) measured fastest in situ (docs/PERF.md round 3);
+    # 8 trades ~5% speed for 10 fewer quantized layers (accuracy).
+    int8_min_downsample: int = 1
     # Device-side top-k detection pre-selection: the host pulls (B, k, 5)
     # instead of all ~10k decoded anchors (~40x less device->host traffic).
     # Results stay identical to the full pull -- chunks whose k-th score

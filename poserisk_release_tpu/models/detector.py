@@ -250,7 +250,55 @@ def merge_absmax(a: Dict[str, float], b: Dict[str, float]) -> Dict[str, float]:
     return {k: max(a[k], b[k]) for k in a}
 
 
-def quantize_yolo_params(folded: Dict[str, Dict], act_absmax: Dict[str, float]
+def conv_input_downsample() -> Dict[str, int]:
+    """Walk YOLOV3_SPEC tracking each tensor's downsample factor relative to
+    the canvas (1 = full resolution, 32 = the deepest grid); return
+    {conv_name: factor of that conv's INPUT}. Canvas-size-independent, so
+    the mixed-precision boundary below holds for square and rect canvases
+    alike."""
+    factors: List[int] = []  # OUTPUT factor per spec index
+    f = 1
+    out: Dict[str, int] = {}
+    for i, entry in enumerate(YOLOV3_SPEC):
+        kind = entry[0]
+        if kind == "conv":
+            out[f"conv_{i}"] = f
+            f *= entry[3]
+        elif kind == "route":
+            refs = [r if r >= 0 else i + r for r in entry[1]]
+            f = factors[refs[0]]
+        elif kind == "upsample":
+            f //= 2
+        factors.append(f)
+    return out
+
+
+def _q8_handoff_convs() -> set:
+    """Spec indices of convs whose output has exactly ONE consumer and that
+    consumer is the immediately-following conv. These may emit int8 directly
+    (pre-scaled by the consumer's activation scale) so the inter-layer
+    tensor costs 1 byte/element of HBM traffic instead of 2 (bf16) -- the
+    roofline's "glue share" (docs/PERF.md round 3) is exactly this traffic.
+    Excluded: convs feeding shortcuts/routes (branch points 79/91, every
+    pre-shortcut 3x3) and convs followed by non-conv entries."""
+    referenced = set()
+    for i, entry in enumerate(YOLOV3_SPEC):
+        if entry[0] == "shortcut":
+            referenced.add(i + entry[1])
+        elif entry[0] == "route":
+            referenced.update(r if r >= 0 else i + r for r in entry[1])
+    return {
+        i
+        for i, entry in enumerate(YOLOV3_SPEC)
+        if entry[0] == "conv"
+        and i not in referenced
+        and i + 1 < len(YOLOV3_SPEC)
+        and YOLOV3_SPEC[i + 1][0] == "conv"
+    }
+
+
+def quantize_yolo_params(folded: Dict[str, Dict], act_absmax: Dict[str, float],
+                         min_downsample: int = 1, q8_handoff: bool = False
                          ) -> Dict[str, Dict]:
     """BN-folded params -> int8 PTQ params for the MXU's s8 x s8 -> s32 path.
 
@@ -258,14 +306,34 @@ def quantize_yolo_params(folded: Dict[str, Dict], act_absmax: Dict[str, float]
     channel). Activations: symmetric per-tensor int8 with the calibrated
     static scale. The three bias-only detection-head convs (255 channels)
     stay in the float path -- their logits feed sigmoids/exp directly and are
-    a negligible FLOP share. v5e int8 MXU peak is 2x bf16; measured ~1.35x on
-    YOLOv3's dominant conv shapes (the q/dq elementwise traffic eats part of
-    the win)."""
+    a negligible FLOP share.
+
+    ``min_downsample`` sets a MIXED-PRECISION boundary: only convs whose
+    input sits at >= that downsample factor are quantized; shallower layers
+    keep the float/bf16 path. ``q8_handoff``: a quantized conv whose sole
+    consumer is the next quantized conv stores that consumer's activation
+    scale as ``out_scale`` and emits int8 directly from its epilogue
+    (_conv_block), so the inter-layer tensor is 1 byte/element in HBM.
+    Rounding semantics match the consumer-side quantize (round/clip of the
+    same float epilogue value); skipping the bf16 cast in between can only
+    REDUCE quantization error.
+
+    Both knobs default OFF: the round-3 in-situ A/B (tools/exp_mixed_int8.py,
+    docs/PERF.md) measured the whole-tower int8 graph FASTER than
+    mixed(8) and mixed+q8 (29.5 vs 31.1/31.2 ms per 128 frames) -- the
+    isolated per-layer ratios that motivated them were harness artifacts;
+    in the full graph XLA fuses the q/dq glue into conv epilogues, so
+    neither boundary nor handoff pays. min_downsample=8 remains the
+    ACCURACY-preferable option (10 fewer quantized layers) at ~5% cost."""
+    ds = conv_input_downsample()
+    handoff = _q8_handoff_convs() if q8_handoff else set()
     out: Dict[str, Dict] = {}
+    quantized = set()
     for name, layer in folded.items():
-        if "folded_bias_leaky" not in layer:
-            out[name] = dict(layer)  # float head conv
+        if "folded_bias_leaky" not in layer or ds[name] < min_downsample:
+            out[name] = dict(layer)  # float head conv / shallow mixed layer
             continue
+        quantized.add(name)
         kernel = np.asarray(layer["kernel"], np.float32)
         w_scale = np.maximum(np.abs(kernel).max(axis=(0, 1, 2)), 1e-12) / 127.0
         qkernel = np.clip(np.round(kernel / w_scale), -127, 127).astype(np.int8)
@@ -276,6 +344,12 @@ def quantize_yolo_params(folded: Dict[str, Dict], act_absmax: Dict[str, float]
             "in_scale": jnp.asarray(in_scale),
             "q_bias_leaky": jnp.asarray(layer["folded_bias_leaky"]),
         }
+    # Second pass: wire the q8 handoff edges (producer and consumer must
+    # BOTH be quantized for the pre-scaled int8 emission to be meaningful).
+    for i in handoff:
+        name, nxt = f"conv_{i}", f"conv_{i + 1}"
+        if name in quantized and nxt in quantized:
+            out[name]["out_scale"] = out[nxt]["in_scale"]
     return out
 
 
@@ -388,10 +462,15 @@ def _conv_block(x, layer, entry, compute_dtype=jnp.float32):
     if "qkernel" in layer:
         # int8 PTQ path (quantize_yolo_params): quantize the activation with
         # its calibrated static scale, run the conv on the s8 MXU path, then
-        # dequantize + bias + leaky in one fused epilogue.
-        inv_s = 1.0 / layer["in_scale"]
-        xq = jnp.clip(jnp.round(x.astype(compute_dtype) * inv_s.astype(compute_dtype)),
-                      -127.0, 127.0).astype(jnp.int8)
+        # dequantize + bias + leaky in one fused epilogue. An int8 INPUT is
+        # a q8 handoff from the producer (already scaled by this layer's
+        # in_scale) and skips the quantize.
+        if x.dtype == jnp.int8:
+            xq = x
+        else:
+            inv_s = 1.0 / layer["in_scale"]
+            xq = jnp.clip(jnp.round(x.astype(compute_dtype) * inv_s.astype(compute_dtype)),
+                          -127.0, 127.0).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
             xq,
             layer["qkernel"],
@@ -402,6 +481,12 @@ def _conv_block(x, layer, entry, compute_dtype=jnp.float32):
         )
         y = y.astype(jnp.float32) * (layer["in_scale"] * layer["w_scale"]) + layer["q_bias_leaky"]
         y = jnp.where(y > 0, y, LEAKY_SLOPE * y)
+        if "out_scale" in layer:
+            # Sole consumer is the next quantized conv: emit its int8 input
+            # directly (fused into this epilogue), so the inter-layer tensor
+            # is 1 byte/element in HBM instead of a bf16 round trip.
+            return jnp.clip(jnp.round(y * (1.0 / layer["out_scale"])),
+                            -127.0, 127.0).astype(jnp.int8)
         return y.astype(compute_dtype)
     x = jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
@@ -597,6 +682,10 @@ class YoloDetector:
     # chunks, then quantizes; use calibrate() for explicit setup. Opt-in
     # like rect.
     int8: bool = False
+    # Mixed-precision boundary: quantize only convs at >= this downsample
+    # factor. Whole tower (1) is the measured-fastest default; 8 trades
+    # ~5% speed for 10 fewer quantized layers (docs/PERF.md round 3).
+    int8_min_downsample: int = 1
 
     def _pull_detections(self, det_dev) -> np.ndarray:
         """Device-resident full decode -> host array, via the top-k transfer
@@ -740,7 +829,8 @@ class YoloDetector:
                 )
         if calibrating:
             self._snapshot_float_params()
-            self.params = jax.device_put(quantize_yolo_params(self.params, absmax))
+            self.params = jax.device_put(quantize_yolo_params(
+                self.params, absmax, min_downsample=self.int8_min_downsample))
         return results
 
     def calibrate(self, frames_rgb: np.ndarray) -> None:
@@ -769,7 +859,8 @@ class YoloDetector:
                 absmax, calibrate_yolo_activations(self.params, letter)
             )
         self._snapshot_float_params()
-        self.params = jax.device_put(quantize_yolo_params(self.params, absmax))
+        self.params = jax.device_put(quantize_yolo_params(
+            self.params, absmax, min_downsample=self.int8_min_downsample))
 
 
 @dataclass

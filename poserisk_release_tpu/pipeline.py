@@ -321,6 +321,7 @@ def build_detector(cfg: Config):
             batch_size=cfg.DETECTOR.batch_size,
             rect=cfg.DETECTOR.rect_letterbox,
             int8=cfg.DETECTOR.int8,
+            int8_min_downsample=cfg.DETECTOR.int8_min_downsample,
             max_device_dets=cfg.DETECTOR.max_device_dets,
         )
     print("[poserisk] no detector weights found; using full-frame stub detector")

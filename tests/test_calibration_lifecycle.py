@@ -87,7 +87,8 @@ class TestDetectorCalibrationLifecycle:
 
         def scales_for(frames):
             d = det.YoloDetector(params=dict(yolo_params), img_size=64,
-                                 int8=True, batch_size=8)
+                                 int8=True, batch_size=8,
+                                 int8_min_downsample=1)
             d.calibrate(frames)
             return _in_scales(d.params)
 
@@ -103,7 +104,8 @@ class TestDetectorCalibrationLifecycle:
         """Once explicitly calibrated, running on any frames (incl. a dark
         opening window) must not move the scales."""
         d = det.YoloDetector(params=dict(yolo_params), img_size=64,
-                             int8=True, batch_size=8)
+                             int8=True, batch_size=8,
+                             int8_min_downsample=1)
         d.calibrate(_frames(rng, lo=100, hi=255))
         before = _in_scales(d.params)
         d(_frames(rng, lo=0, hi=10))  # dark video start
@@ -111,7 +113,8 @@ class TestDetectorCalibrationLifecycle:
 
     def test_reset_calibration_rederives_scales(self, yolo_params, rng):
         d = det.YoloDetector(params=dict(yolo_params), img_size=64,
-                             int8=True, batch_size=8)
+                             int8=True, batch_size=8,
+                             int8_min_downsample=1)
         d.calibrate(_frames(rng, lo=100, hi=255))
         s1 = _in_scales(d.params)
         assert not d.needs_calibration
@@ -124,7 +127,8 @@ class TestDetectorCalibrationLifecycle:
 
     def test_reset_without_quantization_is_noop(self, yolo_params):
         d = det.YoloDetector(params=dict(yolo_params), img_size=64,
-                             int8=True, batch_size=8)
+                             int8=True, batch_size=8,
+                             int8_min_downsample=1)
         d.reset_calibration()  # nothing quantized yet; must not raise
         assert d.needs_calibration
 
@@ -164,7 +168,8 @@ class TestPredictorExplicitCalibration:
             "batch_size": 8,
         })
         params = det.fold_bn_params(det.init_yolo_params(seed=0))
-        d = det.YoloDetector(params=params, img_size=64, int8=True, batch_size=8)
+        d = det.YoloDetector(params=params, img_size=64, int8=True,
+                             batch_size=8, int8_min_downsample=1)
         predictor = Predictor(cfg=cfg, detector=d, visualize=False)
         try:
             predictor(video, "missing.json", str(tmp_path / "out"))
@@ -173,7 +178,7 @@ class TestPredictorExplicitCalibration:
 
         expected = det.YoloDetector(
             params=det.fold_bn_params(det.init_yolo_params(seed=0)),
-            img_size=64, int8=True, batch_size=8,
+            img_size=64, int8=True, batch_size=8, int8_min_downsample=1,
         )
         expected.calibrate(load_calibration_frames(calib_path, n=8))
         assert _in_scales(d.params) == _in_scales(expected.params)
@@ -206,7 +211,7 @@ class TestPredictorExplicitCalibration:
         })
         d = det.YoloDetector(
             params=det.fold_bn_params(det.init_yolo_params(seed=0)),
-            img_size=64, int8=True, batch_size=8,
+            img_size=64, int8=True, batch_size=8, int8_min_downsample=1,
         )
         predictor = Predictor(cfg=cfg, detector=d, visualize=False)
 

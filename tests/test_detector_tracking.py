@@ -72,7 +72,8 @@ class TestYolo:
         letter = letterbox_device(jnp.asarray(frames), 64)
         folded = det.fold_bn_params(params)
         qp = det.quantize_yolo_params(
-            folded, det.calibrate_yolo_activations(folded, letter)
+            folded, det.calibrate_yolo_activations(folded, letter),
+            min_downsample=1,  # whole tower: the assertion probes conv_0
         )
         qp_bc = det.bias_correct_yolo(folded, qp, letter)
 
@@ -229,9 +230,13 @@ class TestYolo:
         scales = det.calibrate_yolo_activations(folded, letter)
         assert set(scales) == {f"conv_{i}" for i in det.conv_indices()}
         qp = det.quantize_yolo_params(folded, scales)
-        # head convs stay float
+        # Whole-tower default (measured fastest in situ, docs/PERF.md r3):
+        # only the 3 head convs stay float. The opt-in mixed boundary at
+        # factor 8 additionally leaves the 10 shallow convs float.
         n_q = sum(1 for layer in qp.values() if "qkernel" in layer)
         assert n_q == 72 and len(qp) == 75
+        qp_mixed = det.quantize_yolo_params(folded, scales, min_downsample=8)
+        assert sum(1 for l in qp_mixed.values() if "qkernel" in l) == 62
         out_f = np.asarray(det.yolo_forward(folded, letter, 160))
         out_q = np.asarray(det.yolo_forward(qp, letter, 160))
         assert np.isfinite(out_q).all()
@@ -270,6 +275,53 @@ class TestYolo:
         assert d.params is not None and all(d.params[k] is before[k] for k in before)
         out = d(frames)
         assert len(out) == 2
+
+    def test_conv_input_downsample_factors(self):
+        """The spec walk's per-conv input factors: stem at 1, the deepest
+        tower/head at 32, head-2/3 towers back at 16/8 after upsampling --
+        the structural basis of the mixed-precision boundary."""
+        ds = det.conv_input_downsample()
+        assert len(ds) == 75
+        assert ds["conv_0"] == 1 and ds["conv_1"] == 1  # full resolution
+        assert ds["conv_2"] == 2  # after the first stride-2 reduction
+        assert ds["conv_75"] == 32 and ds["conv_79"] == 32  # head-1 tower
+        assert ds["conv_84"] == 32  # pre-upsample 1x1 reads the /32 grid
+        assert ds["conv_87"] == 16  # head-2 tower after upsample+route
+        assert ds["conv_100"] == 8  # head-3 tower
+        # Exactly 10 convs sit above the factor-8 boundary.
+        assert sum(1 for v in ds.values() if v < 8) == 10
+
+    def test_q8_handoff_edges_exclude_branch_and_shortcut_feeds(self):
+        """q8 emission requires a SOLE consumer that is the next conv: the
+        route branch points (79, 91) and every pre-shortcut 3x3 must be
+        excluded or a second consumer would read a mis-scaled int8 tensor."""
+        ho = det._q8_handoff_convs()
+        assert 79 not in ho and 91 not in ho  # route branch points
+        # pre-shortcut 3x3s: next entry is a shortcut, not a conv
+        for i, entry in enumerate(det.YOLOV3_SPEC):
+            if entry[0] == "shortcut":
+                assert (i - 1) not in ho
+        # interior 1x1 -> 3x3 pair edges DO qualify (e.g. the first
+        # residual-256 pair's 1x1 at spec index 13)
+        assert 13 in ho
+
+    def test_q8_handoff_forward_identical(self, params):
+        """In f32 compute the q8 handoff is bit-identical to the consumer-
+        side quantize (same round/clip of the same epilogue value)."""
+        from poserisk_release_tpu.ops.crop import letterbox_device_rect
+
+        folded = det.fold_bn_params(params)
+        rng = np.random.RandomState(11)
+        frames = rng.randint(0, 255, (2, 53, 80, 3)).astype(np.uint8)
+        letter = letterbox_device_rect(jnp.asarray(frames), 160)
+        scales = det.calibrate_yolo_activations(folded, letter)
+        qp_on = det.quantize_yolo_params(folded, scales, q8_handoff=True)
+        qp_off = det.quantize_yolo_params(folded, scales, q8_handoff=False)
+        assert any("out_scale" in l for l in qp_on.values())
+        assert not any("out_scale" in l for l in qp_off.values())
+        out_on = np.asarray(det.yolo_forward(qp_on, letter, 160))
+        out_off = np.asarray(det.yolo_forward(qp_off, letter, 160))
+        np.testing.assert_array_equal(out_on, out_off)
 
     def test_nms(self):
         boxes = np.array(

@@ -172,39 +172,55 @@ def main() -> None:
     # 10-100 ms per-dispatch round trip. The loop index perturbs the frames
     # so XLA cannot hoist the body out of the loop.
     STEPS = 16
-    print("\n| serving latency (full step, loop-in-jit) | ms / step |")
-    print("|---|---|")
+    # Two configs side by side (docs/PERF.md serving table): the fast
+    # benchmark config AND the strict-parity f32 Predictor default, so the
+    # product-default number is always published next to the headline.
+    full_step_f32 = jax.jit(
+        make_full_frame_step(cfg.SPIN.ief_iters, estimator.parents,
+                             compute_dtype=jnp.float32, fused_resample=False)
+    )
+    serving_cfgs = [
+        ("fast (bf16+int8+fused)", full_step, qparams, spin_bf16),
+        ("strict f32 default", full_step_f32, jax.device_put(folded),
+         estimator.variables),
+    ]
+    print("\n| serving latency (full step, loop-in-jit) | "
+          + " | ".join(name for name, *_ in serving_cfgs) + " |")
+    print("|" + "---|" * (len(serving_cfgs) + 1))
     for b in (1, 8, 32):
         if b > B:
             print(f"| batch {b} | (skipped: tool batch arg is {B}) |")
             continue
         fr = frames[:b]
         bb = bboxes[:b]
+        cols = []
+        for _name, step_fn, yp, sv in serving_cfgs:
 
-        def looped(fr, bb, qp, sv, sp, ir, iu):
-            # params enter as arguments (not jit-captured constants)
-            def body(i, acc):
-                f = fr + i.astype(jnp.uint8)  # wraps mod 256; breaks hoisting
-                reba, rula, det = full_step(qp, sv, sp, f, bb, ir, iu)
-                return acc + jnp.sum(reba) + jnp.sum(det)
-            return jax.lax.fori_loop(0, STEPS, body, jnp.float32(0))
+            def looped(fr, bb, qp, sv, sp, ir, iu, step_fn=step_fn):
+                # params enter as arguments (not jit-captured constants)
+                def body(i, acc):
+                    f = fr + i.astype(jnp.uint8)  # wraps mod 256; breaks hoisting
+                    reba, rula, det = step_fn(qp, sv, sp, f, bb, ir, iu)
+                    return acc + jnp.sum(reba) + jnp.sum(det)
+                return jax.lax.fori_loop(0, STEPS, body, jnp.float32(0))
 
-        fn = jax.jit(looped)
-        args = (fr, bb, qparams, spin_bf16, estimator.smpl_params,
-                info_reba, info_rula)
+            fn = jax.jit(looped)
+            args = (fr, bb, yp, sv, estimator.smpl_params,
+                    info_reba, info_rula)
 
-        def fn_call():
-            return fn(*args)
+            def fn_call():
+                return fn(*args)
 
-        float(fn_call())  # compile + warm
+            float(fn_call())  # compile + warm
 
-        def one() -> float:
-            t0 = time.perf_counter()
-            float(fn_call())
-            return time.perf_counter() - t0
+            def one() -> float:
+                t0 = time.perf_counter()
+                float(fn_call())
+                return time.perf_counter() - t0
 
-        ms = min(one(), one()) / STEPS * 1000
-        print(f"| batch {b} | {ms:.2f} |")
+            cols.append(min(one(), one()) / STEPS * 1000)
+        print(f"| batch {b} | " + " | ".join(f"{ms:.2f}" for ms in cols) + " |",
+              flush=True)
 
 
 if __name__ == "__main__":
