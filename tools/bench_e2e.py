@@ -29,10 +29,13 @@ from __future__ import annotations
 import argparse
 import json
 import os.path as osp
+import sys
 import tempfile
 import time
 
 import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 class RealComputeStubBoxDetector:
