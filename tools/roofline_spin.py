@@ -14,7 +14,7 @@ per-tensor activation scales, per-channel weight scales, dequant epilogue)
 to show per-stage what the opt-in int8 SPIN backbone buys.
 
 Usage: python tools/roofline_spin.py [--no-int8]
-Run EXCLUSIVELY (single-tenant TPU; ~12 remote compiles, ~15 min).
+Run EXCLUSIVELY (single-tenant TPU; 8 remote compiles).
 """
 from __future__ import annotations
 
@@ -76,17 +76,18 @@ def _chain_int8():
     static-scale quantize -> s8 conv -> dequant + relu epilogue."""
 
     def qconv(h, layer, pad=0):
-        hq = jnp.clip(jnp.round(h * (1.0 / layer["in_s"])), -127.0, 127.0
-                      ).astype(jnp.int8)
+        hq = jnp.clip(jnp.round(h.astype(jnp.float32) * (1.0 / layer["in_s"])),
+                      -127.0, 127.0).astype(jnp.int8)
         y = _conv(hq, layer["qk"], pad=pad, prefer=jnp.int32)
         return y.astype(jnp.float32) * (layer["in_s"] * layer["w_s"])
 
     def fn(x, l1, l3, l2, m, iters):
         def block(h):
+            # bf16 carry in/out, like the product backbone between blocks.
             y = jax.nn.relu(qconv(h, l1))
             y = jax.nn.relu(qconv(y, l3, pad=1))
             y = qconv(y, l2)
-            return jax.nn.relu(h + y).astype(jnp.bfloat16)
+            return jax.nn.relu(h.astype(jnp.float32) + y).astype(jnp.bfloat16)
 
         def body(i, acc):
             h = x + (i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype))
@@ -98,8 +99,11 @@ def _chain_int8():
     return fn
 
 
-_BF16 = jax.jit(_chain_bf16(), static_argnames=("m", "iters"))
-_INT8 = jax.jit(_chain_int8(), static_argnames=("m", "iters"))
+# m (chain depth) is a DYNAMIC arg: lax.fori_loop takes traced bounds,
+# so both depths share one compiled executable per (stage, dtype) --
+# remote compiles of these conv-scan graphs run minutes each.
+_BF16 = jax.jit(_chain_bf16(), static_argnames=("iters",))
+_INT8 = jax.jit(_chain_int8(), static_argnames=("iters",))
 
 
 def _measure(call):
@@ -130,12 +134,12 @@ def time_stage(h, w, c, int8=False, depths=(2, 6)):
                 "w_s": jax.device_put(jnp.asarray(w_s.astype(np.float32))),
                 "in_s": jax.device_put(jnp.asarray(np.float32(1 / 127.0))),
             })
-        runner, args = _INT8, (x.astype(jnp.float32), *layers)
+        runner, args = _INT8, (x, *layers)
     else:
         runner, args = _BF16, (x, *(jnp.asarray(k, jnp.bfloat16) for k in ks))
 
     def ms_at(m):
-        return _measure(lambda: float(runner(*args, m=m, iters=ITERS)))
+        return _measure(lambda: float(runner(*args, jnp.int32(m), iters=ITERS)))
 
     m_lo, m_hi = depths
     return (ms_at(m_hi) - ms_at(m_lo)) / (m_hi - m_lo)
