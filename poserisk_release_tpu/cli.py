@@ -80,8 +80,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run_streaming(args, cfg) -> int:
     """--streaming entry: StreamingScorer with the Predictor's detector
-    policy and info fallback, emitting reference-format result files."""
-    from poserisk_release_tpu.pipeline import build_detector, load_add_info
+    policy, info fallback, and int8 calibration lifecycle, emitting
+    reference-format result files."""
+    from poserisk_release_tpu.outputs.stats import print_result_summary
+    from poserisk_release_tpu.pipeline import (
+        apply_explicit_calibration,
+        build_detector,
+        load_add_info,
+    )
     from poserisk_release_tpu.streaming import StreamingScorer
 
     scorer = StreamingScorer(
@@ -89,16 +95,17 @@ def run_streaming(args, cfg) -> int:
         detector=build_detector(cfg),
         window=args.streaming_window,
         fast=args.fast,
+        spin_int8=args.spin_int8,
     )
+    # Same explicit-calibration lifecycle as the batch Predictor: an
+    # operator-supplied --calibration source derives the int8 scales before
+    # the first video window can pin them implicitly.
+    apply_explicit_calibration(cfg, scorer.detector, scorer.estimator)
     result = scorer(args.input, load_add_info(cfg, args.info))
     summary = scorer.write_outputs(result, args.output, score_type=args.type)
     print("\n\n===> DONE! (streaming)")
     print("Result files saved in ", args.output)
-    for title, (final_scores, action_level, action_name) in summary.items():
-        print(f"\n----- {title} -----")
-        print("MODE Score:\t", final_scores[4])
-        print("Action Level:\t", action_level)
-        print("Action:\t\t", action_name)
+    print_result_summary(summary)
     return 0
 
 

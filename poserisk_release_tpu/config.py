@@ -53,6 +53,12 @@ class SpinConfig:
     img_res: int = 224
     # Number of iterative-error-feedback refinement steps in the HMR head.
     ief_iters: int = 3
+    # Mixed-precision boundary for the opt-in int8 SPIN backbone
+    # (--spin_int8): quantize only ResNet stages >= this (0 = whole
+    # backbone incl. the stem; 3 = the accuracy-preferable config -- the
+    # per-stage roofline shows int8 pays only at 14x14/7x7,
+    # docs/PERF.md round 3).
+    int8_min_stage: int = 0
 
 
 @dataclass(frozen=True)

@@ -88,7 +88,15 @@ def load_calibration_frames(path: str, n: int = 64) -> np.ndarray:
         if frames.ndim != 4 or frames.shape[-1] != 3:
             raise ValueError(
                 f"calibration array must be (N, H, W, 3), got {frames.shape}")
-        return _subsample(frames.astype(np.uint8, copy=False), n)
+        if frames.dtype != np.uint8:
+            # Refuse to coerce: astype(uint8) on float [0,1] frames truncates
+            # every pixel to 0 and the detector calibrates on black -- the
+            # exact silent mis-calibration this loader exists to prevent.
+            raise ValueError(
+                "calibration array must be uint8 RGB (0..255), got "
+                f"{frames.dtype}; convert explicitly (e.g. "
+                "np.clip(x*255, 0, 255).astype(np.uint8) for [0,1] floats)")
+        return _subsample(frames, n)
     if osp.isdir(path):
         import cv2
 

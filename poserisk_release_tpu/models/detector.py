@@ -344,6 +344,14 @@ def quantize_yolo_params(folded: Dict[str, Dict], act_absmax: Dict[str, float],
             "in_scale": jnp.asarray(in_scale),
             "q_bias_leaky": jnp.asarray(layer["folded_bias_leaky"]),
         }
+    if not quantized:
+        # min_downsample above the deepest spec factor (32) would quantize
+        # nothing: needs_calibration could then never turn False and the
+        # detector would silently re-run the full calibration walk (plus a
+        # whole-tree device_put) on every call, forever.
+        raise ValueError(
+            f"int8_min_downsample={min_downsample} quantizes zero convs "
+            f"(deepest downsample factor in the spec is {max(ds.values())})")
     # Second pass: wire the q8 handoff edges (producer and consumer must
     # BOTH be quantized for the pre-scaled int8 emission to be meaningful).
     for i in handoff:

@@ -202,6 +202,8 @@ def bias_correct_resnet50(folded: Dict[str, Dict], qparams: Dict[str, Dict],
         resnet50_forward(fp, x, jnp.float32, _record=record)
         corr = {}
         for name, x_f in record.items():
+            if "qkernel" not in qp[name]:
+                continue  # float layer under a min_stage boundary: no error
             stride, pad = geo[name]
             y_f = _qconv(fp[name], x_f, stride, pad, jnp.float32)
             y_q = _qconv(qp[name], x_f, stride, pad, jnp.float32)
@@ -211,18 +213,45 @@ def bias_correct_resnet50(folded: Dict[str, Dict], qparams: Dict[str, Dict],
     corr = jax.jit(walk)(folded, qparams, jnp.asarray(crops))
     out = {}
     for name, layer in qparams.items():
-        layer = dict(layer)
-        layer["bias"] = jnp.asarray(layer["bias"]) + corr[name].astype(jnp.float32)
+        if name in corr:
+            layer = dict(layer)
+            layer["bias"] = jnp.asarray(layer["bias"]) + corr[name].astype(jnp.float32)
         out[name] = layer
     return out
 
 
-def quantize_resnet50(folded: Dict[str, Dict], act_absmax: Dict[str, float]
-                      ) -> Dict[str, Dict]:
+def _conv_stage(name: str) -> int:
+    """Stage index of a folded-conv name: conv1/maxpool stem = 0,
+    layer{s}_* = s (1..4)."""
+    return int(name[5]) if name.startswith("layer") else 0
+
+
+def quantize_resnet50(folded: Dict[str, Dict], act_absmax: Dict[str, float],
+                      min_stage: int = 0) -> Dict[str, Dict]:
     """Folded params -> int8 PTQ params (same scheme as the detector:
-    symmetric per-output-channel weights, calibrated per-tensor activations)."""
+    symmetric per-output-channel weights, calibrated per-tensor activations).
+
+    ``min_stage`` sets a mixed-precision boundary: only convs in residual
+    stage >= min_stage are quantized (conv1 stem = stage 0); shallower
+    layers keep the float/bf16 path through _qconv's float branch. The
+    per-stage roofline (docs/PERF.md round 3) shows int8 pays only at
+    14x14/7x7 (1.74x/1.93x) while stages 1-2 are bandwidth/ceiling-bound
+    (0.99x/1.04x), so min_stage=3 is the accuracy-preferable int8 config:
+    ~2/3 fewer quantized layers for most of the speedup. Default 0 =
+    whole backbone (per the detector lesson that isolated-stage wins can
+    evaporate in situ; A/B with tools/exp_spin_mixed.py)."""
+    if min_stage > max(_conv_stage(n) for n in folded):
+        # Accepting this silently would quantize nothing while the int8
+        # lifecycle keeps reporting "needs calibration" (cf. the detector's
+        # int8_min_downsample guard).
+        raise ValueError(
+            f"int8_min_stage={min_stage} quantizes zero convs "
+            "(deepest ResNet-50 stage is 4)")
     out: Dict[str, Dict] = {}
     for name, layer in folded.items():
+        if _conv_stage(name) < min_stage:
+            out[name] = dict(layer)  # float/bf16 shallow layer
+            continue
         kernel = np.asarray(layer["kernel"], np.float32)
         w_scale = np.maximum(np.abs(kernel).max(axis=(0, 1, 2)), 1e-12) / 127.0
         qkernel = np.clip(np.round(kernel / w_scale), -127, 127).astype(np.int8)

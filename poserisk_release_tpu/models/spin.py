@@ -120,7 +120,8 @@ def hmr_forward_quant(qbackbone: dict, variables: dict, x: jnp.ndarray,
 
 def quantize_spin_backbone(variables: dict, sample_crops,
                            percentile: float | None = None,
-                           bias_correct: bool = True) -> dict:
+                           bias_correct: bool = True,
+                           min_stage: int = 0) -> dict:
     """Fold + calibrate + quantize the SPIN backbone in one step.
 
     sample_crops: a small representative (N, 224, 224, 3) [0,1] batch.
@@ -131,6 +132,10 @@ def quantize_spin_backbone(variables: dict, sample_crops,
     activations have no outlier tail: absmax median drift 0.289 deg vs
     p99.999's 0.289), so absmax stays the default until real weights can be
     measured (models/resnet_int8.calibrate_resnet50).
+    min_stage (default 0 = whole backbone) quantizes only residual stages
+    >= min_stage; min_stage=3 is the accuracy-preferable mixed config (the
+    per-stage roofline shows int8 pays only at 14x14/7x7 -- see
+    resnet_int8.quantize_resnet50).
     bias_correct (default True) folds the expected per-channel quantization
     error on the calibration batch into the biases -- free at runtime and
     HALVES the drift (median angle drift 0.314 -> 0.167 deg, feature MAE
@@ -145,7 +150,7 @@ def quantize_spin_backbone(variables: dict, sample_crops,
 
     folded = fold_resnet50_params(variables)
     scales = calibrate_resnet50(folded, sample_crops, percentile=percentile)
-    q = quantize_resnet50(folded, scales)
+    q = quantize_resnet50(folded, scales, min_stage=min_stage)
     if bias_correct:
         q = bias_correct_resnet50(folded, q, sample_crops)
     return q

@@ -61,3 +61,34 @@ def format_result_txt(final_scores: Sequence, action_level, action_name, trailin
         f"                    \nMAX Score: {final_scores[3]} \nMODE Score: {final_scores[4]} "
         f"\nAction level: {action_level} \nAction: {action_name}{tail}"
     )
+
+
+def write_result_txt(output_path: str, title: str, final_scores: Sequence,
+                     action_level, action_name) -> None:
+    """Write the reference-format {title,lower}_result.txt (base.py:160-182).
+
+    The single writer for BOTH the batch Predictor and the streaming
+    scorer, so the parity format (incl. REBA's trailing space) cannot fork
+    between entry points."""
+    body = format_result_txt(
+        final_scores, action_level, action_name,
+        trailing_space=(title == "REBA"),
+    )
+    with open(osp.join(output_path, title.lower() + "_result.txt"), "w") as f:
+        f.write(body)
+
+
+def print_result_summary(summary: dict) -> None:
+    """The reference's stdout summary block (base.py:189-209), shared by the
+    batch and streaming CLI paths. `summary` maps title -> (final_scores,
+    action_level, action_name)."""
+    for title, (final_scores, action_level, action_name) in summary.items():
+        print(f"\n----- {title} -----")
+        print("AVG Score:\t", final_scores[0])
+        print("%50 Score:\t", final_scores[1])
+        print("%10 Score:\t", final_scores[2])
+        print("MAX Score:\t", final_scores[3])
+        print("MODE Score:\t", final_scores[4])
+        print("\nAction Level:\t", action_level)
+        print("Action:\t\t", action_name)
+        print()

@@ -38,7 +38,11 @@ from poserisk_release_tpu.models.spin import init_spin_params, load_mean_params
 from poserisk_release_tpu.ops.crop import crop_batch
 from poserisk_release_tpu.ops.lbs import LBS, smpl_params_to_jax
 from poserisk_release_tpu.outputs.render import render_result_video, vis_3d_pose
-from poserisk_release_tpu.outputs.stats import format_result_txt, post_process_scores
+from poserisk_release_tpu.outputs.stats import (
+    post_process_scores,
+    print_result_summary,
+    write_result_txt,
+)
 from poserisk_release_tpu.outputs.writers import (
     pose_to_str,
     save_csv_pose_log,
@@ -153,7 +157,9 @@ class PoseEstimator:
         from poserisk_release_tpu.throughput import make_pose_core
 
         calib = jnp.asarray(calib_crops, jnp.float32)[:8]
-        quant = quantize_spin_backbone(self._variables_f32, calib)
+        quant = quantize_spin_backbone(
+            self._variables_f32, calib,
+            min_stage=int(self.cfg.SPIN.int8_min_stage))
         if self.mesh is not None:
             quant = pmesh.replicate_tree(self.mesh, quant)
         else:
@@ -337,6 +343,53 @@ def load_add_info(cfg: Config, info_path: str) -> Dict:
         return json.load(f)
 
 
+def apply_explicit_calibration(cfg: Config, detector, pose_estimator) -> None:
+    """Production int8 calibration lifecycle (DetectorConfig.calibration):
+    derive activation scales from an operator-supplied representative
+    source BEFORE any video frame is seen, so a dark opening window can
+    never pin them (the implicit first-window path remains the fallback).
+    The same frames also calibrate the int8 SPIN backbone: the freshly
+    calibrated detector proposes person boxes (MPT squared-cxcywh
+    convention; full-frame fallback when nothing clears the threshold) and
+    the resulting crops feed quantize_spin_backbone.
+
+    Module-level so EVERY entry point shares one lifecycle: the batch
+    Predictor and the streaming CLI path both route through here."""
+    src = cfg.DETECTOR.calibration
+    if not src:
+        return
+    needs_det = getattr(detector, "needs_calibration", False)
+    needs_spin = pose_estimator.spin_needs_calibration
+    if not (needs_det or needs_spin):
+        return
+    from poserisk_release_tpu.io.video import load_calibration_frames
+
+    frames = load_calibration_frames(src, cfg.DETECTOR.calibration_frames)
+    if needs_det:
+        detector.calibrate(frames)
+    if needs_spin:
+        sample = frames[:: max(1, len(frames) // 8)][:8]
+        H, W = sample.shape[1:3]
+        boxes = []
+        for dets in detect_frames(detector, sample):
+            if len(dets):
+                best = dets[np.argmax(
+                    (dets[:, 2] - dets[:, 0]) * (dets[:, 3] - dets[:, 1])
+                )]
+                w, h = best[2] - best[0], best[3] - best[1]
+                cx, cy = best[0] + w / 2.0, best[1] + h / 2.0
+                side = max(w, h)
+            else:
+                cx, cy, side = W / 2.0, H / 2.0, float(max(H, W))
+            boxes.append([cx, cy, side, side])
+        crops = crop_batch(
+            jnp.asarray(sample), jnp.asarray(np.asarray(boxes, np.float32)),
+            scale=float(cfg.DATASET.bbox_scale),
+            out_size=int(cfg.MODEL.input_shape[0]),
+        )
+        pose_estimator.calibrate_spin(np.asarray(crops))
+
+
 class Predictor:
     """Reference-compatible orchestrator. See module docstring."""
 
@@ -398,56 +451,21 @@ class Predictor:
 
     # ------------------------------------------------------------------
     def _apply_explicit_calibration(self) -> None:
-        """Production int8 calibration lifecycle (DetectorConfig.calibration):
-        derive activation scales from an operator-supplied representative
-        source BEFORE any video frame is seen, so a dark opening window can
-        never pin them (the implicit first-window path at
-        _ingest_and_track_overlapped remains the fallback). The same frames
-        also calibrate the int8 SPIN backbone: the freshly calibrated
-        detector proposes person boxes (MPT squared-cxcywh convention;
-        full-frame fallback when nothing clears the threshold) and the
-        resulting crops feed quantize_spin_backbone."""
-        src = self.cfg.DETECTOR.calibration
-        if not src:
-            return
-        det = self.tracker.detector
-        needs_det = getattr(det, "needs_calibration", False)
-        needs_spin = self.pose_estimator.spin_needs_calibration
-        if not (needs_det or needs_spin):
-            return
-        from poserisk_release_tpu.io.video import load_calibration_frames
-
-        frames = load_calibration_frames(src, self.cfg.DETECTOR.calibration_frames)
-        if needs_det:
-            det.calibrate(frames)
-        if needs_spin:
-            sample = frames[:: max(1, len(frames) // 8)][:8]
-            H, W = sample.shape[1:3]
-            boxes = []
-            for dets in detect_frames(det, sample):
-                if len(dets):
-                    best = dets[np.argmax(
-                        (dets[:, 2] - dets[:, 0]) * (dets[:, 3] - dets[:, 1])
-                    )]
-                    w, h = best[2] - best[0], best[3] - best[1]
-                    cx, cy = best[0] + w / 2.0, best[1] + h / 2.0
-                    side = max(w, h)
-                else:
-                    cx, cy, side = W / 2.0, H / 2.0, float(max(H, W))
-                boxes.append([cx, cy, side, side])
-            crops = crop_batch(
-                jnp.asarray(sample), jnp.asarray(np.asarray(boxes, np.float32)),
-                scale=float(self.cfg.DATASET.bbox_scale),
-                out_size=int(self.cfg.MODEL.input_shape[0]),
-            )
-            self.pose_estimator.calibrate_spin(np.asarray(crops))
+        apply_explicit_calibration(self.cfg, self.tracker.detector,
+                                   self.pose_estimator)
 
     def __call__(self, input_path: str, info_path: str, output_path: str):
         os.makedirs(output_path, exist_ok=True)
 
         # Shared-instance lifecycle: optionally re-derive int8 scales per
         # video instead of inheriting the previous video's exposure stats.
-        if self.cfg.DETECTOR.recalibrate_per_video:
+        # (With an explicit calibration source the scales are a pure
+        # function of that static source -- proven byte-identical across
+        # derivations by test_explicit_calibration_is_source_determined --
+        # so resetting just to re-derive the same scales would waste a full
+        # float-tower calibration pass per video; recalibrate_per_video
+        # only matters for the implicit first-window path.)
+        if self.cfg.DETECTOR.recalibrate_per_video and not self.cfg.DETECTOR.calibration:
             if hasattr(self.tracker.detector, "reset_calibration"):
                 self.tracker.detector.reset_calibration()
         self._apply_explicit_calibration()
@@ -626,11 +644,7 @@ class Predictor:
                 save_eval_pose_log_csv(timestamp, scorer.log, debug_path, title)
 
             action_level, action_name = scorer.action_level(final_scores[4])
-            body = format_result_txt(
-                final_scores, action_level, action_name, trailing_space=(title == "REBA")
-            )
-            with open(osp.join(output_path, title.lower() + "_result.txt"), "w") as f:
-                f.write(body)
+            write_result_txt(output_path, title, final_scores, action_level, action_name)
             summary[title] = (final_scores, action_level, action_name)
         self.timings["score"] = time.time() - t0
 
@@ -662,16 +676,7 @@ class Predictor:
 
         print("\n\n===> DONE!")
         print("Result files saved in ", output_path)
-        for title, (final_scores, action_level, action_name) in summary.items():
-            print(f"\n----- {title} -----")
-            print("AVG Score:\t", final_scores[0])
-            print("%50 Score:\t", final_scores[1])
-            print("%10 Score:\t", final_scores[2])
-            print("MAX Score:\t", final_scores[3])
-            print("MODE Score:\t", final_scores[4])
-            print("\nAction Level:\t", action_level)
-            print("Action:\t\t", action_name)
-            print()
+        print_result_summary(summary)
         return summary
 
     # ------------------------------------------------------------------

@@ -153,6 +153,7 @@ class StreamingScorer:
         spin_variables=None,
         selection: str = "reference",
         fast: bool = False,
+        spin_int8: bool = False,
     ):
         from poserisk_release_tpu.body.smpl import SMPLFamily
         from poserisk_release_tpu.models.detector import StubDetector
@@ -168,7 +169,8 @@ class StreamingScorer:
         # and on real TPU hardware the Pallas crop inside the fused
         # crop+pose jit).
         self.estimator = PoseEstimator(self.cfg, self.smpl, mesh=mesh,
-                                       variables=spin_variables, fast=fast)
+                                       variables=spin_variables, fast=fast,
+                                       spin_int8=spin_int8)
         self.detector = detector if detector is not None else StubDetector()
 
     def __call__(self, video_path: str, add_info: Dict,
@@ -302,8 +304,8 @@ class StreamingScorer:
         import os.path as osp
 
         from poserisk_release_tpu.outputs.stats import (
-            format_result_txt,
             post_process_scores,
+            write_result_txt,
         )
         from poserisk_release_tpu.pipeline import _finite
 
@@ -323,12 +325,8 @@ class StreamingScorer:
                 timestamp, output_path, title=title,
             )
             action_level, action_name = scorer.action_level(final_scores[4])
-            body = format_result_txt(
-                final_scores, action_level, action_name,
-                trailing_space=(title == "REBA"),
-            )
-            with open(osp.join(output_path, title.lower() + "_result.txt"), "w") as f:
-                f.write(body)
+            write_result_txt(output_path, title, final_scores, action_level,
+                             action_name)
             summary[title] = (final_scores, action_level, action_name)
         with open(osp.join(output_path, "stream_summary.json"), "w") as f:
             json.dump(

@@ -246,3 +246,152 @@ class TestSpinExplicitCalibration:
         # Calibrated estimator still produces angles.
         euler, joints, aa = est.run(crops)
         assert euler.shape == (4, 24, 3) and np.isfinite(euler).all()
+
+
+class TestCalibrationGuards:
+    def test_float_calibration_array_raises(self, tmp_path, rng):
+        """astype(uint8) on [0,1] floats would truncate every pixel to 0 and
+        calibrate the detector on black; the loader must refuse instead."""
+        path = str(tmp_path / "calib_f32.npy")
+        np.save(path, rng.uniform(0, 1, (6, 96, 128, 3)).astype(np.float32))
+        with pytest.raises(ValueError, match="uint8"):
+            load_calibration_frames(path, n=4)
+
+    def test_min_downsample_above_spec_raises(self, yolo_params, rng):
+        """min_downsample > 32 quantizes zero convs; silently accepting it
+        would leave needs_calibration True forever (full calibration walk +
+        param re-upload on EVERY call)."""
+        frames = _frames(rng)
+        from poserisk_release_tpu.ops.crop import letterbox_device_rect
+
+        letter = letterbox_device_rect(jnp.asarray(frames[:2]), 64)
+        scales = det.calibrate_yolo_activations(yolo_params, letter)
+        with pytest.raises(ValueError, match="zero convs"):
+            det.quantize_yolo_params(yolo_params, scales, min_downsample=64)
+
+
+class TestExplicitSourceSkipsPerVideoReset:
+    def test_no_reset_when_explicit_source_set(
+        self, tmp_path, small_chunk_config, rng, monkeypatch
+    ):
+        """recalibrate_per_video + an explicit calibration source: the
+        explicit scales are a pure function of the static source, so the
+        Predictor must NOT reset+re-derive them on every video (each
+        re-derivation is a full float-tower pass)."""
+        import cv2
+
+        from poserisk_release_tpu.pipeline import Predictor
+
+        calib_path = str(tmp_path / "calib.npy")
+        np.save(calib_path, _frames(rng, n=8, lo=60, hi=230))
+        video = str(tmp_path / "v.mp4")
+        wr = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (128, 96))
+        for f in _frames(rng, n=8, lo=40, hi=220):
+            wr.write(f)
+        wr.release()
+
+        cfg = small_chunk_config.replace(DETECTOR={
+            "calibration": calib_path,
+            "calibration_frames": 8,
+            "recalibrate_per_video": True,
+            "img_size": 64,
+            "int8": True,
+            "batch_size": 8,
+        })
+        d = det.YoloDetector(
+            params=det.fold_bn_params(det.init_yolo_params(seed=0)),
+            img_size=64, int8=True, batch_size=8, int8_min_downsample=1,
+        )
+        resets = []
+        monkeypatch.setattr(
+            d, "reset_calibration", lambda: resets.append(1))
+        predictor = Predictor(cfg=cfg, detector=d, visualize=False)
+
+        def run():
+            try:
+                predictor(video, "missing.json", str(tmp_path / "out"))
+            except ValueError:
+                pass  # random weights may track no one
+            return _in_scales(d.params)
+
+        s1 = run()
+        s2 = run()
+        assert resets == []          # explicit source -> reset skipped
+        assert s1 == s2 and s1      # scales stable and quantized
+
+
+class TestStreamingExplicitCalibration:
+    def test_streaming_estimator_gets_explicit_scales(
+        self, tmp_path, small_chunk_config, rng
+    ):
+        """The streaming path shares the Predictor's calibration lifecycle:
+        apply_explicit_calibration on a StreamingScorer's detector must
+        produce exactly the scales of a pure explicit calibration."""
+        from poserisk_release_tpu.pipeline import apply_explicit_calibration
+        from poserisk_release_tpu.streaming import StreamingScorer
+
+        calib_path = str(tmp_path / "calib.npy")
+        np.save(calib_path, _frames(rng, n=8, lo=80, hi=255))
+        cfg = small_chunk_config.replace(DETECTOR={
+            "calibration": calib_path,
+            "calibration_frames": 8,
+            "img_size": 64,
+            "int8": True,
+            "batch_size": 8,
+        })
+        d = det.YoloDetector(
+            params=det.fold_bn_params(det.init_yolo_params(seed=0)),
+            img_size=64, int8=True, batch_size=8, int8_min_downsample=1,
+        )
+        scorer = StreamingScorer(cfg=cfg, detector=d, window=8)
+        apply_explicit_calibration(cfg, scorer.detector, scorer.estimator)
+        assert not d.needs_calibration
+
+        expected = det.YoloDetector(
+            params=det.fold_bn_params(det.init_yolo_params(seed=0)),
+            img_size=64, int8=True, batch_size=8, int8_min_downsample=1,
+        )
+        expected.calibrate(load_calibration_frames(calib_path, n=8))
+        assert _in_scales(d.params) == _in_scales(expected.params)
+
+    def test_cli_streaming_routes_through_calibration(
+        self, tmp_path, monkeypatch
+    ):
+        """--streaming + --calibration plumbing: run_streaming must invoke
+        the shared apply_explicit_calibration (it used to silently ignore
+        the flag and let the first window pin the scales)."""
+        import cv2
+
+        import poserisk_release_tpu.pipeline as pipeline_mod
+        from poserisk_release_tpu.cli import main
+        from poserisk_release_tpu.io.video import write_video
+        from poserisk_release_tpu.models.detector import StubDetector
+
+        calls = []
+        monkeypatch.setattr(
+            pipeline_mod, "apply_explicit_calibration",
+            lambda cfg, detector, estimator: calls.append(
+                cfg.DETECTOR.calibration),
+        )
+        monkeypatch.setattr(
+            pipeline_mod, "build_detector", lambda cfg: StubDetector())
+
+        frames = []
+        for i in range(8):
+            img = np.full((120, 160, 3), 30, np.uint8)
+            cv2.rectangle(img, (60, 20), (110, 100), (170, 150, 120), -1)
+            frames.append(img)
+        video = str(tmp_path / "v.mp4")
+        write_video(frames, fps=8.0, file_path=video)
+        calib = str(tmp_path / "calib.npy")
+        np.save(calib, _frames(rng=np.random.RandomState(0), n=4))
+
+        rc = main([
+            "--cpu", "--streaming", "--streaming_window", "8",
+            "--calibration", calib,
+            "--input", video, "--info", "missing.json",
+            "--output", str(tmp_path / "out"),
+        ])
+        assert rc == 0
+        assert calls == [calib]

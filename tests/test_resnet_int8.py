@@ -143,3 +143,62 @@ def test_quant_pose_core_runs(estimator, folded, crops):
     np.testing.assert_allclose(
         np.asarray(aa)[:, 0], np.tile([3.14, 0.0, 0.0], (4, 1)), atol=1e-6
     )
+
+
+class TestMinStageBoundary:
+    def test_min_stage_3_quantizes_only_deep_stages(self, folded, crops):
+        scales = calibrate_resnet50(folded, crops)
+        q = quantize_resnet50(folded, scales, min_stage=3)
+        for name, layer in q.items():
+            deep = name.startswith(("layer3", "layer4"))
+            assert ("qkernel" in layer) == deep, name
+        # 6*3+1 (layer3) + 3*3+1 (layer4) = 29 quantized convs
+        assert sum(1 for l in q.values() if "qkernel" in l) == 29
+
+    def test_min_stage_forward_bounds_drift_below_whole_int8(
+        self, folded, crops
+    ):
+        """Fewer quantized layers must not drift MORE than the whole-tower
+        int8 backbone (the accuracy rationale for min_stage=3)."""
+        ref = np.asarray(resnet50_forward(folded, crops, jnp.float32))
+        scales = calibrate_resnet50(folded, crops)
+
+        def mae(q):
+            out = np.asarray(resnet50_forward(q, crops, jnp.float32))
+            return float(np.abs(out - ref).mean())
+
+        mae_whole = mae(quantize_resnet50(folded, scales))
+        mae_mixed = mae(quantize_resnet50(folded, scales, min_stage=3))
+        assert mae_mixed <= mae_whole * 1.05  # allow measurement-level slack
+        assert mae_mixed < 0.05
+
+    def test_min_stage_above_deepest_raises(self, folded, crops):
+        scales = calibrate_resnet50(folded, crops)
+        with pytest.raises(ValueError, match="zero convs"):
+            quantize_resnet50(folded, scales, min_stage=5)
+
+    def test_bias_correction_skips_float_layers(self, folded, crops):
+        scales = calibrate_resnet50(folded, crops)
+        q = quantize_resnet50(folded, scales, min_stage=3)
+        qc = bias_correct_resnet50(folded, q, crops)
+        # Float shallow layers are untouched (same object semantics: bias
+        # unchanged); quantized deep layers got a correction term.
+        np.testing.assert_array_equal(
+            np.asarray(q["conv1"]["bias"]), np.asarray(qc["conv1"]["bias"]))
+        assert not np.array_equal(
+            np.asarray(q["layer4_0.conv2"]["bias"]),
+            np.asarray(qc["layer4_0.conv2"]["bias"]))
+
+    def test_quantize_spin_backbone_min_stage_passthrough(
+        self, estimator, crops
+    ):
+        from poserisk_release_tpu.models.spin import quantize_spin_backbone
+
+        q = quantize_spin_backbone(estimator.variables, crops, min_stage=4)
+        quantized = {n for n, l in q.items() if "qkernel" in l}
+        assert quantized == {
+            "layer4_0.conv1", "layer4_0.conv2", "layer4_0.conv3",
+            "layer4_0.downsample",
+            "layer4_1.conv1", "layer4_1.conv2", "layer4_1.conv3",
+            "layer4_2.conv1", "layer4_2.conv2", "layer4_2.conv3",
+        }

@@ -58,10 +58,6 @@ def main() -> None:
 
     def xla_chain(start, n):
         def fn(h, qp):
-            def body(i, hh):
-                del i
-                return hh
-
             for j in range(n):
                 k = start + 3 * j
                 a = det._conv_block(h, qp[f"conv_{k}"], det.YOLOV3_SPEC[k],
