@@ -54,9 +54,9 @@ class SpinConfig:
     # Number of iterative-error-feedback refinement steps in the HMR head.
     ief_iters: int = 3
     # Mixed-precision boundary for the opt-in int8 SPIN backbone
-    # (--spin_int8): quantize only ResNet stages >= this (0 = whole
-    # backbone incl. the stem; 3 = the accuracy-preferable config -- the
-    # per-stage roofline shows int8 pays only at 14x14/7x7,
+    # (--spin_int8): quantize only ResNet stages >= this. 0 (whole
+    # backbone) measured fastest in situ (1.29x vs bf16); 3 trades ~11%
+    # throughput for 7% less angle drift (tools/exp_spin_mixed.py,
     # docs/PERF.md round 3).
     int8_min_stage: int = 0
 

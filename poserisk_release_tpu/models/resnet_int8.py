@@ -234,12 +234,12 @@ def quantize_resnet50(folded: Dict[str, Dict], act_absmax: Dict[str, float],
     ``min_stage`` sets a mixed-precision boundary: only convs in residual
     stage >= min_stage are quantized (conv1 stem = stage 0); shallower
     layers keep the float/bf16 path through _qconv's float branch. The
-    per-stage roofline (docs/PERF.md round 3) shows int8 pays only at
-    14x14/7x7 (1.74x/1.93x) while stages 1-2 are bandwidth/ceiling-bound
-    (0.99x/1.04x), so min_stage=3 is the accuracy-preferable int8 config:
-    ~2/3 fewer quantized layers for most of the speedup. Default 0 =
-    whole backbone (per the detector lesson that isolated-stage wins can
-    evaporate in situ; A/B with tools/exp_spin_mixed.py)."""
+    in-situ A/B (tools/exp_spin_mixed.py; docs/PERF.md round 3) measured
+    whole-tower (min_stage=0) fastest on the product pose step -- 1.29x
+    vs bf16, where min_stage=3 keeps only ~half of that (1.13x) for 7%
+    less angle drift -- so 0 stays the default; 3 is the
+    accuracy-preferable middle if real weights show threshold-class
+    drift."""
     if min_stage > max(_conv_stage(n) for n in folded):
         # Accepting this silently would quantize nothing while the int8
         # lifecycle keeps reporting "needs calibration" (cf. the detector's
