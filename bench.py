@@ -51,6 +51,11 @@ BENCH_SPIN_INT8 = _os.environ.get("BENCH_SPIN_INT8", "0") == "1"
 # frames per step, 1.3x on the resample stage (same bf16 tolerance class as
 # the jnp pair it replaces). BENCH_FUSED=0 falls back to the jnp resamples.
 BENCH_FUSED = _os.environ.get("BENCH_FUSED", "1") == "1"
+# Detection-stride throughput mode (DetectorConfig.detection_stride): the
+# detector forward covers only every Nth frame, as in production where SORT
+# interpolates the skipped boxes on host. 1 (default) = the reference's
+# detect-every-frame contract; the headline number keeps stride 1.
+BENCH_DET_STRIDE = int(_os.environ.get("BENCH_DET_STRIDE", "1"))
 WARMUP_STEPS = 2
 MEASURE_STEPS = 24
 FRAME_HW = (450, 800)  # reference ingest cap (funcs_utils.py:26-31)
@@ -95,7 +100,8 @@ def main() -> None:
         make_full_frame_step(cfg.SPIN.ief_iters, estimator.parents,
                              compute_dtype=compute_dtype,
                              quant_backbone=quant_backbone,
-                             fused_resample=BENCH_FUSED)
+                             fused_resample=BENCH_FUSED,
+                             det_stride=BENCH_DET_STRIDE)
     )
 
     # Frames are generated ON DEVICE: the remote-TPU relay in this environment
@@ -170,7 +176,8 @@ def main() -> None:
                     "frames/sec/chip (detector+crop+SPIN+angles+joints+REBA+RULA, "
                     f"{BENCH_DTYPE}{', int8 detector' if BENCH_INT8 else ''}"
                     f"{', int8 SPIN' if BENCH_SPIN_INT8 else ''}, rect canvas"
-                    f"{', fused resample' if BENCH_FUSED else ''})"
+                    f"{', fused resample' if BENCH_FUSED else ''}"
+                    f"{f', det stride {BENCH_DET_STRIDE}' if BENCH_DET_STRIDE > 1 else ''})"
                 ),
                 "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
             }

@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--fast_detector", action="store_true",
                         help="rect canvas + int8 PTQ detector (2.1x; see "
                              "docs/PARITY.md for the quantified deviations)")
+    parser.add_argument("--detection_stride", type=int, default=1,
+                        help="detect only every Nth frame and interpolate "
+                             "track boxes across the gaps (throughput mode; "
+                             "1 = reference detect-every-frame contract)")
     parser.add_argument("--calibration", type=str, default="",
                         help="explicit int8 calibration source (video file, "
                              "image dir, or .npy/.npz of frames) for the "
@@ -126,6 +130,8 @@ def main(argv=None) -> int:
         cfg = cfg.replace(DETECTOR={"rect_letterbox": True, "int8": True})
     if args.jpeg_ingest:
         cfg = cfg.replace(DATASET={"jpeg_ingest": True})
+    if args.detection_stride != 1:
+        cfg = cfg.replace(DETECTOR={"detection_stride": args.detection_stride})
     if args.calibration or args.recalibrate_per_video:
         cfg = cfg.replace(DETECTOR={
             "calibration": args.calibration,

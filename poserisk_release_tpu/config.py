@@ -101,6 +101,15 @@ class DetectorConfig:
     # Results stay identical to the full pull -- chunks whose k-th score
     # still clears the threshold re-pull unfiltered. 0 disables.
     max_device_dets: int = 256
+    # Opt-in throughput mode: run the detector only on every Nth frame
+    # (global index stride) and fill each track's gaps by linear bbox
+    # interpolation (tracking/mpt.interpolate_track_gaps). 1 = the
+    # reference's detect-every-frame contract. A behavioural deviation
+    # when > 1 (docs/PARITY.md): skipped frames get interpolated, not
+    # detected, boxes -- the 1.2x bbox_scale crop margin absorbs small
+    # box error, but fast in-plane motion can drift crops between
+    # detections.
+    detection_stride: int = 1
     # Explicit int8 calibration source (io/video.load_calibration_frames):
     # a video file, an image directory, or a .npy/.npz of (N, H, W, 3)
     # uint8 frames. When set, activation scales for the int8 detector (and

@@ -423,7 +423,8 @@ class Predictor:
 
         if detector is None:
             detector = build_detector(self.cfg)
-        self.tracker = MultiPersonTracker(detector)
+        self.tracker = MultiPersonTracker(
+            detector, detection_stride=int(self.cfg.DETECTOR.detection_stride))
 
         self.reba, self.rula = REBAScorer(debug), RULAScorer(debug)
         scores = score_type.replace(" ", "").upper().split(",")

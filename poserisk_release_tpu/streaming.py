@@ -182,9 +182,14 @@ class StreamingScorer:
     # -- pass 1: detect + track only (no pixels retained) -----------------
     def _track_pass(self, video_path: str, max_frames: Optional[int]
                     ) -> Tuple[Dict[int, Dict[str, np.ndarray]], int, float]:
-        from poserisk_release_tpu.tracking.mpt import accumulate_tracks, finalize_tracks
+        from poserisk_release_tpu.tracking.mpt import (
+            finalize_tracks,
+            interpolate_track_gaps,
+            update_window_tracks,
+        )
         from poserisk_release_tpu.tracking.sort import Sort
 
+        stride = int(self.cfg.DETECTOR.detection_stride)
         sort = Sort()
         people: Dict[int, Dict[str, list]] = {}
         fps = 0.0
@@ -194,13 +199,14 @@ class StreamingScorer:
                 fps = float(item[1])
             elif item[0] == "window":
                 _, start_idx, frames = item
-                detections = self._detect(frames)
-                for local_idx, dets in enumerate(detections):
-                    tracks = sort.update(np.asarray(dets, np.float64).reshape(-1, 5))
-                    accumulate_tracks(people, start_idx + local_idx, tracks)
+                update_window_tracks(sort, people, start_idx, frames,
+                                     self.detector, stride)
             else:  # end
                 total = int(item[1])
-        return finalize_tracks(people), total, fps
+        results = finalize_tracks(people)
+        if stride > 1:
+            results = interpolate_track_gaps(results)
+        return results, total, fps
 
     def _run_two_pass(self, video_path: str, add_info: Dict,
                       max_frames: Optional[int]) -> StreamResult:

@@ -87,7 +87,8 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
                          yolo_params: Dict | None = None, img_size: int = 416,
                          compute_dtype=jnp.float32, rect: bool = True,
                          quant_backbone: Dict | None = None,
-                         fused_resample: bool = False):
+                         fused_resample: bool = False,
+                         det_stride: int = 1):
     """Full per-frame device path including the detector forward.
 
     step(yolo_params, spin_variables, smpl_params, frames_u8, bboxes,
@@ -104,6 +105,12 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
     in one Pallas kernel that reads each frame from HBM once
     (ops.resample_pallas.fused_letterbox_crop); numerics match the jnp pair
     to bf16 rounding (tests/test_resample_pallas.py).
+
+    det_stride > 1 models the detection-stride throughput mode
+    (DetectorConfig.detection_stride): the detector forward runs only on
+    every Nth frame of the batch (crops/pose/scoring still cover every
+    frame -- in production SORT interpolates the skipped boxes on host).
+    det_best then has shape (ceil(B / det_stride),).
     """
     from poserisk_release_tpu.models.detector import yolo_forward
     from poserisk_release_tpu.ops.crop import letterbox_device, letterbox_device_rect
@@ -117,7 +124,12 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
     pose_step = make_pose_and_score_step(n_iter, parents, compute_dtype, quant_backbone)
 
     def step(yolo_p, spin_variables, smpl_params, frames, bboxes, info_reba, info_rula):
-        if fused_resample:
+        det_frames = frames[::det_stride] if det_stride > 1 else frames
+        # The fused kernel's premise (one HBM read of each frame serving
+        # letterbox AND crop) only holds when both cover the same frames;
+        # under a detection stride the letterbox runs on the subset, so the
+        # two resamples stay separate.
+        if fused_resample and det_stride == 1:
             from poserisk_release_tpu.ops.resample_pallas import fused_letterbox_crop
 
             letter, crops = fused_letterbox_crop(
@@ -125,9 +137,9 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
             )
         else:
             letter = (
-                letterbox(frames, img_size, compute_dtype=compute_dtype)
+                letterbox(det_frames, img_size, compute_dtype=compute_dtype)
                 if rect
-                else letterbox(frames, img_size)
+                else letterbox(det_frames, img_size)
             )
             crops = crop_batch(frames, bboxes, scale=1.2, out_size=224,
                                compute_dtype=compute_dtype)

@@ -29,11 +29,15 @@ class MultiPersonTracker:
         max_age: int = 1,
         min_hits: int = 3,
         iou_threshold: float = 0.3,
+        detection_stride: int = 1,
     ):
+        if detection_stride < 1:
+            raise ValueError(f"detection_stride must be >= 1, got {detection_stride}")
         self.detector = detector
         self.max_age = max_age
         self.min_hits = min_hits
         self.iou_threshold = iou_threshold
+        self.detection_stride = detection_stride
 
     def __call__(self, frames_rgb: np.ndarray) -> Dict[int, Dict[str, np.ndarray]]:
         return self.track_windows([(0, frames_rgb)])
@@ -42,17 +46,23 @@ class MultiPersonTracker:
         """Track an iterable of (start_frame_idx, frames) windows with ONE
         persistent SORT state -- identical results to a whole-clip call, but
         consumable from a streaming decoder so detection (device) overlaps
-        decode (host thread). Windows must arrive in frame order."""
+        decode (host thread). Windows must arrive in frame order.
+
+        detection_stride > 1 (opt-in throughput mode, a deviation from the
+        reference's detect-every-frame contract -- docs/PARITY.md) detects
+        only frames whose GLOBAL index is a stride multiple and fills the
+        gaps of each surviving track by linear interpolation."""
         tracker = Sort(
             max_age=self.max_age, min_hits=self.min_hits, iou_threshold=self.iou_threshold
         )
         people: Dict[int, Dict[str, list]] = {}
         for start_idx, frames_rgb in windows:
-            detections = detect_frames(self.detector, frames_rgb)
-            for local_idx, dets in enumerate(detections):
-                tracks = tracker.update(np.asarray(dets, np.float64).reshape(-1, 5))
-                accumulate_tracks(people, start_idx + local_idx, tracks)
-        return finalize_tracks(people)
+            update_window_tracks(tracker, people, start_idx, frames_rgb,
+                                 self.detector, self.detection_stride)
+        results = finalize_tracks(people)
+        if self.detection_stride > 1:
+            results = interpolate_track_gaps(results)
+        return results
 
 
 def detect_frames(detector, frames_rgb) -> List[np.ndarray]:
@@ -69,6 +79,58 @@ def detect_frames(detector, frames_rgb) -> List[np.ndarray]:
             "one (k, 5) array per input frame"
         )
     return detections
+
+
+def update_window_tracks(sort, people: Dict[int, Dict[str, list]],
+                         start_idx: int, frames_rgb, detector,
+                         stride: int = 1) -> None:
+    """Detect + SORT-update one decoded window into the shared accumulator.
+
+    stride > 1 detects only frames at GLOBAL indices that are stride
+    multiples (window-boundary-safe: the phase is derived from start_idx,
+    so any window length works); SORT then sees a uniformly downsampled
+    clip -- its constant-velocity state is per detection step, which is
+    exactly the canonical tracker run at 1/stride frame rate. Shared by
+    the batch tracker and the streaming scorer so the strided semantics
+    cannot fork."""
+    if stride == 1:
+        sel = range(len(frames_rgb))
+        detections = detect_frames(detector, frames_rgb)
+    else:
+        offset = (-start_idx) % stride
+        sel = list(range(offset, len(frames_rgb), stride))
+        if not sel:
+            return
+        detections = detect_frames(detector, frames_rgb[sel])
+    for local_idx, dets in zip(sel, detections):
+        tracks = sort.update(np.asarray(dets, np.float64).reshape(-1, 5))
+        accumulate_tracks(people, start_idx + local_idx, tracks)
+
+
+def interpolate_track_gaps(
+    tracking_results: Dict[int, Dict[str, np.ndarray]],
+) -> Dict[int, Dict[str, np.ndarray]]:
+    """Fill each track's interior frame gaps by per-column linear
+    interpolation of its cxcywh boxes (detected frames keep their exact
+    boxes). The same gap policy as the reference's keypoint-path bbox
+    smoothing (lib/utils/smooth_bbox.py interpolates bbox params across
+    missing frames); squared boxes stay squared because w == h
+    interpolates to w == h. No extrapolation beyond a track's first/last
+    detection."""
+    out: Dict[int, Dict[str, np.ndarray]] = {}
+    for pid, track in tracking_results.items():
+        frames = np.asarray(track["frames"], np.int64)
+        bbox = np.asarray(track["bbox"], np.float64)
+        if frames.shape[0] < 2 or int(np.diff(frames).max()) <= 1:
+            out[pid] = {"bbox": bbox, "frames": frames}
+            continue
+        full = np.arange(frames[0], frames[-1] + 1, dtype=np.int64)
+        filled = np.stack(
+            [np.interp(full, frames, bbox[:, c]) for c in range(bbox.shape[1])],
+            axis=1,
+        )
+        out[pid] = {"bbox": filled, "frames": full}
+    return out
 
 
 def accumulate_tracks(people: Dict[int, Dict[str, list]], frame_idx: int,

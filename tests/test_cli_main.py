@@ -84,3 +84,27 @@ def test_cli_fast_detector_and_jpeg_flags_plumb_config(monkeypatch, tmp_path):
     assert cfg.DETECTOR.rect_letterbox and cfg.DETECTOR.int8
     assert cfg.DATASET.jpeg_ingest
     assert captured["kwargs"]["validate_rotations"] is True
+
+
+def test_cli_detection_stride_plumbs_config(monkeypatch, tmp_path):
+    """--detection_stride reaches DetectorConfig.detection_stride."""
+    import poserisk_release_tpu.cli as cli_mod
+
+    captured = {}
+
+    class FakePredictor:
+        def __init__(self, cfg=None, **kwargs):
+            captured["cfg"] = cfg
+
+        def __call__(self, *a, **k):
+            captured["called"] = True
+
+        timings = {}
+
+    monkeypatch.setattr("poserisk_release_tpu.pipeline.Predictor", FakePredictor)
+    rc = cli_mod.main([
+        "--cpu", "--input", "x.mp4", "--output", str(tmp_path),
+        "--num_devices", "1", "--detection_stride", "4",
+    ])
+    assert rc == 0 and captured["called"]
+    assert captured["cfg"].DETECTOR.detection_stride == 4
