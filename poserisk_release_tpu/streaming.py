@@ -240,6 +240,7 @@ class StreamingScorer:
                     max_frames: Optional[int]) -> StreamResult:
         from poserisk_release_tpu.tracking.sort import Sort
 
+        stride = int(self.cfg.DETECTOR.detection_stride)
         result = StreamResult()
         sort = Sort()  # persistent across windows -> stable identities
         target_id: Optional[int] = None
@@ -254,10 +255,19 @@ class StreamingScorer:
                 break
             _, start_idx, frames = item
 
-            detections = self._detect(frames)
+            # Online mode keeps no pixels to back-fill, so under a detection
+            # stride it detects AND scores only the strided subsample (the
+            # two-pass/batch modes interpolate boxes and score every frame).
+            if stride == 1:
+                sel = list(range(len(frames)))
+                detections = self._detect(frames)
+            else:
+                offset = (-start_idx) % stride
+                sel = list(range(offset, len(frames), stride))
+                detections = self._detect(frames[sel]) if sel else []
             track_local: List[int] = []
             track_boxes: List[np.ndarray] = []
-            for local_idx, dets in enumerate(detections):
+            for local_idx, dets in zip(sel, detections):
                 tracks = sort.update(np.asarray(dets, np.float64).reshape(-1, 5))
                 if tracks.shape[0] == 0:
                     continue

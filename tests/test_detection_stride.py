@@ -216,3 +216,35 @@ class TestFullFrameStepStride:
         np.testing.assert_array_equal(np.asarray(rula1), np.asarray(rula3))
         np.testing.assert_allclose(
             np.asarray(det1)[::3], np.asarray(det3), rtol=1e-6)
+
+
+class TestOnlineStreamingStride:
+    def test_online_mode_scores_only_the_strided_subsample(self, tmp_path):
+        """Online streaming keeps no pixels to back-fill, so stride N means
+        it detects AND scores every Nth frame (PARITY.md #5)."""
+        import cv2
+
+        from poserisk_release_tpu.config import default_config
+        from poserisk_release_tpu.streaming import StreamingScorer
+
+        frames = make_clip(n=24)
+        video = str(tmp_path / "v.mp4")
+        wr = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (frames.shape[2], frames.shape[1]))
+        for f in frames:
+            wr.write(f[..., ::-1])
+        wr.release()
+
+        import json
+        import os.path as osp
+
+        import poserisk_release_tpu
+
+        info = json.load(open(osp.join(
+            osp.dirname(poserisk_release_tpu.__file__),
+            "default_information.json")))
+        cfg = default_config().replace(DETECTOR={"detection_stride": 4})
+        result = StreamingScorer(
+            cfg=cfg, detector=PixelDetector(), window=7, selection="online",
+        )(video, info)
+        assert result.frames == list(range(0, 24, 4))
