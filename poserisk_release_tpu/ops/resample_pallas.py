@@ -105,16 +105,23 @@ def _resample(x, t, s_t, acc_dtype):
 
 
 def _kernel(bbox_ref, frame_ref, t_lb_ref, s_lb_t_ref, border_ref,
-            letter_ref, crop_ref, *, H, W, out_size, scale, acc_dtype):
+            letter_ref, crop_ref, *, H, W, out_size, scale, acc_dtype,
+            det_stride):
     inv255 = 1.0 / 255.0
     t_c, s_c_t = _bbox_tap_matrices(bbox_ref, H, W, out_size, scale, acc_dtype)
-    t_lb = t_lb_ref[:]
-    s_lb_t = s_lb_t_ref[:]
-    border = border_ref[:]
+    is_det_frame = pl.program_id(0) % det_stride == 0
     for c in range(3):
         x = _load_channel(frame_ref, c, acc_dtype)
-        lb = _resample(x, t_lb, s_lb_t, acc_dtype)
-        letter_ref[0, c] = (lb * inv255 + border).astype(letter_ref.dtype)
+
+        # Detection-stride mode letterboxes only every Nth frame: the output
+        # block index is b // det_stride, so the same letterbox block stays
+        # VMEM-resident across the stride's grid steps and exactly one of
+        # them (the stride multiple) writes it.
+        @pl.when(is_det_frame)
+        def _write_letterbox(x=x, c=c):
+            lb = _resample(x, t_lb_ref[:], s_lb_t_ref[:], acc_dtype)
+            letter_ref[0, c] = (lb * inv255 + border_ref[:]).astype(letter_ref.dtype)
+
         cr = _resample(x, t_c, s_c_t, acc_dtype)
         crop_ref[0, c] = (cr * inv255).astype(crop_ref.dtype)
 
@@ -122,7 +129,7 @@ def _kernel(bbox_ref, frame_ref, t_lb_ref, s_lb_t_ref, border_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("img_size", "out_size", "scale", "multiple",
-                     "compute_dtype", "interpret"),
+                     "compute_dtype", "interpret", "det_stride"),
 )
 def fused_letterbox_crop(
     frames: jnp.ndarray,  # (B, H, W, 3) uint8
@@ -133,9 +140,17 @@ def fused_letterbox_crop(
     multiple: int = 32,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    det_stride: int = 1,
 ):
-    """Returns (letterbox (B, ch, cw, 3), crops (B, out, out, 3)), both
-    compute_dtype in [0, 1], matching letterbox_device_rect + crop_batch."""
+    """Returns (letterbox (ceil(B/det_stride), ch, cw, 3), crops
+    (B, out, out, 3)), both compute_dtype in [0, 1], matching
+    letterbox_device_rect (on frames[::det_stride]) + crop_batch.
+
+    det_stride > 1 is the detection-stride throughput mode
+    (DetectorConfig.detection_stride): crops still cover every frame, the
+    detector letterbox only every Nth -- still in ONE HBM pass over the
+    frames (the per-frame program skips the letterbox matmuls and write on
+    non-multiples)."""
     if frames.dtype != jnp.uint8:
         raise TypeError("fused_letterbox_crop takes uint8 frames (the "
                         "in-kernel u8 -> f32 hop assumes integer pixel "
@@ -153,10 +168,11 @@ def fused_letterbox_crop(
     frames_chw = jnp.transpose(frames, (0, 3, 1, 2))
     bboxes = bboxes.astype(jnp.float32)
 
+    n_det = -(-B // det_stride)  # ceil: frames[::det_stride] coverage
     letter_chw, crop_chw = pl.pallas_call(
         functools.partial(
             _kernel, H=H, W=W, out_size=out_size, scale=float(scale),
-            acc_dtype=acc_dtype,
+            acc_dtype=acc_dtype, det_stride=det_stride,
         ),
         grid=(B,),
         in_specs=[
@@ -171,13 +187,14 @@ def fused_letterbox_crop(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 3, canvas_h, canvas_w), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, 3, canvas_h, canvas_w),
+                         lambda b: (b // det_stride, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, out_size, out_size), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, 3, canvas_h, canvas_w), compute_dtype),
+            jax.ShapeDtypeStruct((n_det, 3, canvas_h, canvas_w), compute_dtype),
             jax.ShapeDtypeStruct((B, 3, out_size, out_size), compute_dtype),
         ),
         interpret=interpret,

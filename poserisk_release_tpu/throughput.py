@@ -125,15 +125,15 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
 
     def step(yolo_p, spin_variables, smpl_params, frames, bboxes, info_reba, info_rula):
         det_frames = frames[::det_stride] if det_stride > 1 else frames
-        # The fused kernel's premise (one HBM read of each frame serving
-        # letterbox AND crop) only holds when both cover the same frames;
-        # under a detection stride the letterbox runs on the subset, so the
-        # two resamples stay separate.
-        if fused_resample and det_stride == 1:
+        if fused_resample:
             from poserisk_release_tpu.ops.resample_pallas import fused_letterbox_crop
 
+            # One HBM pass over the frames either way: under a detection
+            # stride the kernel letterboxes only every Nth frame in-place
+            # (crops still cover all frames).
             letter, crops = fused_letterbox_crop(
-                frames, bboxes, img_size, 224, 1.2, compute_dtype=compute_dtype
+                frames, bboxes, img_size, 224, 1.2,
+                compute_dtype=compute_dtype, det_stride=det_stride,
             )
         else:
             letter = (

@@ -88,3 +88,24 @@ def test_values_in_unit_range_and_gray_border():
     assert np.allclose(letter[0, :2, :, :], 128.0 / 255.0, atol=1e-6)
     assert np.asarray(crops).min() >= 0.0
     assert np.asarray(crops).max() <= 1.0 + 1e-6
+
+
+@pytest.mark.parametrize("stride", [2, 3, 4])
+def test_det_stride_letterboxes_only_stride_multiples(stride):
+    """Detection-stride mode: the kernel letterboxes only every Nth frame
+    (output == letterbox_device_rect(frames[::N])) while crops still cover
+    all frames -- including a batch not divisible by the stride."""
+    frames = jnp.asarray(_frames((11, 90, 160, 3)))
+    bboxes = jnp.asarray(
+        np.tile(np.array([[80.0, 45.0, 50.0, 50.0]], np.float32), (11, 1)))
+    letter, crops = fused_letterbox_crop(
+        frames, bboxes, img_size=64, out_size=32,
+        compute_dtype=jnp.float32, interpret=True, det_stride=stride,
+    )
+    letter_ref = letterbox_device_rect(frames[::stride], 64)
+    crops_ref = crop_batch(frames, bboxes, out_size=32)
+    assert letter.shape == letter_ref.shape
+    np.testing.assert_allclose(np.asarray(letter), np.asarray(letter_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(crops), np.asarray(crops_ref),
+                               atol=1e-5)

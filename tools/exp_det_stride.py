@@ -74,37 +74,43 @@ def main() -> None:
     yolo = jax.device_put(quantize_yolo_params(
         folded, calibrate_yolo_activations(folded, calib)))
 
-    steps = {
-        s: jax.jit(make_full_frame_step(
+    # fused = the strided fused letterbox+crop kernel (letterbox computed
+    # only on stride-multiple programs, one HBM pass over the frames);
+    # unfused = separate letterbox(frames[::N]) + crop_batch(frames).
+    steps = {}
+    for s in STRIDES:
+        steps[f"{s}/fused"] = jax.jit(make_full_frame_step(
             cfg.SPIN.ief_iters, est.parents, compute_dtype=jnp.bfloat16,
-            fused_resample=(s == 1), det_stride=s))
-        for s in STRIDES
-    }
+            fused_resample=True, det_stride=s))
+        if s > 1:
+            steps[f"{s}/unfused"] = jax.jit(make_full_frame_step(
+                cfg.SPIN.ief_iters, est.parents, compute_dtype=jnp.bfloat16,
+                fused_resample=False, det_stride=s))
     args = lambda s: (yolo, spin_bf16, est.smpl_params, frames, bboxes,  # noqa: E731
                       info_reba, info_rula)
 
     print(f"backend {jax.devices()[0].platform}; batch {B}; full step "
           f"(int8 detector, rect, bf16), interleaved", flush=True)
-    for s, fn in steps.items():
-        out = fn(*args(s))
+    for name, fn in steps.items():
+        out = fn(*args(name))
         acc = jnp.float32(0)
         for leaf in jax.tree_util.tree_leaves(out):
             acc = acc + jnp.sum(leaf.astype(jnp.float32))
         float(acc)
-        print(f"  compiled stride {s} (det_best covers {out[2].shape[0]} frames)",
+        print(f"  compiled {name} (det_best covers {out[2].shape[0]} frames)",
               flush=True)
 
-    times = {s: [] for s in STRIDES}
+    times = {name: [] for name in steps}
     for _ in range(2):
-        for s, fn in steps.items():
-            times[s].append(one_pass(fn, args(s)))
+        for name, fn in steps.items():
+            times[name].append(one_pass(fn, args(name)))
 
     print("\n| det stride | ms / 128 frames | fps/chip | vs stride 1 |")
     print("|---|---|---|---|")
-    base = min(times[1])
-    for s in STRIDES:
-        ms = min(times[s])
-        print(f"| {s} | {ms:.2f} | {B / ms * 1000:.0f} | {base / ms:.2f}x |",
+    base = min(times["1/fused"])
+    for name in steps:
+        ms = min(times[name])
+        print(f"| {name} | {ms:.2f} | {B / ms * 1000:.0f} | {base / ms:.2f}x |",
               flush=True)
 
 
