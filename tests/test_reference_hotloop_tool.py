@@ -24,6 +24,16 @@ def test_measure_reference_smoke():
     assert out["elapsed_s"] >= sum(stages.values()) * 0.99
 
 
+def test_measure_ours_cpu_smoke():
+    # The --with-ours arm: the fused pose+score step on XLA:CPU. Tiny frame
+    # count; compile time is reported separately and excluded from fps.
+    from tools.bench_reference_hotloop import measure_ours_cpu
+
+    out = measure_ours_cpu(frames=2, seed=0)
+    assert out["fps"] > 0 and np.isfinite(out["fps"])
+    assert out["compile_s"] > 0
+
+
 def test_measure_reference_batch_tail():
     # frames not divisible by batch exercises the ragged last chunk the
     # reference DataLoader also produces (drop_last defaults False).
