@@ -210,6 +210,175 @@ def fused_letterbox_crop(
     return letter, crops
 
 
+def _crop_coords(bbox_ref, out_size, scale):
+    """Per-frame global sample coordinates (ys (out, 1), xs (1, out)) from
+    the bbox scalars -- the coordinate half of _bbox_tap_matrices, shared by
+    the windowed kernel which builds its column taps chunk-locally."""
+    b = pl.program_id(0)
+    offs_col = (
+        jax.lax.broadcasted_iota(jnp.int32, (out_size, 1), 0).astype(jnp.float32)
+        - out_size * 0.5
+    )
+    offs_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, out_size), 1).astype(jnp.float32)
+        - out_size * 0.5
+    )
+    cx, cy = bbox_ref[b, 0], bbox_ref[b, 1]
+    bw, bh = bbox_ref[b, 2], bbox_ref[b, 3]
+    ys = offs_col * (bh * scale / out_size) + cy
+    xs = offs_row * (bw * scale / out_size) + cx
+    return ys, xs
+
+
+def _window_col_taps(xs, W, xoff, chunk_w, acc_dtype):
+    """Column tap matrix (chunk_w, out) for the window columns
+    [xoff, xoff + chunk_w): _taps_from_coords(lane_axis=0) semantics with
+    row identity = GLOBAL column id (iota + xoff). Taps whose source column
+    falls outside this chunk simply match no row (their weight lands in the
+    chunk that does contain them); out-of-image taps keep zero weight."""
+    x0 = jnp.floor(xs)
+    frac = xs - x0
+    i0 = x0.astype(jnp.int32)
+    i1 = i0 + 1
+    w0 = ((i0 >= 0) & (i0 <= W - 1)).astype(jnp.float32) * (1.0 - frac)
+    w1 = ((i1 >= 0) & (i1 <= W - 1)).astype(jnp.float32) * frac
+    out = xs.shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (chunk_w, out), 0) + xoff
+    return (
+        (idx == jnp.clip(i0, 0, W - 1)) * w0 + (idx == jnp.clip(i1, 0, W - 1)) * w1
+    ).astype(acc_dtype)
+
+
+def _crop_win_kernel(xblk_ref, bbox_ref, frame_ref, crop_ref, t_scratch,
+                     acc_scratch, *, H, W, out_size, scale, acc_dtype,
+                     chunk_w):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    ys, xs = _crop_coords(bbox_ref, out_size, scale)
+
+    @pl.when(j == 0)
+    def _build_row_taps():
+        t_scratch[:] = _taps_from_coords(ys, H, lane_axis=1).astype(acc_dtype)
+
+    xoff = (xblk_ref[b] + j) * chunk_w
+    s_c = _window_col_taps(xs, W, xoff, chunk_w, acc_dtype)
+    for c in range(3):
+        x = _load_channel(frame_ref, c, acc_dtype)  # (H, chunk_w)
+        rows = jnp.dot(t_scratch[:], x, preferred_element_type=jnp.float32)
+        contrib = jnp.dot(
+            rows.astype(acc_dtype), s_c, preferred_element_type=jnp.float32
+        )
+
+        @pl.when(j == 0)
+        def _init(c=c, contrib=contrib):
+            acc_scratch[c] = contrib
+
+        @pl.when(j > 0)
+        def _accum(c=c, contrib=contrib):
+            acc_scratch[c] += contrib
+
+    @pl.when(j == n_j - 1)
+    def _write():
+        inv255 = 1.0 / 255.0
+        for c in range(3):
+            crop_ref[0, c] = (acc_scratch[c] * inv255).astype(crop_ref.dtype)
+
+
+def crop_window_fits(bboxes, scale: float = 1.2, window: int = 384,
+                     chunk_w: int = 128) -> bool:
+    """Host-side exactness guard for the windowed crop kernel: every frame's
+    scaled bbox width (plus the two-tap overhang and the chunk-alignment
+    slack) must fit in the window, else crops would silently lose taps --
+    callers fall back to the full-width kernel when this is False."""
+    import numpy as np
+
+    bboxes = np.asarray(bboxes)
+    if bboxes.size == 0:
+        return True
+    return bool(np.max(bboxes[:, 2]) * scale + 2.0 + (chunk_w - 1) <= window)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "out_size", "window", "compute_dtype",
+                     "interpret"),
+)
+def crop_batch_pallas_windowed(
+    frames: jnp.ndarray,  # (B, H, W, 3) uint8
+    bboxes: jnp.ndarray,  # (B, 4) [cx, cy, w, h] float
+    scale: float = 1.2,
+    out_size: int = 224,
+    window: int = 384,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bbox-windowed variant of crop_batch_pallas: each frame's program DMAs
+    only `window` columns around the scaled bbox (3 x 128-wide chunks chosen
+    by a scalar-prefetched block index) instead of the full frame width --
+    ~W/window times less HBM traffic, VPU cast work, and column-pass FLOPs.
+
+    EXACTNESS PRECONDITION (caller-checked, host-side: crop_window_fits):
+    max(bbox_w) * scale + 2 + 127 <= window. Bboxes are host-known (SORT
+    output) in every product path, so the caller picks this kernel or the
+    full-width one per batch. Within the precondition the result equals
+    crop_batch_pallas up to f32 partial-sum accumulation order (the bf16
+    tolerance class of tests/test_resample_pallas.py).
+
+    Reference behaviour unchanged: crop warp
+    /root/reference/lib/utils/_img_utils.py:53-101 (rot=0 path)."""
+    if frames.dtype != jnp.uint8:
+        raise TypeError("crop_batch_pallas_windowed takes uint8 frames; use "
+                        "ops.crop.crop_batch for float inputs")
+    chunk_w = 128
+    if window % chunk_w:
+        raise ValueError(f"window must be a multiple of {chunk_w}")
+    B, H, W = frames.shape[0], frames.shape[1], frames.shape[2]
+    n_win = window // chunk_w
+    n_blk_total = -(-W // chunk_w)
+    if n_win >= n_blk_total:
+        # Window covers the whole width: the plain kernel is strictly better.
+        return crop_batch_pallas(
+            frames, bboxes, scale=scale, out_size=out_size,
+            compute_dtype=compute_dtype, interpret=interpret,
+        )
+
+    bboxes = bboxes.astype(jnp.float32)
+    xs_min = bboxes[:, 0] - bboxes[:, 2] * (scale * 0.5)
+    xblk = jnp.clip(
+        jnp.floor((xs_min - 1.0) / chunk_w).astype(jnp.int32),
+        0,
+        n_blk_total - n_win,
+    )
+    frames_chw = jnp.transpose(frames, (0, 3, 1, 2))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_win),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, H, chunk_w),
+                         lambda b, j, xblk: (b, 0, 0, xblk[b] + j)),
+        ],
+        out_specs=pl.BlockSpec((1, 3, out_size, out_size),
+                               lambda b, j, xblk: (b, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((out_size, H), compute_dtype),
+            pltpu.VMEM((3, out_size, out_size), jnp.float32),
+        ],
+    )
+    crop_chw = pl.pallas_call(
+        functools.partial(
+            _crop_win_kernel, H=H, W=W, out_size=out_size, scale=float(scale),
+            acc_dtype=compute_dtype, chunk_w=chunk_w,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 3, out_size, out_size), compute_dtype),
+        interpret=interpret,
+    )(xblk, bboxes, frames_chw)
+    return jnp.transpose(crop_chw, (0, 2, 3, 1))
+
+
 def _crop_kernel(bbox_ref, frame_ref, crop_ref, *, H, W, out_size, scale,
                  acc_dtype):
     t_c, s_c_t = _bbox_tap_matrices(bbox_ref, H, W, out_size, scale, acc_dtype)

@@ -603,7 +603,16 @@ class Predictor:
             # axis-angle dump; joint 0 is excluded because its axis-angle is
             # root-forced to (3.14, 0, 0) (the reference's buffer mutation,
             # coord_utils.py:12-13) while its euler keeps the original rotmat.
-            assert_euler_roundtrip(axis_angle_to_rotmat(axis_angles[:, 1:, :]))
+            # Frame axis padded to the scoring bucket so clip length does not
+            # recompile the check (zero axis-angle -> identity -> defect 0).
+            from poserisk_release_tpu.scoring.common import score_chunk_size
+
+            aa = np.asarray(axis_angles[:, 1:, :])
+            bucket = score_chunk_size(aa.shape[0])
+            n_pad = -(-max(aa.shape[0], 1) // bucket) * bucket
+            padded = np.zeros((n_pad,) + aa.shape[1:], aa.dtype)
+            padded[: aa.shape[0]] = aa
+            assert_euler_roundtrip(axis_angle_to_rotmat(padded))
 
         # --- single-frame debug branch ------------------------------------
         if self.debugging and self.debug_frame >= 0:
@@ -631,14 +640,22 @@ class Predictor:
         ):
             if not enabled:
                 continue
+            t1 = time.time()
             results = scorer(result, joint_cam, add_info)
+            self.timings["score.device"] = (
+                self.timings.get("score.device", 0.0) + time.time() - t1
+            )
             final_scores, scores, logs = post_process_scores(
                 results, timestamp, output_path, title=title
             )
             if self.visualize:
+                t1 = time.time()
                 render_result_video(
                     clip.frames, bboxes, timestamp, clip.fps,
                     scores, scorer.eval_items, logs, output_path, title=title,
+                )
+                self.timings["score.render"] = (
+                    self.timings.get("score.render", 0.0) + time.time() - t1
                 )
             if self.debugging:
                 save_score_log_csv(timestamp, scores, scorer.eval_items, logs, debug_path, title)

@@ -33,7 +33,7 @@ import numpy as np
 
 from poserisk_release_tpu.body.smpl import JOINT_INDEX
 from poserisk_release_tpu.scoring import tables
-from poserisk_release_tpu.scoring.common import chain, table_gather
+from poserisk_release_tpu.scoring.common import chain, frame_scores_chunked, table_gather
 
 EVAL_ITEMS = ["Trunk", "Neck", "Leg", "Upper_arm (L,R)", "Lower_arm (L,R)", "Wrist (L,R)"]
 
@@ -400,7 +400,7 @@ class REBAScorer:
     def __call__(self, poses, joint_cams, add_info) -> List[Dict]:
         del joint_cams
         poses = np.asarray(poses, np.float64)
-        out = jax.device_get(reba_frame_scores(jnp.asarray(poses), jnp.asarray(pack_info(add_info))))
+        out = frame_scores_chunked(reba_frame_scores, poses, pack_info(add_info))
         if self.debugging:
             self.log = format_angle_logs(poses, add_info)
 

@@ -25,7 +25,7 @@ import numpy as np
 
 from poserisk_release_tpu.body.smpl import JOINT_INDEX
 from poserisk_release_tpu.scoring import tables
-from poserisk_release_tpu.scoring.common import chain, table_gather
+from poserisk_release_tpu.scoring.common import chain, frame_scores_chunked, table_gather
 
 EVAL_ITEMS = [
     "Upper_arm (L,R)", "Lower_arm (L,R)", "Wrist (L,R)", "Wrist_twist (L,R)",
@@ -395,7 +395,7 @@ class RULAScorer:
     def __call__(self, poses, joint_cams, add_info) -> List[Dict]:
         del joint_cams
         poses = np.asarray(poses, np.float64)
-        out = jax.device_get(rula_frame_scores(jnp.asarray(poses), jnp.asarray(pack_info(add_info))))
+        out = frame_scores_chunked(rula_frame_scores, poses, pack_info(add_info))
         if self.debugging:
             self.log = format_angle_logs(poses, add_info)
 

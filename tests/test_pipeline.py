@@ -66,6 +66,9 @@ def predictor():
         debug_joints="Neck,L_Hip",
         detector=StubDetector(),
         visualize=True,
+        # Exercises the bucket-padded euler round-trip check on every full
+        # run (valid rot6d-head rotmats must round-trip under the 0.1 bound).
+        validate_rotations=True,
     )
 
 

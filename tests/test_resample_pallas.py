@@ -109,3 +109,64 @@ def test_det_stride_letterboxes_only_stride_multiples(stride):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(crops), np.asarray(crops_ref),
                                atol=1e-5)
+
+
+def test_windowed_crop_kernel_matches_crop_batch():
+    """crop_batch_pallas_windowed (experimental: measured 0.91-1.12x vs the
+    full-width kernel on TPU, docs/PERF.md round 3, so NOT on the product
+    path) stays exact inside its fit precondition, including edge-straddling
+    boxes."""
+    from poserisk_release_tpu.ops.resample_pallas import (
+        crop_batch_pallas_windowed,
+        crop_window_fits,
+    )
+
+    frames = jnp.asarray(_frames((4, 450, 800, 3), seed=13))
+    bboxes = np.array(
+        [
+            [400.0, 225.0, 200.0, 380.0],
+            [60.0, 200.0, 180.0, 300.0],   # left-edge overhang
+            [770.0, 225.0, 190.0, 400.0],  # right-edge overhang
+            [420.0, 100.0, 150.0, 150.0],
+        ],
+        np.float32,
+    )
+    assert crop_window_fits(bboxes, window=384)
+    crops = crop_batch_pallas_windowed(
+        frames, jnp.asarray(bboxes), window=384,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(crops), np.asarray(crop_batch(frames, jnp.asarray(bboxes))),
+        atol=1e-5,
+    )
+
+
+def test_crop_window_fits_guard():
+    from poserisk_release_tpu.ops.resample_pallas import crop_window_fits
+
+    # 220 * 1.2 + 2 + 127 = 393 > 384: realistic wide boxes need window 512.
+    wide = np.array([[400.0, 225.0, 220.0, 300.0]], np.float32)
+    assert not crop_window_fits(wide, window=384)
+    assert crop_window_fits(wide, window=512)
+    assert crop_window_fits(np.zeros((0, 4), np.float32), window=384)
+
+
+def test_windowed_crop_falls_back_when_window_covers_width():
+    """window >= frame width routes to the plain kernel (strictly better)."""
+    from poserisk_release_tpu.ops.resample_pallas import (
+        crop_batch_pallas,
+        crop_batch_pallas_windowed,
+    )
+
+    frames = jnp.asarray(_frames((2, 128, 256, 3), seed=5))
+    bboxes = jnp.asarray(
+        np.array([[128.0, 64.0, 80.0, 90.0], [40.0, 30.0, 50.0, 60.0]], np.float32)
+    )
+    got = crop_batch_pallas_windowed(
+        frames, bboxes, window=256, compute_dtype=jnp.float32, interpret=True
+    )
+    want = crop_batch_pallas(
+        frames, bboxes, compute_dtype=jnp.float32, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -117,6 +117,16 @@ def main() -> None:
         warm = osp.join(tmp, "warm.mp4")
         synth_video(warm, warm_frames)
         predictor(warm, "/nonexistent.json", osp.join(tmp, "warm_out"))
+        # Chunked scoring compiles per power-of-two frame bucket
+        # (scoring/common.frame_scores_chunked); the short warm clip lands in
+        # a smaller bucket than the measured clip, so warm the scorers at the
+        # measured length directly.
+        from poserisk_release_tpu.pipeline import load_add_info
+
+        add_info = load_add_info(predictor.cfg, "/nonexistent.json")
+        zeros = np.zeros((args.frames, 24, 3))
+        predictor.reba(zeros, None, add_info)
+        predictor.rula(zeros, None, add_info)
 
         t0 = time.perf_counter()
         predictor(video, "/nonexistent.json", osp.join(tmp, "out"))
