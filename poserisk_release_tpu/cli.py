@@ -21,7 +21,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="accepted for reference-CLI compatibility; device "
                              "selection uses --num_devices / --cpu instead")
     parser.add_argument("--type", type=str, default="REBA,RULA", help="Score type")
-    parser.add_argument("--input", type=str, default="example/input.mp4", help="input video")
+    parser.add_argument("--input", type=str, default="example/input.mp4",
+                        help="input video, or a directory of videos (each is "
+                             "scored into <output>/<video-stem>/ by ONE warm "
+                             "Predictor -- compiles are paid once)")
     parser.add_argument("--info", type=str, default="example/additional_information.json",
                         help="input additional_information.json")
     parser.add_argument("--output", type=str, default="output", help="output directory")
@@ -82,6 +85,27 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+
+
+def input_videos(path: str):
+    """[(video_path, output_subdir | None)] for --input: a single file maps
+    to the output dir itself (reference behaviour); a directory maps each
+    contained video to <output>/<stem>/ in sorted order."""
+    import os
+    import os.path as osp
+
+    if not osp.isdir(path):
+        return [(path, None)]
+    vids = sorted(
+        name for name in os.listdir(path)
+        if name.lower().endswith(VIDEO_EXTS)
+    )
+    if not vids:
+        raise ValueError(f"no video files ({'/'.join(VIDEO_EXTS)}) in {path}")
+    return [(osp.join(path, name), osp.splitext(name)[0]) for name in vids]
+
+
 def run_streaming(args, cfg) -> int:
     """--streaming entry: StreamingScorer with the Predictor's detector
     policy, info fallback, and int8 calibration lifecycle, emitting
@@ -105,11 +129,16 @@ def run_streaming(args, cfg) -> int:
     # operator-supplied --calibration source derives the int8 scales before
     # the first video window can pin them implicitly.
     apply_explicit_calibration(cfg, scorer.detector, scorer.estimator)
-    result = scorer(args.input, load_add_info(cfg, args.info))
-    summary = scorer.write_outputs(result, args.output, score_type=args.type)
-    print("\n\n===> DONE! (streaming)")
-    print("Result files saved in ", args.output)
-    print_result_summary(summary)
+    import os.path as osp
+
+    add_info = load_add_info(cfg, args.info)
+    for video, subdir in input_videos(args.input):
+        out = osp.join(args.output, subdir) if subdir else args.output
+        result = scorer(video, add_info)
+        summary = scorer.write_outputs(result, out, score_type=args.type)
+        print("\n\n===> DONE! (streaming)")
+        print("Result files saved in ", out)
+        print_result_summary(summary)
     return 0
 
 
@@ -160,14 +189,21 @@ def main(argv=None) -> int:
         spin_int8=args.spin_int8,
         validate_rotations=args.validate_rotations,
     )
-    predictor(args.input, args.info, args.output)
-    if args.profile:
-        total = sum(predictor.timings.values())
-        print("\n----- Stage timings -----")
-        for stage, sec in sorted(predictor.timings.items(), key=lambda kv: -kv[1]):
-            share = sec / total * 100 if total else 0.0
-            print(f"{stage:<8} {sec:8.3f}s {share:5.1f}%")
-        print(f"{'total':<8} {total:8.3f}s")
+    import os.path as osp
+
+    for video, subdir in input_videos(args.input):
+        out = osp.join(args.output, subdir) if subdir else args.output
+        if subdir:
+            print(f"\n===> {video} -> {out}")
+        predictor(video, args.info, out)
+        if args.profile:
+            total = sum(predictor.timings.values())
+            print("\n----- Stage timings -----")
+            for stage, sec in sorted(predictor.timings.items(),
+                                     key=lambda kv: -kv[1]):
+                share = sec / total * 100 if total else 0.0
+                print(f"{stage:<8} {sec:8.3f}s {share:5.1f}%")
+            print(f"{'total':<8} {total:8.3f}s")
     return 0
 
 

@@ -457,6 +457,9 @@ class Predictor:
 
     def __call__(self, input_path: str, info_path: str, output_path: str):
         os.makedirs(output_path, exist_ok=True)
+        # Per-run stage timings: a shared warm Predictor serves many clips
+        # (cli.py directory mode), so accumulating keys must not leak across.
+        self.timings = {}
 
         # Shared-instance lifecycle: optionally re-derive int8 scales per
         # video instead of inheriting the previous video's exposure stats.

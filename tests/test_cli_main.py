@@ -108,3 +108,46 @@ def test_cli_detection_stride_plumbs_config(monkeypatch, tmp_path):
     ])
     assert rc == 0 and captured["called"]
     assert captured["cfg"].DETECTOR.detection_stride == 4
+
+
+def test_cli_directory_input_scores_every_video(tmp_path):
+    """--input <dir>: each video lands in <output>/<stem>/ from ONE warm
+    Predictor (the serving path the chunked compiles exist for)."""
+    import cv2
+
+    vid_dir = tmp_path / "clips"
+    vid_dir.mkdir()
+    for name in ("b_second", "a_first"):
+        frames = []
+        for _ in range(6):
+            img = np.full((120, 160, 3), 30, np.uint8)
+            cv2.rectangle(img, (60, 20), (110, 100), (170, 150, 120), -1)
+            frames.append(img)
+        write_video(frames, fps=4.0, file_path=str(vid_dir / f"{name}.mp4"))
+
+    cfg_yaml = tmp_path / "override.yaml"
+    cfg_yaml.write_text("PARALLEL:\n  frames_per_step: 8\nDATASET:\n  batch_size: 4\n")
+    out = tmp_path / "out"
+    rc = main([
+        "--cpu", "--type", "REBA", "--input", str(vid_dir),
+        "--output", str(out), "--cfg", str(cfg_yaml), "--num_devices", "1",
+    ])
+    assert rc == 0
+    for stem in ("a_first", "b_second"):
+        assert osp.isfile(osp.join(str(out), stem, "reba_result.txt")), stem
+        assert osp.isfile(osp.join(str(out), stem, "run_summary.json")), stem
+
+
+def test_cli_directory_input_empty_dir_raises(tmp_path):
+    import pytest
+
+    empty = tmp_path / "none"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no video files"):
+        main(["--cpu", "--input", str(empty), "--output", str(tmp_path / "o")])
+
+
+def test_input_videos_single_file_passthrough(tmp_path):
+    from poserisk_release_tpu.cli import input_videos
+
+    assert input_videos("clip.mp4") == [("clip.mp4", None)]
