@@ -103,7 +103,40 @@ def input_videos(path: str):
     )
     if not vids:
         raise ValueError(f"no video files ({'/'.join(VIDEO_EXTS)}) in {path}")
-    return [(osp.join(path, name), osp.splitext(name)[0]) for name in vids]
+    # Extension-stripped stems can collide (demo.mp4 + demo.mov) and would
+    # silently overwrite each other's result files; colliding entries keep
+    # their extension in the subdir name instead (demo_mp4, demo_mov).
+    from collections import Counter
+
+    stems = Counter(osp.splitext(name)[0] for name in vids)
+    return [
+        (osp.join(path, name),
+         osp.splitext(name)[0] if stems[osp.splitext(name)[0]] == 1
+         else name.replace(".", "_"))
+        for name in vids
+    ]
+
+
+def profile_report(timings: dict) -> str:
+    """--profile stage table. Dotted keys (score.device, score.render) are
+    sub-intervals of their parent stage, so they are EXCLUDED from the total
+    (summing them would double-count their parent's window) and rendered
+    indented beneath it; every share is relative to the top-level total."""
+    total = sum(sec for stage, sec in timings.items() if "." not in stage)
+
+    def row(label: str, sec: float, indent: str = "") -> str:
+        share = sec / total * 100 if total else 0.0
+        return f"{indent + label:<16} {sec:8.3f}s {share:5.1f}%"
+
+    lines = ["", "----- Stage timings -----"]
+    for parent in sorted((k for k in timings if "." not in k),
+                         key=lambda k: -timings[k]):
+        lines.append(row(parent, timings[parent]))
+        for sub in sorted(k for k in timings
+                          if k.startswith(parent + ".")):
+            lines.append(row(sub, timings[sub], indent="  "))
+    lines.append(row("total", total))
+    return "\n".join(lines)
 
 
 def run_streaming(args, cfg) -> int:
@@ -197,13 +230,7 @@ def main(argv=None) -> int:
             print(f"\n===> {video} -> {out}")
         predictor(video, args.info, out)
         if args.profile:
-            total = sum(predictor.timings.values())
-            print("\n----- Stage timings -----")
-            for stage, sec in sorted(predictor.timings.items(),
-                                     key=lambda kv: -kv[1]):
-                share = sec / total * 100 if total else 0.0
-                print(f"{stage:<8} {sec:8.3f}s {share:5.1f}%")
-            print(f"{'total':<8} {total:8.3f}s")
+            print(profile_report(predictor.timings))
     return 0
 
 

@@ -126,6 +126,16 @@ class DetectorConfig:
     # video's exposure statistics.
     recalibrate_per_video: bool = False
 
+    def __post_init__(self) -> None:
+        # Validated here (not only in MultiPersonTracker) so every consumer
+        # of the config -- including the streaming scorer, which builds its
+        # own window selection -- inherits the guard: stride 0 would divide
+        # by zero in the phase computation and a negative stride would
+        # silently select no frames at all.
+        if self.detection_stride < 1:
+            raise ValueError(
+                f"DETECTOR.detection_stride must be >= 1, got {self.detection_stride}")
+
 
 @dataclass(frozen=True)
 class ParallelConfig:

@@ -92,3 +92,32 @@ def print_result_summary(summary: dict) -> None:
         print("\nAction Level:\t", action_level)
         print("Action:\t\t", action_name)
         print()
+
+
+def finite_or_none(value):
+    """NaN/inf -> None so the machine-readable JSON summaries stay strictly
+    parseable (the parity txt/stdout surfaces keep the reference's NaN for
+    <10-frame clips -- stats.py top-10% mean of an empty slice)."""
+    try:
+        v = float(value)
+    except (TypeError, ValueError):
+        return value
+    return value if np.isfinite(v) else None
+
+
+def scores_summary_block(summary: dict) -> dict:
+    """The per-title scores block of run_summary.json / stream_summary.json.
+
+    ONE helper for both writers (pipeline.py and streaming.write_outputs) so
+    the machine-readable schema cannot fork between the batch and streaming
+    entry points. `summary` maps title -> (final_scores, action_level,
+    action_name) -- the same structure print_result_summary consumes."""
+    return {
+        title: {
+            "avg": finite_or_none(s[0][0]), "p50": finite_or_none(s[0][1]),
+            "p10": finite_or_none(s[0][2]), "max": finite_or_none(s[0][3]),
+            "mode": finite_or_none(s[0][4]),
+            "action_level": s[1], "action": s[2],
+        }
+        for title, s in summary.items()
+    }

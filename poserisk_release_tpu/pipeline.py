@@ -41,6 +41,7 @@ from poserisk_release_tpu.outputs.render import render_result_video, vis_3d_pose
 from poserisk_release_tpu.outputs.stats import (
     post_process_scores,
     print_result_summary,
+    scores_summary_block,
     write_result_txt,
 )
 from poserisk_release_tpu.outputs.writers import (
@@ -59,13 +60,6 @@ from poserisk_release_tpu.tracking.mpt import (
     filter_and_select_target,
 )
 
-def _finite(value):
-    """NaN/inf -> None so run_summary.json stays strictly machine-readable."""
-    try:
-        v = float(value)
-    except (TypeError, ValueError):
-        return value
-    return value if np.isfinite(v) else None
 
 
 def load_spin_variables(cfg: Config) -> Dict:
@@ -165,11 +159,40 @@ class PoseEstimator:
         else:
             quant = jax.device_put(quant)
         self._quant_backbone = quant
-        self._variables_f32 = None  # folding done; release the f32 copy
+        # Folding is done, so the f32 copy can normally be released -- but
+        # the per-video recalibration lifecycle needs it again for the next
+        # fold (reset_calibration), so that flag keeps it resident.
+        if not self.cfg.DETECTOR.recalibrate_per_video:
+            self._variables_f32 = None
         self._pose_core = make_pose_core(
             self.cfg.SPIN.ief_iters, self.parents, self._dtype,
             quant_backbone=quant,
         )
+        self._step = jax.jit(self._pose_step)
+        self._step_frames = jax.jit(self._pose_step_from_frames)
+
+    def reset_calibration(self) -> None:
+        """Drop the int8 SPIN backbone so the NEXT crops (or an explicit
+        calibrate_spin call) re-derive the activation scales -- the per-video
+        lifecycle hook for estimators shared across videos with different
+        exposure statistics (DetectorConfig.recalibrate_per_video), the SPIN
+        counterpart of YoloDetector.reset_calibration. No-op when spin_int8
+        is off or nothing is quantized yet."""
+        if not self._spin_int8 or self._quant_backbone is None:
+            return
+        if self._variables_f32 is None:
+            # The f32 tree was released at quantization time (the estimator
+            # was not constructed under recalibrate_per_video), so there is
+            # nothing left to re-fold from.
+            raise RuntimeError(
+                "cannot reset spin_int8 calibration: the f32 parameter tree "
+                "was released; construct the estimator with "
+                "DETECTOR.recalibrate_per_video=True to keep it resident")
+        from poserisk_release_tpu.throughput import make_pose_core
+
+        self._quant_backbone = None
+        self._pose_core = make_pose_core(
+            self.cfg.SPIN.ief_iters, self.parents, self._dtype)
         self._step = jax.jit(self._pose_step)
         self._step_frames = jax.jit(self._pose_step_from_frames)
 
@@ -472,6 +495,9 @@ class Predictor:
         if self.cfg.DETECTOR.recalibrate_per_video and not self.cfg.DETECTOR.calibration:
             if hasattr(self.tracker.detector, "reset_calibration"):
                 self.tracker.detector.reset_calibration()
+            # The SPIN half of the same lifecycle: an int8 backbone quantized
+            # on a previous video's crops must not leak into this one.
+            self.pose_estimator.reset_calibration()
         self._apply_explicit_calibration()
 
         # --- ingest + tracking -------------------------------------------
@@ -677,19 +703,9 @@ class Predictor:
                     "frames_total": int(timestamp[2]),
                     "frames_tracked": int(len(frames)),
                     "timings_sec": {k: round(v, 4) for k, v in self.timings.items()},
-                    "scores": {
-                        # _finite: the parity txt/stdout surfaces carry the
-                        # reference's NaN for <10-frame clips (stats.py top-10%
-                        # mean of an empty slice); the machine-readable JSON
-                        # extension must not -- NaN becomes null here.
-                        title: {
-                            "avg": _finite(s[0][0]), "p50": _finite(s[0][1]),
-                            "p10": _finite(s[0][2]), "max": _finite(s[0][3]),
-                            "mode": _finite(s[0][4]),
-                            "action_level": s[1], "action": s[2],
-                        }
-                        for title, s in summary.items()
-                    },
+                    # Shared schema with stream_summary.json; NaN -> null
+                    # (outputs.stats.scores_summary_block).
+                    "scores": scores_summary_block(summary),
                 },
                 f,
                 indent=2,

@@ -175,6 +175,17 @@ class StreamingScorer:
 
     def __call__(self, video_path: str, add_info: Dict,
                  max_frames: Optional[int] = None) -> StreamResult:
+        # Same shared-instance int8 lifecycle as Predictor.__call__: under
+        # recalibrate_per_video each video re-derives its own scales instead
+        # of inheriting the previous clip's exposure statistics. Skipped when
+        # an explicit calibration source is set -- those scales are a pure
+        # function of the static source, so resetting would only waste a
+        # float-tower pass re-deriving identical values.
+        if (self.cfg.DETECTOR.recalibrate_per_video
+                and not self.cfg.DETECTOR.calibration):
+            if hasattr(self.detector, "reset_calibration"):
+                self.detector.reset_calibration()
+            self.estimator.reset_calibration()
         if self.selection == "reference":
             return self._run_two_pass(video_path, add_info, max_frames)
         return self._run_online(video_path, add_info, max_frames)
@@ -258,13 +269,16 @@ class StreamingScorer:
             # Online mode keeps no pixels to back-fill, so under a detection
             # stride it detects AND scores only the strided subsample (the
             # two-pass/batch modes interpolate boxes and score every frame).
-            if stride == 1:
-                sel = list(range(len(frames)))
-                detections = self._detect(frames)
+            # Frame selection goes through the one shared stride-phase rule.
+            from poserisk_release_tpu.tracking.mpt import strided_local_indices
+
+            sel = strided_local_indices(start_idx, len(frames), stride)
+            if not sel:
+                detections = []
             else:
-                offset = (-start_idx) % stride
-                sel = list(range(offset, len(frames), stride))
-                detections = self._detect(frames[sel]) if sel else []
+                # stride 1 selects every frame: skip the fancy-index copy.
+                detections = self._detect(
+                    frames if stride == 1 else frames[sel])
             track_local: List[int] = []
             track_boxes: List[np.ndarray] = []
             for local_idx, dets in zip(sel, detections):
@@ -321,9 +335,9 @@ class StreamingScorer:
 
         from poserisk_release_tpu.outputs.stats import (
             post_process_scores,
+            scores_summary_block,
             write_result_txt,
         )
-        from poserisk_release_tpu.pipeline import _finite
 
         os.makedirs(output_path, exist_ok=True)
         wanted = score_type.replace(" ", "").upper().split(",")
@@ -350,16 +364,9 @@ class StreamingScorer:
                     "frames_total": int(result.total_frames),
                     "frames_scored": len(result.frames),
                     "fps": result.fps,
-                    "scores": {
-                        # Same NaN policy as run_summary.json: the parity txt
-                        # may carry NaN (reference top-10% of <10 frames); the
-                        # machine-readable JSON gets null.
-                        t: {"avg": _finite(s[0][0]), "p50": _finite(s[0][1]),
-                            "p10": _finite(s[0][2]), "max": _finite(s[0][3]),
-                            "mode": _finite(s[0][4]),
-                            "action_level": s[1], "action": s[2]}
-                        for t, s in summary.items()
-                    },
+                    # Shared schema with run_summary.json; NaN -> null
+                    # (outputs.stats.scores_summary_block).
+                    "scores": scores_summary_block(summary),
                 },
                 f, indent=2,
             )

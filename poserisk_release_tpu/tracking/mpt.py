@@ -81,24 +81,35 @@ def detect_frames(detector, frames_rgb) -> List[np.ndarray]:
     return detections
 
 
+def strided_local_indices(start_idx: int, n_frames: int, stride: int) -> List[int]:
+    """Window-local indices whose GLOBAL frame index is a stride multiple.
+
+    The phase is derived from start_idx, so the selection is window-
+    boundary-safe for any window length. This is THE stride-phase rule:
+    every strided consumer (batch tracker, two-pass streaming, online
+    streaming) selects frames through it so the semantics cannot fork."""
+    if stride == 1:
+        return list(range(n_frames))
+    offset = (-start_idx) % stride
+    return list(range(offset, n_frames, stride))
+
+
 def update_window_tracks(sort, people: Dict[int, Dict[str, list]],
                          start_idx: int, frames_rgb, detector,
                          stride: int = 1) -> None:
     """Detect + SORT-update one decoded window into the shared accumulator.
 
     stride > 1 detects only frames at GLOBAL indices that are stride
-    multiples (window-boundary-safe: the phase is derived from start_idx,
-    so any window length works); SORT then sees a uniformly downsampled
-    clip -- its constant-velocity state is per detection step, which is
-    exactly the canonical tracker run at 1/stride frame rate. Shared by
-    the batch tracker and the streaming scorer so the strided semantics
-    cannot fork."""
+    multiples (strided_local_indices); SORT then sees a uniformly
+    downsampled clip -- its constant-velocity state is per detection step,
+    which is exactly the canonical tracker run at 1/stride frame rate.
+    Shared by the batch tracker and the streaming scorer so the strided
+    semantics cannot fork."""
     if stride == 1:
         sel = range(len(frames_rgb))
         detections = detect_frames(detector, frames_rgb)
     else:
-        offset = (-start_idx) % stride
-        sel = list(range(offset, len(frames_rgb), stride))
+        sel = strided_local_indices(start_idx, len(frames_rgb), stride)
         if not sel:
             return
         detections = detect_frames(detector, frames_rgb[sel])

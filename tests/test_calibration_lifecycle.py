@@ -395,3 +395,138 @@ class TestStreamingExplicitCalibration:
         ])
         assert rc == 0
         assert calls == [calib]
+
+
+class TestSpinRecalibratePerVideo:
+    """reset_calibration on the SPIN side of the int8 lifecycle: the flag's
+    help text promises 're-derive int8 scales at the start of every video',
+    which must cover the --spin_int8 backbone, not only the detector."""
+
+    def _estimator(self, small_chunk_config, recalibrate: bool):
+        from poserisk_release_tpu.body.smpl import SMPLFamily
+        from poserisk_release_tpu.pipeline import PoseEstimator
+
+        cfg = small_chunk_config.replace(
+            DETECTOR={"recalibrate_per_video": recalibrate})
+        return PoseEstimator(cfg, SMPLFamily(cfg.SPIN.smpl_model_dir),
+                             spin_int8=True)
+
+    def test_reset_requantizes_from_new_crops(self, small_chunk_config, rng):
+        est = self._estimator(small_chunk_config, recalibrate=True)
+        bright = rng.uniform(0.5, 1.0, (4, 224, 224, 3)).astype(np.float32)
+        dark = rng.uniform(0.0, 0.05, (4, 224, 224, 3)).astype(np.float32)
+
+        est.calibrate_spin(bright)
+        quant_a = est._quant_backbone
+        assert not est.spin_needs_calibration
+
+        est.reset_calibration()
+        assert est.spin_needs_calibration
+        est.calibrate_spin(dark)
+        quant_b = est._quant_backbone
+        assert quant_b is not None and quant_b is not quant_a
+        euler, joints, _ = est.run(dark)
+        assert np.isfinite(euler).all()
+
+    def test_reset_without_flag_raises(self, small_chunk_config, rng):
+        """Without recalibrate_per_video the f32 tree is released at
+        quantization time (memory), so a later reset cannot re-fold; it must
+        fail loudly rather than silently keep the stale backbone."""
+        est = self._estimator(small_chunk_config, recalibrate=False)
+        est.calibrate_spin(
+            rng.uniform(0, 1, (4, 224, 224, 3)).astype(np.float32))
+        with pytest.raises(RuntimeError, match="recalibrate_per_video"):
+            est.reset_calibration()
+
+    def test_reset_before_quantization_is_noop(self, small_chunk_config):
+        est = self._estimator(small_chunk_config, recalibrate=True)
+        est.reset_calibration()  # nothing quantized yet
+        assert est.spin_needs_calibration
+
+    def test_reset_noop_when_spin_int8_off(self, small_chunk_config):
+        from poserisk_release_tpu.body.smpl import SMPLFamily
+        from poserisk_release_tpu.pipeline import PoseEstimator
+
+        cfg = small_chunk_config
+        est = PoseEstimator(cfg, SMPLFamily(cfg.SPIN.smpl_model_dir))
+        est.reset_calibration()  # must not raise
+
+
+class TestPerVideoResetReachesBothTowers:
+    def _video(self, tmp_path, rng, name="v.mp4"):
+        import cv2
+
+        path = str(tmp_path / name)
+        wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (128, 96))
+        for f in _frames(rng, n=6, lo=40, hi=220):
+            wr.write(f)
+        wr.release()
+        return path
+
+    def test_predictor_resets_spin_backbone_per_video(
+        self, tmp_path, small_chunk_config, rng, monkeypatch
+    ):
+        from poserisk_release_tpu.models.detector import StubDetector
+        from poserisk_release_tpu.pipeline import Predictor
+
+        cfg = small_chunk_config.replace(
+            DETECTOR={"recalibrate_per_video": True})
+        predictor = Predictor(cfg=cfg, detector=StubDetector(),
+                              visualize=False)
+        resets = []
+        monkeypatch.setattr(predictor.pose_estimator, "reset_calibration",
+                            lambda: resets.append(1))
+        video = self._video(tmp_path, rng)
+        predictor(video, "missing.json", str(tmp_path / "out"))
+        assert resets == [1]
+
+    def test_streaming_scorer_resets_both_per_call(
+        self, tmp_path, small_chunk_config, rng, monkeypatch
+    ):
+        """--streaming used to silently ignore recalibrate_per_video; the
+        lifecycle now lives in StreamingScorer.__call__ so library users and
+        the CLI directory loop both get it."""
+        from poserisk_release_tpu.models.detector import StubDetector
+        from poserisk_release_tpu.streaming import StreamingScorer
+
+        class ResettableStub(StubDetector):
+            def __init__(self):
+                self.resets = 0
+
+            def reset_calibration(self):
+                self.resets += 1
+
+        cfg = small_chunk_config.replace(
+            DETECTOR={"recalibrate_per_video": True})
+        d = ResettableStub()
+        scorer = StreamingScorer(cfg=cfg, detector=d, window=8)
+        est_resets = []
+        monkeypatch.setattr(scorer.estimator, "reset_calibration",
+                            lambda: est_resets.append(1))
+        from poserisk_release_tpu.pipeline import load_add_info
+
+        video = self._video(tmp_path, rng)
+        add_info = load_add_info(cfg, "missing.json")
+        scorer(video, add_info)
+        scorer(video, add_info)
+        assert d.resets == 2 and est_resets == [1, 1]
+
+    def test_streaming_reset_skipped_with_explicit_source(
+        self, tmp_path, small_chunk_config, rng, monkeypatch
+    ):
+        from poserisk_release_tpu.models.detector import StubDetector
+        from poserisk_release_tpu.streaming import StreamingScorer
+
+        calib = str(tmp_path / "calib.npy")
+        np.save(calib, _frames(rng, n=4))
+        cfg = small_chunk_config.replace(DETECTOR={
+            "recalibrate_per_video": True, "calibration": calib})
+        scorer = StreamingScorer(cfg=cfg, detector=StubDetector(), window=8)
+        est_resets = []
+        monkeypatch.setattr(scorer.estimator, "reset_calibration",
+                            lambda: est_resets.append(1))
+        from poserisk_release_tpu.pipeline import load_add_info
+
+        scorer(self._video(tmp_path, rng), load_add_info(cfg, "missing.json"))
+        assert est_resets == []

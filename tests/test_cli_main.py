@@ -151,3 +151,39 @@ def test_input_videos_single_file_passthrough(tmp_path):
     from poserisk_release_tpu.cli import input_videos
 
     assert input_videos("clip.mp4") == [("clip.mp4", None)]
+
+
+def test_input_videos_stem_collision_keeps_both(tmp_path):
+    """demo.mp4 + demo.mov share the stem 'demo'; mapping both to
+    <output>/demo/ would silently overwrite one video's results with the
+    other's, so colliding entries keep their extension in the subdir."""
+    from poserisk_release_tpu.cli import input_videos
+
+    for name in ("demo.mp4", "demo.mov", "other.mp4"):
+        (tmp_path / name).write_bytes(b"")
+    got = input_videos(str(tmp_path))
+    subdirs = [sub for _, sub in got]
+    assert sorted(subdirs) == ["demo_mov", "demo_mp4", "other"]
+    assert len(set(subdirs)) == len(subdirs)
+
+
+def test_profile_report_total_excludes_subintervals():
+    """score.device / score.render are sub-intervals of 'score': summing
+    them into the total double-counts the scoring window and deflates every
+    stage's share."""
+    from poserisk_release_tpu.cli import profile_report
+
+    report = profile_report({
+        "decode": 1.0,
+        "track": 2.0,
+        "pose": 3.0,
+        "score": 4.0,
+        "score.device": 1.5,
+        "score.render": 2.0,
+    })
+    # Total = top-level stages only (10.0), not 13.5.
+    assert "total" in report and "10.000s" in report
+    assert "13.500" not in report
+    # Parent share is vs the correct total; sub-intervals render indented.
+    assert "score" in report and " 40.0%" in report
+    assert "  score.device" in report and "  score.render" in report

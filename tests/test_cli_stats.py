@@ -77,3 +77,23 @@ class TestStats:
         assert body.endswith("Low risk. ")
         body2 = format_result_txt((1, 2, 3, 4, 5), 1, "ok", trailing_space=False)
         assert body2.endswith("ok")
+
+
+class TestScoresSummaryBlock:
+    def test_shared_schema_and_nan_policy(self):
+        """ONE builder feeds run_summary.json and stream_summary.json; NaN
+        (the reference's top-10% mean of a <10-frame clip) becomes null in
+        the machine-readable surface."""
+        from poserisk_release_tpu.outputs.stats import (
+            finite_or_none,
+            scores_summary_block,
+        )
+
+        summary = {"REBA": ((4.1, 5.0, float("nan"), 7.0, 4.0), 3, "High")}
+        block = scores_summary_block(summary)
+        assert block == {"REBA": {
+            "avg": 4.1, "p50": 5.0, "p10": None, "max": 7.0, "mode": 4.0,
+            "action_level": 3, "action": "High",
+        }}
+        assert finite_or_none(float("inf")) is None
+        assert finite_or_none("n/a") == "n/a"

@@ -248,3 +248,27 @@ class TestOnlineStreamingStride:
             cfg=cfg, detector=PixelDetector(), window=7, selection="online",
         )(video, info)
         assert result.frames == list(range(0, 24, 4))
+
+
+class TestConfigStrideValidation:
+    def test_stride_zero_rejected_at_config_level(self):
+        """stride 0 divides by zero in the phase computation and stride < 0
+        selects no frames at all; the guard lives on DetectorConfig so every
+        consumer (batch tracker AND the streaming scorer, which builds its
+        own selection) inherits it."""
+        from poserisk_release_tpu.config import default_config
+
+        for bad in (0, -2):
+            with pytest.raises(ValueError, match="detection_stride"):
+                default_config().replace(DETECTOR={"detection_stride": bad})
+
+    def test_strided_local_indices_shared_rule(self):
+        from poserisk_release_tpu.tracking.mpt import strided_local_indices
+
+        # Global indices 0,3,6,... regardless of window boundaries.
+        assert strided_local_indices(0, 8, 3) == [0, 3, 6]
+        assert strided_local_indices(8, 8, 3) == [1, 4, 7]   # globals 9,12,15
+        assert strided_local_indices(16, 2, 3) == []         # 18 is out of window
+        assert strided_local_indices(18, 2, 3) == [0]        # global 18
+        assert strided_local_indices(17, 1, 3) == []         # no multiple
+        assert strided_local_indices(5, 4, 1) == [0, 1, 2, 3]
