@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "result txts/plots but no annotated video")
     parser.add_argument("--streaming_window", type=int, default=256,
                         help="frames per streaming window")
+    parser.add_argument("--decode_workers", type=int, default=1,
+                        help="video-decode threads (window-aligned segments, "
+                             "bit-identical frames to serial decode via "
+                             "guarded seek; 1 = serial). Decode is the "
+                             "production wall-clock bottleneck at the device "
+                             "pipeline's throughput")
     return parser
 
 
@@ -194,6 +200,8 @@ def main(argv=None) -> int:
         cfg = cfg.replace(DATASET={"jpeg_ingest": True})
     if args.detection_stride != 1:
         cfg = cfg.replace(DETECTOR={"detection_stride": args.detection_stride})
+    if args.decode_workers != 1:
+        cfg = cfg.replace(DATASET={"decode_workers": args.decode_workers})
     if args.calibration or args.recalibrate_per_video:
         cfg = cfg.replace(DETECTOR={
             "calibration": args.calibration,

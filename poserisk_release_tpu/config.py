@@ -36,6 +36,21 @@ class DatasetConfig:
     # artifacts. Off by default (the in-memory path is cleaner and faster);
     # turn on when byte-level input parity against the reference matters.
     jpeg_ingest: bool = False
+    # Video-decode threads. 1 (default) = the serial one-window-lookahead
+    # decoder. > 1 splits the clip into window-aligned segments decoded by
+    # that many capture threads (io.video.iter_windows_parallel) -- frames
+    # are guaranteed bit-identical to serial decode (guarded seek, automatic
+    # serial fallback). At the device pipeline's measured throughput
+    # (docs/PERF.md round 3) one decode thread is the production wall-clock
+    # bottleneck; this is the TPU-native counterpart of the reference's
+    # DataLoader workers (lib/core/config.py:31, base.py:123), which parallelised
+    # crop loading but never the decode.
+    decode_workers: int = 1
+
+    def __post_init__(self) -> None:
+        if self.decode_workers < 1:
+            raise ValueError(
+                f"DATASET.decode_workers must be >= 1, got {self.decode_workers}")
 
 
 @dataclass(frozen=True)

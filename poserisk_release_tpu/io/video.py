@@ -66,6 +66,236 @@ def read_video(path: str, max_frames: int | None = None) -> VideoClip:
     return VideoClip(frames=np.stack(frames), fps=float(fps))
 
 
+def iter_windows_parallel(path: str, window: int, workers: int,
+                          max_frames: int | None = None):
+    """Window generator decoding with `workers` threads, serial-exact output.
+
+    At the device pipeline's measured throughput (docs/PERF.md round 3) a
+    single cv2 decode thread is the production wall-clock bottleneck; the
+    reference parallelised its CROP loading with torch DataLoader workers
+    (lib/core/config.py:31, base.py:123) but decoded video serially
+    (funcs_utils.py:18-53). Here the frame range splits into `workers`
+    contiguous window-aligned SEGMENTS; each worker owns a VideoCapture,
+    seeks to its segment (cv2 releases the GIL inside read/resize, so
+    threads scale across cores) and decodes windows into a bounded queue,
+    which the consumer drains in global order -- peak buffered memory is
+    O(workers * window) frames.
+
+    Yields exactly the serial protocol: ("meta", fps), then
+    ("window", start_idx, frames) in order, then ("end", total_frames).
+
+    Container seek is NOT trusted. A worker with a nonzero segment start
+    also decodes the GUARD frame just before its segment, and the consumer
+    compares it byte-exactly against the previous segment's last frame
+    BEFORE yielding any of the segment's windows; the tail worker ignores
+    the (often wrong) CAP_PROP_FRAME_COUNT and reads to EOF. On any guard
+    mismatch, seek failure, or mid-segment short read, decode falls back to
+    a serial capture that grab()-skips the frames already yielded and
+    continues -- so the yielded stream is ALWAYS bit-identical to
+    read_video's frames, just possibly slower."""
+    import queue as queue_mod
+    import threading
+
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {path}")
+    fps = float(cap.get(cv2.CAP_PROP_FPS))
+    src_w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    src_h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    n_total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    width, height = reference_resize_dims(src_w, src_h)
+
+    n = n_total if max_frames is None else min(n_total, max_frames)
+    n_windows = max(1, -(-n // window))
+    workers = max(1, min(workers, n_windows // 2))  # >=2 windows per worker
+
+    # Window-aligned segment bounds in frame indices; the tail segment is
+    # open-ended (reads to EOF / max_frames) so an undercounting
+    # CAP_PROP_FRAME_COUNT can never drop trailing frames.
+    wbounds = np.linspace(0, n_windows, workers + 1).round().astype(int)
+    bounds = [int(b) * window for b in wbounds]
+
+    stop = threading.Event()
+    queues = [queue_mod.Queue(maxsize=2) for _ in range(workers)]
+
+    def emit(q, item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
+    def decode_segment(w: int) -> None:
+        # Any exception surfaces as a "fail" item: the consumer blocks on
+        # this queue with no timeout, so a silently dead worker would
+        # deadlock the stream.
+        try:
+            _decode_segment(w)
+        except Exception as exc:  # pragma: no cover - defensive
+            emit(queues[w], ("fail", repr(exc)))
+
+    def _decode_segment(w: int) -> None:
+        start = bounds[w]
+        end = None if w == workers - 1 else bounds[w + 1]
+        q = queues[w]
+        c = cv2.VideoCapture(path)
+        try:
+            if not c.isOpened():
+                emit(q, ("fail", "open failed"))
+                return
+            first = start - 1 if start > 0 else 0
+            if first > 0 and not c.set(cv2.CAP_PROP_POS_FRAMES, first):
+                emit(q, ("fail", "seek failed"))
+                return
+            guard = None
+            buf: list[np.ndarray] = []
+            idx = first
+            while not stop.is_set():
+                if end is not None and idx >= end:
+                    break
+                if end is None and max_frames is not None and idx >= max_frames:
+                    break
+                ret, bgr = c.read()
+                if not ret:
+                    if end is not None:
+                        # Mid-segment short read: either the container lied
+                        # about its length or the seek landed late. The
+                        # consumer re-decodes serially from its position.
+                        emit(q, ("fail", f"short read at frame {idx}"))
+                        return
+                    break  # tail segment: genuine EOF
+                rgb = cv2.cvtColor(cv2.resize(bgr, (width, height)),
+                                   cv2.COLOR_BGR2RGB)
+                if idx == start - 1:
+                    guard = rgb
+                    idx += 1
+                    if not emit(q, ("guard", guard)):
+                        return
+                    continue
+                buf.append(rgb)
+                idx += 1
+                if len(buf) == window:
+                    if not emit(q, ("window", idx - window, np.stack(buf))):
+                        return
+                    buf = []
+            if buf and not stop.is_set():
+                if not emit(q, ("window", idx - len(buf), np.stack(buf))):
+                    return
+            emit(q, ("done", idx))
+        finally:
+            c.release()
+
+    threads = [threading.Thread(target=decode_segment, args=(w,), daemon=True)
+               for w in range(workers)]
+    for t in threads:
+        t.start()
+
+    def serial_tail(consumed: int):
+        """Integrity fallback: re-decode serially, grab()-skipping the
+        `consumed` frames already yielded (those were guard-verified)."""
+        import warnings
+
+        warnings.warn(
+            f"parallel decode integrity check failed for {path} "
+            "(inaccurate container seek or frame count); continuing with "
+            "serial decode", RuntimeWarning, stacklevel=2)
+        c = cv2.VideoCapture(path)
+        try:
+            for _ in range(consumed):
+                if not c.grab():
+                    raise RuntimeError(
+                        f"serial fallback lost frames in {path}: the file "
+                        f"shrank below the {consumed} frames already decoded")
+            buf: list[np.ndarray] = []
+            idx = consumed
+            while max_frames is None or idx < max_frames:
+                ret, bgr = c.read()
+                if not ret:
+                    break
+                buf.append(cv2.cvtColor(cv2.resize(bgr, (width, height)),
+                                        cv2.COLOR_BGR2RGB))
+                idx += 1
+                if len(buf) == window:
+                    yield ("window", idx - window, np.stack(buf))
+                    buf = []
+            if buf:
+                yield ("window", idx - len(buf), np.stack(buf))
+            yield ("end", idx)
+        finally:
+            c.release()
+
+    try:
+        yield ("meta", fps)
+        consumed = 0
+        prev_last: np.ndarray | None = None
+        for w in range(workers):
+            # A segment's windows are yielded only after its seek is proven:
+            # the guard frame must arrive first and match the previous
+            # segment's last frame byte-exactly. A segment that finishes
+            # without ever producing its guard (seek silently landed at EOF)
+            # is treated as failed too -- the serial fallback then proves
+            # whether frames actually remained.
+            expect_guard = bounds[w] > 0
+            failed = False
+            while True:
+                kind, *rest = queues[w].get()
+                if kind == "fail":
+                    failed = True
+                    break
+                if kind == "guard":
+                    if (not expect_guard or prev_last is None
+                            or not np.array_equal(rest[0], prev_last)):
+                        failed = True
+                        break
+                    expect_guard = False
+                    continue
+                if kind == "done":
+                    failed = expect_guard
+                    break
+                start_idx, frames = rest
+                if expect_guard or start_idx != consumed:
+                    failed = True
+                    break
+                prev_last = frames[-1]
+                consumed = start_idx + len(frames)
+                yield ("window", start_idx, frames)
+            if failed:
+                stop.set()
+                yield from serial_tail(consumed)
+                return
+        if consumed == 0:
+            raise ValueError(f"video decoded to zero frames: {path}")
+        yield ("end", consumed)
+    finally:
+        stop.set()
+
+
+def read_video_parallel(
+    path: str, workers: int, max_frames: int | None = None,
+    window: int = 256,
+) -> VideoClip:
+    """Whole-clip wrapper over iter_windows_parallel: decode with `workers`
+    threads, bit-identical frames to read_video (integrity-guarded seek with
+    automatic serial fallback -- see iter_windows_parallel)."""
+    if workers <= 1:
+        return read_video(path, max_frames)
+    fps = 0.0
+    pieces = []
+    for item in iter_windows_parallel(path, window, workers, max_frames):
+        if item[0] == "meta":
+            fps = item[1]
+        elif item[0] == "window":
+            pieces.append(item[2])
+    if not pieces:
+        raise ValueError(f"video decoded to zero frames: {path}")
+    return VideoClip(frames=np.concatenate(pieces), fps=fps)
+
+
 def load_calibration_frames(path: str, n: int = 64) -> np.ndarray:
     """Load representative frames for int8 PTQ calibration
     (DetectorConfig.calibration). Accepts:

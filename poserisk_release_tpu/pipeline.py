@@ -579,7 +579,8 @@ class Predictor:
 
         def windows():
             nonlocal fps
-            for item in _window_stream(input_path, window, None):
+            for item in _window_stream(input_path, window, None,
+                                       self.cfg.DATASET.decode_workers):
                 if item[0] == "meta":
                     fps = float(item[1])
                 elif item[0] == "window":

@@ -113,10 +113,22 @@ def _decode_windows(path: str, window: int, out_q: "queue.Queue",
         emit(("end", idx))
 
 
-def _window_stream(video_path: str, window: int, max_frames: Optional[int]):
+def _window_stream(video_path: str, window: int, max_frames: Optional[int],
+                   workers: int = 1):
     """Generator over decoded windows with a one-window-lookahead thread.
 
-    Yields ("meta", fps) | ("window", start_idx, frames) | ("end", total)."""
+    Yields ("meta", fps) | ("window", start_idx, frames) | ("end", total).
+
+    workers > 1 decodes with that many capture threads over window-aligned
+    segments (io.video.iter_windows_parallel) -- same protocol, serial-exact
+    frames (integrity-guarded seek with automatic serial fallback), peak
+    buffered memory O(workers * window) frames instead of 2 windows."""
+    if workers > 1:
+        from poserisk_release_tpu.io.video import iter_windows_parallel
+
+        yield from iter_windows_parallel(video_path, window, workers,
+                                         max_frames)
+        return
     q: "queue.Queue" = queue.Queue(maxsize=2)  # 1 window in flight + 1 ready
     stop = threading.Event()
     thread = threading.Thread(
@@ -205,7 +217,8 @@ class StreamingScorer:
         people: Dict[int, Dict[str, list]] = {}
         fps = 0.0
         total = 0
-        for item in _window_stream(video_path, self.window, max_frames):
+        for item in _window_stream(video_path, self.window, max_frames,
+                                   self.cfg.DATASET.decode_workers):
             if item[0] == "meta":
                 fps = float(item[1])
             elif item[0] == "window":
@@ -233,7 +246,8 @@ class StreamingScorer:
         sel_frames = np.asarray(sel_frames)
         reba, rula = self._scorers()
         # pass 2: decode again, crop + score only the selected track's frames.
-        for item in _window_stream(video_path, self.window, max_frames):
+        for item in _window_stream(video_path, self.window, max_frames,
+                                   self.cfg.DATASET.decode_workers):
             if item[0] != "window":
                 continue
             _, start_idx, frames = item
@@ -257,7 +271,8 @@ class StreamingScorer:
         target_id: Optional[int] = None
         reba, rula = self._scorers()
 
-        for item in _window_stream(video_path, self.window, max_frames):
+        for item in _window_stream(video_path, self.window, max_frames,
+                                   self.cfg.DATASET.decode_workers):
             if item[0] == "meta":
                 result.fps = float(item[1])
                 continue
