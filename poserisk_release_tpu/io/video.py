@@ -39,6 +39,25 @@ class VideoClip:
         return int(self.frames.shape[0])
 
 
+def _decoded_rgb(cap, width: int, height: int, start_idx: int = 0,
+                 max_frames: int | None = None):
+    """Yield (global_idx, resized RGB frame) from cap's current position.
+
+    THE decode + resize-rule loop: read_video and the parallel decoder's
+    serial fallback both consume it, so the pixel pipeline (cv2.resize then
+    BGR->RGB, in that order) cannot fork between them."""
+    import cv2
+
+    idx = start_idx
+    while max_frames is None or idx < max_frames:
+        ret, bgr = cap.read()
+        if not ret:
+            return
+        yield idx, cv2.cvtColor(cv2.resize(bgr, (width, height)),
+                                cv2.COLOR_BGR2RGB)
+        idx += 1
+
+
 def read_video(path: str, max_frames: int | None = None) -> VideoClip:
     """Decode a video to in-memory RGB frames with the reference resize rule."""
     import cv2
@@ -51,15 +70,8 @@ def read_video(path: str, max_frames: int | None = None) -> VideoClip:
     src_h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
     width, height = reference_resize_dims(src_w, src_h)
 
-    frames = []
-    while True:
-        ret, frame_bgr = cap.read()
-        if not ret:
-            break
-        frame_bgr = cv2.resize(frame_bgr, (width, height))
-        frames.append(cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB))
-        if max_frames is not None and len(frames) >= max_frames:
-            break
+    frames = [rgb for _, rgb in _decoded_rgb(cap, width, height,
+                                             max_frames=max_frames)]
     cap.release()
     if not frames:
         raise ValueError(f"video decoded to zero frames: {path}")
@@ -82,7 +94,9 @@ def iter_windows_parallel(path: str, window: int, workers: int,
     O(workers * window) frames.
 
     Yields exactly the serial protocol: ("meta", fps), then
-    ("window", start_idx, frames) in order, then ("end", total_frames).
+    ("window", start_idx, frames) in order, then ("end", total_frames) --
+    including ("end", 0) for an openable but frameless file, exactly like
+    the serial stream (callers decide whether that is an error).
 
     Container seek is NOT trusted. A worker with a nonzero segment start
     also decodes the GUARD frame just before its segment, and the consumer
@@ -110,6 +124,16 @@ def iter_windows_parallel(path: str, window: int, workers: int,
 
     n = n_total if max_frames is None else min(n_total, max_frames)
     n_windows = max(1, -(-n // window))
+    if workers > 1 and n_total <= 0:
+        # Stream-copied webm/mkv can report no frame count; segmentation
+        # needs one, so decode runs serially -- say so rather than silently
+        # dropping the advertised speedup on the production bottleneck.
+        import warnings
+
+        warnings.warn(
+            f"{path} reports no frame count (CAP_PROP_FRAME_COUNT="
+            f"{n_total}); parallel decode disabled, falling back to one "
+            "decode thread", RuntimeWarning, stacklevel=2)
     workers = max(1, min(workers, n_windows // 2))  # >=2 windows per worker
 
     # Window-aligned segment bounds in frame indices; the tail segment is
@@ -149,9 +173,18 @@ def iter_windows_parallel(path: str, window: int, workers: int,
                 emit(q, ("fail", "open failed"))
                 return
             first = start - 1 if start > 0 else 0
-            if first > 0 and not c.set(cv2.CAP_PROP_POS_FRAMES, first):
-                emit(q, ("fail", "seek failed"))
-                return
+            if first > 0:
+                if not c.set(cv2.CAP_PROP_POS_FRAMES, first):
+                    emit(q, ("fail", "seek failed"))
+                    return
+                # The guard-frame content check alone can false-pass when
+                # adjacent frames are byte-identical (static scenes decode
+                # to identical pixels), so also require the backend to
+                # REPORT the requested landing position.
+                landed = int(round(c.get(cv2.CAP_PROP_POS_FRAMES)))
+                if landed != first:
+                    emit(q, ("fail", f"seek landed at {landed}, not {first}"))
+                    return
             guard = None
             buf: list[np.ndarray] = []
             idx = first
@@ -212,20 +245,17 @@ def iter_windows_parallel(path: str, window: int, workers: int,
                         f"serial fallback lost frames in {path}: the file "
                         f"shrank below the {consumed} frames already decoded")
             buf: list[np.ndarray] = []
-            idx = consumed
-            while max_frames is None or idx < max_frames:
-                ret, bgr = c.read()
-                if not ret:
-                    break
-                buf.append(cv2.cvtColor(cv2.resize(bgr, (width, height)),
-                                        cv2.COLOR_BGR2RGB))
-                idx += 1
+            total = consumed
+            for idx, rgb in _decoded_rgb(c, width, height, start_idx=consumed,
+                                         max_frames=max_frames):
+                buf.append(rgb)
+                total = idx + 1
                 if len(buf) == window:
-                    yield ("window", idx - window, np.stack(buf))
+                    yield ("window", total - window, np.stack(buf))
                     buf = []
             if buf:
-                yield ("window", idx - len(buf), np.stack(buf))
-            yield ("end", idx)
+                yield ("window", total - len(buf), np.stack(buf))
+            yield ("end", total)
         finally:
             c.release()
 
@@ -268,8 +298,6 @@ def iter_windows_parallel(path: str, window: int, workers: int,
                 stop.set()
                 yield from serial_tail(consumed)
                 return
-        if consumed == 0:
-            raise ValueError(f"video decoded to zero frames: {path}")
         yield ("end", consumed)
     finally:
         stop.set()

@@ -509,7 +509,13 @@ class Predictor:
         print("\n===> Data preprocessing...")
         if self.cfg.DATASET.jpeg_ingest:
             t0 = time.time()
-            clip = read_video(input_path)
+            # decode_workers is honored here too: read_video_parallel is
+            # bit-identical to read_video, and the jpg round trip below runs
+            # on the assembled clip either way, so the parity contract holds.
+            from poserisk_release_tpu.io.video import read_video_parallel
+
+            clip = read_video_parallel(
+                input_path, self.cfg.DATASET.decode_workers)
             from poserisk_release_tpu.io.video import jpeg_roundtrip
 
             # Reference-parity ingest: frames take the '%09d.jpg' disk round

@@ -144,13 +144,16 @@ class TestPipelineWiring:
         from poserisk_release_tpu.pipeline import load_add_info
         from poserisk_release_tpu.streaming import StreamingScorer
 
+        # window=4 over 40 frames = 10 windows, so decode_workers=3 really
+        # runs 3 segments (the clamp needs >=2 windows per worker; a larger
+        # window here would silently degrade this test to 1 worker).
         path = _make_video(tmp_path, n_frames=40)
         cfg1 = default_config().replace(PARALLEL={"frames_per_step": 16})
         cfg2 = cfg1.replace(DATASET={"decode_workers": 3})
         info = load_add_info(cfg1, "missing.json")
-        r1 = StreamingScorer(cfg=cfg1, detector=StubDetector(), window=16)(
+        r1 = StreamingScorer(cfg=cfg1, detector=StubDetector(), window=4)(
             path, info)
-        r2 = StreamingScorer(cfg=cfg2, detector=StubDetector(), window=16)(
+        r2 = StreamingScorer(cfg=cfg2, detector=StubDetector(), window=4)(
             path, info)
         assert r1.frames == r2.frames
         assert r1.reba_scores == r2.reba_scores
