@@ -77,6 +77,10 @@ def main() -> None:
     parser.add_argument("--render", action="store_true",
                         help="include the annotated-video render stage")
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--decode_workers", type=int, default=1,
+                        help="decode threads (io.video.iter_windows_parallel);"
+                             " on multi-core production hosts decode is the"
+                             " wall-clock bottleneck at the device fps")
     args = parser.parse_args()
 
     if args.cpu:
@@ -101,8 +105,11 @@ def main() -> None:
         # int8 graph would compile inside the measured region).
         rng = np.random.RandomState(1)
         yolo.calibrate(rng.randint(0, 256, (8, 450, 800, 3)).astype(np.uint8))
+        cfg = default_config()
+        if args.decode_workers > 1:
+            cfg = cfg.replace(DATASET={"decode_workers": args.decode_workers})
         predictor = Predictor(
-            cfg=default_config(),
+            cfg=cfg,
             detector=RealComputeStubBoxDetector(yolo),
             visualize=args.render,
             fast=True,  # bf16 SPIN backbone: the throughput configuration
