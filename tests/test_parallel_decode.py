@@ -101,6 +101,56 @@ class TestDegenerateInputs:
             _collect(iter_windows_parallel("/nonexistent/clip.mp4", 8, 2))
 
 
+class _FramelessCapture:
+    """Openable but frameless source (e.g. audio-only container): cv2
+    reports no frame count and read() never succeeds."""
+
+    def __init__(self, path):
+        pass
+
+    def isOpened(self):
+        return True
+
+    def get(self, prop):
+        return 0.0
+
+    def set(self, prop, val):
+        return True
+
+    def read(self):
+        return False, None
+
+    def grab(self):
+        return False
+
+    def release(self):
+        pass
+
+
+class TestFramelessSource:
+    def test_end_zero_protocol_parity(self, monkeypatch):
+        """An openable but frameless file must yield ('end', 0) exactly like
+        the serial stream -- not raise mid-iteration -- so consumer behavior
+        cannot depend on the decode_workers knob."""
+        import cv2
+
+        monkeypatch.setattr(cv2, "VideoCapture", _FramelessCapture)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            fps, win, end = _collect(
+                iter_windows_parallel("fake.mp4", 8, 4))
+        assert fps == 0.0 and win == [] and end == 0
+
+    def test_unknown_frame_count_warns(self, monkeypatch):
+        """CAP_PROP_FRAME_COUNT <= 0 disables segmentation; the user asked
+        for parallel decode, so say why it did not happen."""
+        import cv2
+
+        monkeypatch.setattr(cv2, "VideoCapture", _FramelessCapture)
+        with pytest.warns(RuntimeWarning, match="no frame count"):
+            _collect(iter_windows_parallel("fake.mp4", 8, 4))
+
+
 class TestIntegrityFallback:
     def test_guard_mismatch_falls_back_serial_exact(self, tmp_path, monkeypatch):
         """Force every guard comparison to fail: the stream must warn, fall
