@@ -4,7 +4,8 @@ The reference (and this package's Predictor) materialises every frame of the
 clip before scoring -- fine for demo videos, unbounded for hours-long footage.
 This module scores a video in fixed-size windows with a one-window lookahead
 decoded on a background host thread, so video decode overlaps device compute
-and peak host memory is ~2 windows of frames.
+and peak host memory is ~2 windows of frames (O(decode_workers * window)
+when DATASET.decode_workers > 1 -- io.video.iter_windows_parallel).
 
 Two target-selection modes:
 
