@@ -246,8 +246,14 @@ class StreamingScorer:
         )
         sel_frames = np.asarray(sel_frames)
         reba, rula = self._scorers()
-        # pass 2: decode again, crop + score only the selected track's frames.
-        for item in _window_stream(video_path, self.window, max_frames,
+        # pass 2: decode again, crop + score only the selected track's
+        # frames. Decode stops right after the last selected frame -- if the
+        # target leaves the clip early, the tail never decodes (windows
+        # without selected frames inside the range are skipped below).
+        stop_at = int(sel_frames.max()) + 1
+        if max_frames is not None:
+            stop_at = min(stop_at, max_frames)
+        for item in _window_stream(video_path, self.window, stop_at,
                                    self.cfg.DATASET.decode_workers):
             if item[0] != "window":
                 continue

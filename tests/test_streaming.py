@@ -161,3 +161,57 @@ def test_online_mode_documented_divergence(contention_clip):
     # Same video, same detections: the two selection policies track different
     # people during the contention interval (frames 0..9).
     assert online.frames != reference.frames
+
+
+class _BrightnessDetector:
+    """Box only on bright frames (windowed-call-safe, unlike scripted mode)."""
+
+    def __call__(self, frames_rgb):
+        out = []
+        for f in frames_rgb:
+            if f.mean() > 80:
+                h, w = f.shape[:2]
+                out.append(np.array(
+                    [[w * 0.25, h * 0.1, w * 0.75, h * 0.95, 0.99]],
+                    np.float32))
+            else:
+                out.append(np.zeros((0, 5), np.float32))
+        return out
+
+
+def test_two_pass_stops_decoding_after_last_selected_frame(
+    tmp_path, monkeypatch
+):
+    """Pass 2 knows the selected frames before decoding, so it must cap the
+    re-decode at the last one: a target that leaves a long clip early should
+    not cost a full second decode of the tail."""
+    import cv2
+
+    path = str(tmp_path / "early_exit.mp4")
+    frames = []
+    for i in range(40):
+        img = np.full((120, 160, 3), 160 if i < 20 else 20, np.uint8)
+        if i < 20:
+            cv2.rectangle(img, (40, 20), (120, 110), (200, 180, 170), -1)
+        frames.append(img)
+    write_video(frames, fps=10.0, file_path=path)
+
+    import poserisk_release_tpu.streaming as streaming_mod
+
+    real = streaming_mod._window_stream
+    caps = []
+
+    def recording(video_path, window, max_frames, workers=1):
+        caps.append(max_frames)
+        return real(video_path, window, max_frames, workers)
+
+    monkeypatch.setattr(streaming_mod, "_window_stream", recording)
+    result = StreamingScorer(
+        cfg=_test_config(), detector=_BrightnessDetector(), window=8
+    )(path, INFO)
+    assert result.frames, "target must have been tracked"
+    assert max(result.frames) <= 19
+    # Pass 1 scans the whole clip (selection needs complete tracks); pass 2
+    # stops right after the last selected frame.
+    assert caps == [None, max(result.frames) + 1]
+    assert result.total_frames == 40
