@@ -58,18 +58,25 @@ def _decoded_rgb(cap, width: int, height: int, start_idx: int = 0,
         idx += 1
 
 
-def read_video(path: str, max_frames: int | None = None) -> VideoClip:
-    """Decode a video to in-memory RGB frames with the reference resize rule."""
+def _open_video(path: str):
+    """(cap, fps, out_width, out_height) with the resize rule applied;
+    raises FileNotFoundError when the container cannot be opened. Shared
+    prologue of every decoder in this module."""
     import cv2
 
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video: {path}")
-    fps = cap.get(cv2.CAP_PROP_FPS)
-    src_w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-    src_h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-    width, height = reference_resize_dims(src_w, src_h)
+    fps = float(cap.get(cv2.CAP_PROP_FPS))
+    width, height = reference_resize_dims(
+        int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+        int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)))
+    return cap, fps, width, height
 
+
+def read_video(path: str, max_frames: int | None = None) -> VideoClip:
+    """Decode a video to in-memory RGB frames with the reference resize rule."""
+    cap, fps, width, height = _open_video(path)
     frames = [rgb for _, rgb in _decoded_rgb(cap, width, height,
                                              max_frames=max_frames)]
     cap.release()
@@ -112,15 +119,9 @@ def iter_windows_parallel(path: str, window: int, workers: int,
 
     import cv2
 
-    cap = cv2.VideoCapture(path)
-    if not cap.isOpened():
-        raise FileNotFoundError(f"cannot open video: {path}")
-    fps = float(cap.get(cv2.CAP_PROP_FPS))
-    src_w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-    src_h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    cap, fps, width, height = _open_video(path)
     n_total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     cap.release()
-    width, height = reference_resize_dims(src_w, src_h)
 
     n = n_total if max_frames is None else min(n_total, max_frames)
     n_windows = max(1, -(-n // window))
@@ -155,19 +156,13 @@ def iter_windows_parallel(path: str, window: int, workers: int,
         return False
 
     def decode_segment(w: int) -> None:
-        # Any exception surfaces as a "fail" item: the consumer blocks on
-        # this queue with no timeout, so a silently dead worker would
-        # deadlock the stream.
-        try:
-            _decode_segment(w)
-        except Exception as exc:  # pragma: no cover - defensive
-            emit(queues[w], ("fail", repr(exc)))
-
-    def _decode_segment(w: int) -> None:
         start = bounds[w]
         end = None if w == workers - 1 else bounds[w + 1]
         q = queues[w]
         c = cv2.VideoCapture(path)
+        # Any exception must surface as a "fail" item: the consumer blocks
+        # on this queue with no timeout, so a silently dead worker would
+        # deadlock the stream.
         try:
             if not c.isOpened():
                 emit(q, ("fail", "open failed"))
@@ -220,6 +215,8 @@ def iter_windows_parallel(path: str, window: int, workers: int,
                 if not emit(q, ("window", idx - len(buf), np.stack(buf))):
                     return
             emit(q, ("done", idx))
+        except Exception as exc:  # pragma: no cover - defensive
+            emit(q, ("fail", repr(exc)))
         finally:
             c.release()
 

@@ -31,7 +31,7 @@ import numpy as np
 
 from poserisk_release_tpu.body.smpl import SMPLFamily
 from poserisk_release_tpu.config import Config, default_config
-from poserisk_release_tpu.io.video import read_video
+from poserisk_release_tpu.io.video import read_video_parallel
 from poserisk_release_tpu.models import convert as model_convert
 from poserisk_release_tpu.models.detector import StubDetector, YoloDetector
 from poserisk_release_tpu.models.spin import init_spin_params, load_mean_params
@@ -512,8 +512,6 @@ class Predictor:
             # decode_workers is honored here too: read_video_parallel is
             # bit-identical to read_video, and the jpg round trip below runs
             # on the assembled clip either way, so the parity contract holds.
-            from poserisk_release_tpu.io.video import read_video_parallel
-
             clip = read_video_parallel(
                 input_path, self.cfg.DATASET.decode_workers)
             from poserisk_release_tpu.io.video import jpeg_roundtrip
