@@ -173,6 +173,17 @@ def run_streaming(args, cfg) -> int:
     add_info = load_add_info(cfg, args.info)
     for video, subdir in input_videos(args.input):
         out = osp.join(args.output, subdir) if subdir else args.output
+        if args.multi_person:
+            # Same per-person layout as the batch --multi_person extension:
+            # one person_<id>/ directory per surviving track.
+            for pid, res in scorer.score_all(video, add_info).items():
+                person_out = osp.join(out, f"person_{pid}")
+                summary = scorer.write_outputs(res, person_out,
+                                               score_type=args.type)
+                print(f"\n\n===> DONE! (streaming, person {pid})")
+                print("Result files saved in ", person_out)
+                print_result_summary(summary)
+            continue
         result = scorer(video, add_info)
         summary = scorer.write_outputs(result, out, score_type=args.type)
         print("\n\n===> DONE! (streaming)")

@@ -537,13 +537,12 @@ class Predictor:
         if self.multi_person:
             # Extension over the reference (BASELINE config 4): score every
             # track surviving the min-frames filter, one output dir each.
-            min_frames = min(
-                clip.num_frames * self.cfg.DATASET.min_frame_ratio, 1000
+            from poserisk_release_tpu.tracking.mpt import surviving_tracks
+
+            survivors = surviving_tracks(
+                tracking_results, clip.num_frames,
+                self.cfg.DATASET.min_frame_ratio,
             )
-            survivors = {
-                pid: t for pid, t in tracking_results.items()
-                if t["frames"].shape[0] >= min_frames
-            } or tracking_results
             if not survivors:
                 raise ValueError("no person tracks found in the clip")
             summaries = {}

@@ -186,22 +186,75 @@ class StreamingScorer:
                                        spin_int8=spin_int8)
         self.detector = detector if detector is not None else StubDetector()
 
-    def __call__(self, video_path: str, add_info: Dict,
-                 max_frames: Optional[int] = None) -> StreamResult:
-        # Same shared-instance int8 lifecycle as Predictor.__call__: under
-        # recalibrate_per_video each video re-derives its own scales instead
-        # of inheriting the previous clip's exposure statistics. Skipped when
-        # an explicit calibration source is set -- those scales are a pure
-        # function of the static source, so resetting would only waste a
-        # float-tower pass re-deriving identical values.
+    def _per_video_calibration_reset(self) -> None:
+        """Same shared-instance int8 lifecycle as Predictor.__call__: under
+        recalibrate_per_video each video re-derives its own scales instead
+        of inheriting the previous clip's exposure statistics. Skipped when
+        an explicit calibration source is set -- those scales are a pure
+        function of the static source, so resetting would only waste a
+        float-tower pass re-deriving identical values."""
         if (self.cfg.DETECTOR.recalibrate_per_video
                 and not self.cfg.DETECTOR.calibration):
             if hasattr(self.detector, "reset_calibration"):
                 self.detector.reset_calibration()
             self.estimator.reset_calibration()
+
+    def __call__(self, video_path: str, add_info: Dict,
+                 max_frames: Optional[int] = None) -> StreamResult:
+        self._per_video_calibration_reset()
         if self.selection == "reference":
             return self._run_two_pass(video_path, add_info, max_frames)
         return self._run_online(video_path, add_info, max_frames)
+
+    def score_all(self, video_path: str, add_info: Dict,
+                  max_frames: Optional[int] = None
+                  ) -> Dict[int, StreamResult]:
+        """Multi-person streaming: score EVERY track surviving the
+        reference's min-frames filter, bounded-memory.
+
+        The batch Predictor's --multi_person extension (pipeline.py) for
+        long footage: pass 1 tracks everyone (O(tracked frames), no pixels
+        retained); pass 2 re-decodes ONCE and scores all surviving tracks
+        from the shared windows -- per-track filter/fallback semantics match
+        the batch path exactly (min(min_frame_ratio * total, 1000), keep-all
+        fallback, base.py:66-68). Returns {person_id: StreamResult}; write
+        each with write_outputs into its own directory."""
+        if self.selection != "reference":
+            raise ValueError(
+                "score_all needs the two-pass mode (selection='reference'): "
+                "online selection locks onto a single identity by design")
+        self._per_video_calibration_reset()
+        tracking_results, total, fps = self._track_pass(video_path, max_frames)
+        if not tracking_results:
+            return {}
+        from poserisk_release_tpu.tracking.mpt import surviving_tracks
+
+        survivors = surviving_tracks(
+            tracking_results, total, self.cfg.DATASET.min_frame_ratio)
+        tracks = {
+            pid: (np.asarray(t["frames"]), np.asarray(t["bbox"], np.float32))
+            for pid, t in survivors.items()
+        }
+        results = {pid: StreamResult(total_frames=total, fps=fps)
+                   for pid in tracks}
+        reba, rula = self._scorers()
+        stop_at = max(int(fr.max()) for fr, _ in tracks.values()) + 1
+        if max_frames is not None:
+            stop_at = min(stop_at, max_frames)
+        for item in _window_stream(video_path, self.window, stop_at,
+                                   self.cfg.DATASET.decode_workers):
+            if item[0] != "window":
+                continue
+            _, start_idx, frames = item
+            for pid, (fr, bx) in tracks.items():
+                mask = (fr >= start_idx) & (fr < start_idx + len(frames))
+                if not mask.any():
+                    continue
+                self._score_window(
+                    frames, fr[mask] - start_idx, bx[mask],
+                    int(start_idx), add_info, reba, rula, results[pid],
+                )
+        return results
 
     # -- pass 1: detect + track only (no pixels retained) -----------------
     def _track_pass(self, video_path: str, max_frames: Optional[int]

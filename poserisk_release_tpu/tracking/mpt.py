@@ -171,6 +171,24 @@ def finalize_tracks(people: Dict[int, Dict[str, list]]) -> Dict[int, Dict[str, n
     }
 
 
+def surviving_tracks(
+    tracking_results: Dict[int, Dict[str, np.ndarray]],
+    total_frames: int,
+    min_frame_ratio: float = 0.33,
+    max_min_frames: int = 1000,
+) -> Dict[int, Dict[str, np.ndarray]]:
+    """The reference's min-frames track filter with its keep-all fallback
+    (drop tracks shorter than min(min_frame_ratio * total, 1000); if none
+    survive keep everything, base.py:66-68). THE one filter rule: the
+    single-target selector below, the batch Predictor's --multi_person
+    extension, and streaming score_all all select through it."""
+    min_frames = min(total_frames * min_frame_ratio, max_min_frames)
+    return {
+        pid: t for pid, t in tracking_results.items()
+        if t["frames"].shape[0] >= min_frames
+    } or dict(tracking_results)
+
+
 def filter_and_select_target(
     tracking_results: Dict[int, Dict[str, np.ndarray]],
     total_frames: int,
@@ -178,17 +196,13 @@ def filter_and_select_target(
     max_min_frames: int = 1000,
 ):
     """Track filtering + target selection, parity with the reference:
-    drop tracks shorter than min(min_frame_ratio * total, 1000) (falling back
-    to keeping all when none survive, base.py:66-68), then pick the track
-    with the largest mean bbox area (funcs_utils.py:55-64).
+    the surviving_tracks filter, then pick the track with the largest mean
+    bbox area (funcs_utils.py:55-64).
 
     Returns (bbox (N, 4) cxcywh, frames (N,)).
     """
-    min_frames = min(total_frames * min_frame_ratio, max_min_frames)
-
-    kept = [t for t in tracking_results.values() if t["frames"].shape[0] >= min_frames]
-    if not kept:
-        kept = list(tracking_results.values())
+    kept = list(surviving_tracks(tracking_results, total_frames,
+                                 min_frame_ratio, max_min_frames).values())
     if not kept:
         raise ValueError("no person tracks found in the clip")
 

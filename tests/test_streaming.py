@@ -215,3 +215,93 @@ def test_two_pass_stops_decoding_after_last_selected_frame(
     # stops right after the last selected frame.
     assert caps == [None, max(result.frames) + 1]
     assert result.total_frames == 40
+
+
+def _two_survivor_dets(n_frames=40):
+    """Both people exceed the min-frames filter (0.33*40 = 13.2): A spans
+    frames 0..24, B spans 2..39 -- multi-person scoring must score BOTH."""
+    dets = []
+    for i in range(n_frames):
+        frame = []
+        if i >= 2:
+            frame.append([30.0 + i, 20.0, 80.0 + i, 110.0, 0.9])
+        if i < 25:
+            frame.append([90.0, 5.0, 160.0, 118.0, 0.95])
+        dets.append(frame)
+    return dets
+
+
+@pytest.fixture(scope="module")
+def two_person_clip(tmp_path_factory):
+    import cv2
+
+    path = tmp_path_factory.mktemp("multi") / "two_survivors.mp4"
+    frames = []
+    for i in range(40):
+        img = np.full((120, 160, 3), 25, np.uint8)
+        cv2.rectangle(img, (30 + i, 20), (80 + i, 110), (180, 150, 130), -1)
+        if i < 25:
+            cv2.rectangle(img, (90, 5), (160, 118), (90, 200, 90), -1)
+        frames.append(img)
+    write_video(frames, fps=10.0, file_path=str(path))
+    return str(path)
+
+
+def test_score_all_matches_batch_multi_person(two_person_clip, tmp_path):
+    """Streaming score_all == batch Predictor --multi_person: same surviving
+    identities, same per-person stats, from one bounded-memory re-decode."""
+    results = StreamingScorer(
+        detector=_ScriptedStreamDetector(_two_survivor_dets()), window=16
+    ).score_all(two_person_clip, INFO)
+
+    predictor = Predictor(
+        cfg=_test_config(), score_type="REBA,RULA",
+        detector=StubDetector(scripted=_two_survivor_dets()),
+        visualize=False, multi_person=True,
+    )
+    summaries = predictor(two_person_clip, "/nonexistent.json",
+                          str(tmp_path / "batch"))
+
+    assert len(results) == len(summaries) == 2
+    # SORT's track-id counter is global across instances, so absolute ids
+    # differ between the two runs; discovery ORDER is the stable key.
+    for spid, bpid in zip(sorted(results), sorted(summaries)):
+        res = results[spid]
+        assert res.stats("reba") == summaries[bpid]["REBA"][0]
+        assert res.stats("rula") == summaries[bpid]["RULA"][0]
+        assert res.total_frames == 40
+
+
+def test_score_all_rejects_online_selection(two_person_clip):
+    scorer = StreamingScorer(detector=StubDetector(), window=16,
+                             selection="online")
+    with pytest.raises(ValueError, match="two-pass"):
+        scorer.score_all(two_person_clip, INFO)
+
+
+def test_cli_streaming_multi_person_layout(tmp_path, two_person_clip, monkeypatch):
+    """--streaming --multi_person writes person_<id>/ directories with the
+    same layout as the batch extension."""
+    import os.path as osp
+
+    from poserisk_release_tpu import cli as cli_mod
+    from poserisk_release_tpu.models.detector import StubDetector as _SD
+
+    monkeypatch.setattr(
+        "poserisk_release_tpu.pipeline.build_detector",
+        lambda cfg: _ScriptedStreamDetector(_two_survivor_dets()),
+    )
+    out = str(tmp_path / "out")
+    rc = cli_mod.main([
+        "--cpu", "--streaming", "--multi_person", "--type", "REBA",
+        "--streaming_window", "16",
+        "--input", two_person_clip, "--info", "missing.json",
+        "--output", out,
+    ])
+    assert rc == 0
+    person_dirs = sorted(d for d in __import__("os").listdir(out)
+                         if d.startswith("person_"))
+    assert len(person_dirs) == 2
+    for d in person_dirs:
+        assert osp.isfile(osp.join(out, d, "reba_result.txt"))
+        assert osp.isfile(osp.join(out, d, "stream_summary.json"))
