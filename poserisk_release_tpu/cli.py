@@ -176,7 +176,13 @@ def run_streaming(args, cfg) -> int:
         if args.multi_person:
             # Same per-person layout as the batch --multi_person extension:
             # one person_<id>/ directory per surviving track.
-            for pid, res in scorer.score_all(video, add_info).items():
+            per_person = scorer.score_all(video, add_info)
+            if not per_person:
+                # Match the batch --multi_person contract (pipeline.py
+                # raises the same message): a clip with nobody tracked must
+                # not exit 0 having silently written nothing.
+                raise ValueError("no person tracks found in the clip")
+            for pid, res in per_person.items():
                 person_out = osp.join(out, f"person_{pid}")
                 summary = scorer.write_outputs(res, person_out,
                                                score_type=args.type)

@@ -39,23 +39,44 @@ class VideoClip:
         return int(self.frames.shape[0])
 
 
+def _resize_rgb(bgr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """THE pixel pipeline: cv2.resize then BGR->RGB, in that order (the
+    reference's funcs_utils.py:34-41 order). Every decoder in this module --
+    serial, parallel segment workers, and the streaming lookahead thread --
+    must route through this one function so the pixels cannot fork."""
+    import cv2
+
+    return cv2.cvtColor(cv2.resize(bgr, (width, height)), cv2.COLOR_BGR2RGB)
+
+
 def _decoded_rgb(cap, width: int, height: int, start_idx: int = 0,
                  max_frames: int | None = None):
     """Yield (global_idx, resized RGB frame) from cap's current position.
 
-    THE decode + resize-rule loop: read_video and the parallel decoder's
-    serial fallback both consume it, so the pixel pipeline (cv2.resize then
-    BGR->RGB, in that order) cannot fork between them."""
-    import cv2
-
+    THE decode loop: read_video, the streaming lookahead thread, and the
+    parallel decoder's serial fallback all consume it."""
     idx = start_idx
     while max_frames is None or idx < max_frames:
         ret, bgr = cap.read()
         if not ret:
             return
-        yield idx, cv2.cvtColor(cv2.resize(bgr, (width, height)),
-                                cv2.COLOR_BGR2RGB)
+        yield idx, _resize_rgb(bgr, width, height)
         idx += 1
+
+
+def _bounded_put(q, item, stop) -> bool:
+    """put() on a bounded queue that aborts when `stop` is set, so a decode
+    thread abandoned by its consumer releases instead of blocking forever on
+    the full queue. Returns False when aborted."""
+    import queue as queue_mod
+
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.1)
+            return True
+        except queue_mod.Full:
+            continue
+    return False
 
 
 def _open_video(path: str):
@@ -106,14 +127,18 @@ def iter_windows_parallel(path: str, window: int, workers: int,
     the serial stream (callers decide whether that is an error).
 
     Container seek is NOT trusted. A worker with a nonzero segment start
-    also decodes the GUARD frame just before its segment, and the consumer
-    compares it byte-exactly against the previous segment's last frame
-    BEFORE yielding any of the segment's windows; the tail worker ignores
-    the (often wrong) CAP_PROP_FRAME_COUNT and reads to EOF. On any guard
-    mismatch, seek failure, or mid-segment short read, decode falls back to
-    a serial capture that grab()-skips the frames already yielded and
-    continues -- so the yielded stream is ALWAYS bit-identical to
-    read_video's frames, just possibly slower."""
+    also decodes the (up to) TWO guard frames just before its segment, and
+    the consumer compares them byte-exactly against the previous segment's
+    last frames BEFORE yielding any of the segment's windows; the backend
+    must additionally REPORT the requested landing position. The tail
+    worker ignores the (often wrong) CAP_PROP_FRAME_COUNT and reads to EOF.
+    On any guard mismatch, seek failure, or mid-segment short read, decode
+    falls back to a serial capture that grab()-skips the frames already
+    yielded and continues -- so the yielded stream is bit-identical to
+    read_video's frames (residual assumption: a backend that BOTH echoes
+    the requested landing position without honouring it AND lands where
+    both guard frames happen to be byte-identical to the true ones would
+    escape the check; see docs/PARITY.md #6), just possibly slower."""
     import queue as queue_mod
     import threading
 
@@ -146,43 +171,52 @@ def iter_windows_parallel(path: str, window: int, workers: int,
     stop = threading.Event()
     queues = [queue_mod.Queue(maxsize=2) for _ in range(workers)]
 
-    def emit(q, item) -> bool:
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.1)
-                return True
-            except queue_mod.Full:
-                continue
-        return False
-
     def decode_segment(w: int) -> None:
         start = bounds[w]
         end = None if w == workers - 1 else bounds[w + 1]
         q = queues[w]
-        c = cv2.VideoCapture(path)
-        # Any exception must surface as a "fail" item: the consumer blocks
-        # on this queue with no timeout, so a silently dead worker would
-        # deadlock the stream.
+
+        def emit(item) -> bool:
+            return _bounded_put(q, item, stop)
+
+        # Any exception must surface as a "fail" item -- including one from
+        # the VideoCapture constructor itself: the consumer blocks on this
+        # queue with no timeout, so a silently dead worker would deadlock
+        # the stream.
+        c = None
         try:
+            c = cv2.VideoCapture(path)
             if not c.isOpened():
-                emit(q, ("fail", "open failed"))
+                emit(("fail", "open failed"))
                 return
-            first = start - 1 if start > 0 else 0
+            gcount = min(2, start)
+            first = start - gcount
             if first > 0:
                 if not c.set(cv2.CAP_PROP_POS_FRAMES, first):
-                    emit(q, ("fail", "seek failed"))
+                    emit(("fail", "seek failed"))
                     return
-                # The guard-frame content check alone can false-pass when
+                # A guard-frame content check alone can false-pass when
                 # adjacent frames are byte-identical (static scenes decode
                 # to identical pixels), so also require the backend to
                 # REPORT the requested landing position.
                 landed = int(round(c.get(cv2.CAP_PROP_POS_FRAMES)))
                 if landed != first:
-                    emit(q, ("fail", f"seek landed at {landed}, not {first}"))
+                    emit(("fail", f"seek landed at {landed}, not {first}"))
                     return
-            guard = None
+            guards: list[np.ndarray] = []
+            for gidx in range(gcount):
+                ret, bgr = c.read()
+                if not ret:
+                    # The seek silently landed at/near EOF (or the file
+                    # shrank); the serial fallback proves whether frames
+                    # actually remained.
+                    emit(("fail", f"short read in guard at frame {first + gidx}"))
+                    return
+                guards.append(_resize_rgb(bgr, width, height))
+            if guards and not emit(("guard", np.stack(guards))):
+                return
             buf: list[np.ndarray] = []
-            idx = first
+            idx = start
             while not stop.is_set():
                 if end is not None and idx >= end:
                     break
@@ -194,31 +228,24 @@ def iter_windows_parallel(path: str, window: int, workers: int,
                         # Mid-segment short read: either the container lied
                         # about its length or the seek landed late. The
                         # consumer re-decodes serially from its position.
-                        emit(q, ("fail", f"short read at frame {idx}"))
+                        emit(("fail", f"short read at frame {idx}"))
                         return
                     break  # tail segment: genuine EOF
-                rgb = cv2.cvtColor(cv2.resize(bgr, (width, height)),
-                                   cv2.COLOR_BGR2RGB)
-                if idx == start - 1:
-                    guard = rgb
-                    idx += 1
-                    if not emit(q, ("guard", guard)):
-                        return
-                    continue
-                buf.append(rgb)
+                buf.append(_resize_rgb(bgr, width, height))
                 idx += 1
                 if len(buf) == window:
-                    if not emit(q, ("window", idx - window, np.stack(buf))):
+                    if not emit(("window", idx - window, np.stack(buf))):
                         return
                     buf = []
             if buf and not stop.is_set():
-                if not emit(q, ("window", idx - len(buf), np.stack(buf))):
+                if not emit(("window", idx - len(buf), np.stack(buf))):
                     return
-            emit(q, ("done", idx))
+            emit(("done", idx))
         except Exception as exc:  # pragma: no cover - defensive
-            emit(q, ("fail", repr(exc)))
+            emit(("fail", repr(exc)))
         finally:
-            c.release()
+            if c is not None:
+                c.release()
 
     threads = [threading.Thread(target=decode_segment, args=(w,), daemon=True)
                for w in range(workers)]
@@ -259,11 +286,15 @@ def iter_windows_parallel(path: str, window: int, workers: int,
     try:
         yield ("meta", fps)
         consumed = 0
-        prev_last: np.ndarray | None = None
+        # Rolling tail of the last two yielded frames (may span windows):
+        # each segment's guard frames must match these byte-exactly, which
+        # anchors every seek transitively back to worker 0's seek-free
+        # decode from frame 0.
+        tail: list[np.ndarray] = []
         for w in range(workers):
             # A segment's windows are yielded only after its seek is proven:
-            # the guard frame must arrive first and match the previous
-            # segment's last frame byte-exactly. A segment that finishes
+            # the guard frames must arrive first and match the previous
+            # segment's last frames byte-exactly. A segment that finishes
             # without ever producing its guard (seek silently landed at EOF)
             # is treated as failed too -- the serial fallback then proves
             # whether frames actually remained.
@@ -275,8 +306,10 @@ def iter_windows_parallel(path: str, window: int, workers: int,
                     failed = True
                     break
                 if kind == "guard":
-                    if (not expect_guard or prev_last is None
-                            or not np.array_equal(rest[0], prev_last)):
+                    guards = rest[0]
+                    if (not expect_guard or len(tail) < len(guards)
+                            or not all(np.array_equal(g, t) for g, t in
+                                       zip(guards, tail[-len(guards):]))):
                         failed = True
                         break
                     expect_guard = False
@@ -288,7 +321,8 @@ def iter_windows_parallel(path: str, window: int, workers: int,
                 if expect_guard or start_idx != consumed:
                     failed = True
                     break
-                prev_last = frames[-1]
+                tail = [np.asarray(f) for f in frames[-2:]] \
+                    if len(frames) >= 2 else (tail + [np.asarray(frames[-1])])[-2:]
                 consumed = start_idx + len(frames)
                 yield ("window", start_idx, frames)
             if failed:

@@ -39,7 +39,6 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from poserisk_release_tpu.config import Config, default_config
-from poserisk_release_tpu.io.video import reference_resize_dims
 
 
 @dataclass
@@ -67,28 +66,25 @@ class StreamResult:
 def _decode_windows(path: str, window: int, out_q: "queue.Queue",
                     max_frames: Optional[int], stop: "threading.Event"):
     """Background thread: decode + resize-rule, emit (start_idx, frames)
-    windows. Checks `stop` around every bounded put so an abandoned consumer
-    (exception mid-scoring) releases the thread, the VideoCapture handle and
-    the buffered windows instead of blocking forever on the full queue."""
-    import cv2
+    windows. The pixel pipeline and bounded put are the SHARED io.video
+    helpers (io.video._decoded_rgb / _bounded_put) so the streamed frames
+    cannot fork from read_video's and an abandoned consumer (exception
+    mid-scoring) releases the thread, the VideoCapture handle and the
+    buffered windows instead of blocking forever on the full queue."""
+    from poserisk_release_tpu.io.video import (
+        _bounded_put,
+        _decoded_rgb,
+        _open_video,
+    )
 
     def emit(item) -> bool:
-        while not stop.is_set():
-            try:
-                out_q.put(item, timeout=0.1)
-                return True
-            except queue.Full:
-                continue
-        return False
+        return _bounded_put(out_q, item, stop)
 
-    cap = cv2.VideoCapture(path)
-    if not cap.isOpened():
+    try:
+        cap, fps, width, height = _open_video(path)
+    except FileNotFoundError:
         emit(("error", f"cannot open video: {path}"))
         return
-    fps = cap.get(cv2.CAP_PROP_FPS)
-    src_w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-    src_h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-    width, height = reference_resize_dims(src_w, src_h)
     if not emit(("meta", fps)):
         cap.release()
         return
@@ -96,13 +92,12 @@ def _decode_windows(path: str, window: int, out_q: "queue.Queue",
     buf: List[np.ndarray] = []
     idx = 0
     try:
-        while not stop.is_set():
-            ret, frame = cap.read()
-            if not ret or (max_frames is not None and idx >= max_frames):
-                break
-            frame = cv2.resize(frame, (width, height))
-            buf.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-            idx += 1
+        for idx_, rgb in _decoded_rgb(cap, width, height,
+                                      max_frames=max_frames):
+            if stop.is_set():
+                return
+            buf.append(rgb)
+            idx = idx_ + 1
             if len(buf) == window:
                 if not emit(("window", idx - window, np.stack(buf))):
                     return

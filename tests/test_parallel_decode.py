@@ -167,6 +167,88 @@ class TestIntegrityFallback:
         monkeypatch.undo()
         assert real_array_equal(par.frames, serial.frames)
 
+    def test_lying_seek_backend_caught_by_two_frame_guard(self, monkeypatch):
+        """A backend that lands the seek one frame late while ECHOING the
+        requested position, on a clip where the frame pair at the boundary
+        makes a single-frame guard false-pass (frames 11 == 12 below, so the
+        old 1-frame guard would compare f[12] vs f[11] and yield the whole
+        segment shifted). The two-frame guard also compares f[11] vs f[10],
+        catches the shift, and the serial fallback restores exactness."""
+        import cv2
+
+        rng = np.random.RandomState(3)
+        frames = rng.randint(0, 255, (24, 120, 160, 3)).astype(np.uint8)
+        # window=4, workers=2 -> bounds [0, 12]: worker 1 seeks to frame 10
+        # and decodes guards [10, 11]; shifted by 1 it decodes [11, 12].
+        frames[12] = frames[11]  # defeats a single-frame guard
+
+        class _ShiftySeekCapture:
+            def __init__(self, path):
+                self.pos = 0
+                self.reported = 0.0
+
+            def isOpened(self):
+                return True
+
+            def get(self, prop):
+                return {
+                    cv2.CAP_PROP_FPS: 10.0,
+                    cv2.CAP_PROP_FRAME_COUNT: float(len(frames)),
+                    cv2.CAP_PROP_FRAME_WIDTH: float(frames.shape[2]),
+                    cv2.CAP_PROP_FRAME_HEIGHT: float(frames.shape[1]),
+                    cv2.CAP_PROP_POS_FRAMES: self.reported,
+                }.get(prop, 0.0)
+
+            def set(self, prop, val):
+                self.reported = float(int(val))  # echo the request...
+                self.pos = int(val) + 1          # ...but land one late
+                return True
+
+            def read(self):
+                if self.pos >= len(frames):
+                    return False, None
+                bgr = frames[self.pos].copy()
+                self.pos += 1
+                return True, bgr
+
+            def grab(self):
+                ok, _ = self.read()
+                return ok
+
+            def release(self):
+                pass
+
+        monkeypatch.setattr(cv2, "VideoCapture", _ShiftySeekCapture)
+        with pytest.warns(RuntimeWarning, match="integrity check failed"):
+            par = read_video_parallel("fake.mp4", workers=2, window=4)
+        serial = read_video("fake.mp4")
+        assert np.array_equal(par.frames, serial.frames)
+
+    def test_worker_capture_constructor_raising_falls_back(
+            self, tmp_path, monkeypatch):
+        """cv2.VideoCapture raising inside a worker thread (backend/plugin
+        init failure) must surface as a fail item -> serial fallback, not a
+        silently dead thread deadlocking the consumer's queue.get()."""
+        import threading
+
+        import cv2
+
+        path = _make_video(tmp_path, n_frames=30)
+        serial = read_video(path)
+        real_capture = cv2.VideoCapture
+        main = threading.main_thread()
+
+        class _RaisesInWorkers:
+            def __new__(cls, p):
+                if threading.current_thread() is not main:
+                    raise RuntimeError("backend init failed")
+                return real_capture(p)
+
+        monkeypatch.setattr(cv2, "VideoCapture", _RaisesInWorkers)
+        with pytest.warns(RuntimeWarning, match="integrity check failed"):
+            par = read_video_parallel(path, workers=3, window=4)
+        assert np.array_equal(par.frames, serial.frames)
+
     def test_abandoned_consumer_releases_threads(self, tmp_path):
         """Breaking out mid-stream (consumer exception) must not deadlock
         workers blocked on their bounded queues."""

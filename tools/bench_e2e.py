@@ -105,9 +105,11 @@ def main() -> None:
         # int8 graph would compile inside the measured region).
         rng = np.random.RandomState(1)
         yolo.calibrate(rng.randint(0, 256, (8, 450, 800, 3)).astype(np.uint8))
-        cfg = default_config()
-        if args.decode_workers > 1:
-            cfg = cfg.replace(DATASET={"decode_workers": args.decode_workers})
+        # Route every value through DatasetConfig so invalid input raises
+        # the same "decode_workers must be >= 1" as the CLI entry point
+        # instead of silently benchmarking serial decode.
+        cfg = default_config().replace(
+            DATASET={"decode_workers": args.decode_workers})
         predictor = Predictor(
             cfg=cfg,
             detector=RealComputeStubBoxDetector(yolo),
