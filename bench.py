@@ -63,6 +63,12 @@ BENCH_FUSED = _os.environ.get("BENCH_FUSED", "1") == "1"
 # BENCH_DET_STRIDE=1 for the reference's detect-every-frame contract
 # (measured table for both in docs/PERF.md round 3).
 BENCH_DET_STRIDE = int(_os.environ.get("BENCH_DET_STRIDE", "8"))
+# Pose-stride throughput mode (SpinConfig.pose_stride): crop+SPIN cover only
+# every Nth frame; the skipped frames' joint rotations slerp between anchors
+# on device and scoring still covers every frame (deviation class in
+# docs/PARITY.md). Default 1 (pose-every-frame) until measured on the chip;
+# set BENCH_POSE_STRIDE=8 for the maximum-throughput configuration.
+BENCH_POSE_STRIDE = int(_os.environ.get("BENCH_POSE_STRIDE", "1"))
 WARMUP_STEPS = 2
 MEASURE_STEPS = 24
 FRAME_HW = (450, 800)  # reference ingest cap (funcs_utils.py:26-31)
@@ -120,7 +126,8 @@ def main() -> None:
                              compute_dtype=compute_dtype,
                              quant_backbone=quant_backbone,
                              fused_resample=BENCH_FUSED,
-                             det_stride=BENCH_DET_STRIDE)
+                             det_stride=BENCH_DET_STRIDE,
+                             pose_stride=BENCH_POSE_STRIDE)
     )
 
     # Frames are generated ON DEVICE: the remote-TPU relay in this environment
@@ -196,7 +203,8 @@ def main() -> None:
                     f"{BENCH_DTYPE}{', int8 detector' if BENCH_INT8 else ''}"
                     f"{', int8 SPIN' if BENCH_SPIN_INT8 else ''}, rect canvas"
                     f"{', fused resample' if BENCH_FUSED else ''}"
-                    f"{f', det stride {BENCH_DET_STRIDE}' if BENCH_DET_STRIDE > 1 else ''})"
+                    f"{f', det stride {BENCH_DET_STRIDE}' if BENCH_DET_STRIDE > 1 else ''}"
+                    f"{f', pose stride {BENCH_POSE_STRIDE}' if BENCH_POSE_STRIDE > 1 else ''})"
                 ),
                 "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
             }

@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="detect only every Nth frame and interpolate "
                              "track boxes across the gaps (throughput mode; "
                              "1 = reference detect-every-frame contract)")
+    parser.add_argument("--pose_stride", type=int, default=1,
+                        help="run crop+SPIN only on every Nth tracked frame "
+                             "and slerp-interpolate the skipped frames' joint "
+                             "rotations (throughput mode; 1 = reference "
+                             "pose-every-frame contract)")
     parser.add_argument("--calibration", type=str, default="",
                         help="explicit int8 calibration source (video file, "
                              "image dir, or .npy/.npz of frames) for the "
@@ -217,6 +222,8 @@ def main(argv=None) -> int:
         cfg = cfg.replace(DATASET={"jpeg_ingest": True})
     if args.detection_stride != 1:
         cfg = cfg.replace(DETECTOR={"detection_stride": args.detection_stride})
+    if args.pose_stride != 1:
+        cfg = cfg.replace(SPIN={"pose_stride": args.pose_stride})
     if args.decode_workers != 1:
         cfg = cfg.replace(DATASET={"decode_workers": args.decode_workers})
     if args.calibration or args.recalibrate_per_video:

@@ -74,6 +74,22 @@ class SpinConfig:
     # throughput for 7% less angle drift (tools/exp_spin_mixed.py,
     # docs/PERF.md round 3).
     int8_min_stage: int = 0
+    # Opt-in throughput mode (the SPIN-stage counterpart of
+    # DETECTOR.detection_stride, for after the detector stride has made
+    # SPIN the dominant stage): run crop+SPIN only on every Nth tracked
+    # frame and geodesically interpolate (slerp) the skipped frames' joint
+    # rotations between the surrounding anchors on device; Euler/joints/
+    # scoring still cover every frame. 1 = the reference's
+    # pose-every-frame contract. A behavioural deviation when > 1
+    # (docs/PARITY.md): interpolated rotations approximate fast motion,
+    # and the last N-1 frames of each processing chunk hold their anchor
+    # pose instead of interpolating into the next chunk.
+    pose_stride: int = 1
+
+    def __post_init__(self) -> None:
+        if self.pose_stride < 1:
+            raise ValueError(
+                f"SPIN.pose_stride must be >= 1, got {self.pose_stride}")
 
 
 @dataclass(frozen=True)

@@ -129,7 +129,8 @@ def _kernel(bbox_ref, frame_ref, t_lb_ref, s_lb_t_ref, border_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("img_size", "out_size", "scale", "multiple",
-                     "compute_dtype", "interpret", "det_stride"),
+                     "compute_dtype", "interpret", "det_stride",
+                     "frame_stride"),
 )
 def fused_letterbox_crop(
     frames: jnp.ndarray,  # (B, H, W, 3) uint8
@@ -141,16 +142,26 @@ def fused_letterbox_crop(
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
     det_stride: int = 1,
+    frame_stride: int = 1,
 ):
-    """Returns (letterbox (ceil(B/det_stride), ch, cw, 3), crops
-    (B, out, out, 3)), both compute_dtype in [0, 1], matching
-    letterbox_device_rect (on frames[::det_stride]) + crop_batch.
+    """Returns (letterbox (ceil(B'/det_stride), ch, cw, 3), crops
+    (B', out, out, 3)) where B' = ceil(B / frame_stride), both
+    compute_dtype in [0, 1], matching letterbox_device_rect (on
+    frames[::frame_stride*det_stride]) + crop_batch (on
+    frames[::frame_stride]).
 
     det_stride > 1 is the detection-stride throughput mode
-    (DetectorConfig.detection_stride): crops still cover every frame, the
-    detector letterbox only every Nth -- still in ONE HBM pass over the
-    frames (the per-frame program skips the letterbox matmuls and write on
-    non-multiples)."""
+    (DetectorConfig.detection_stride): crops still cover every processed
+    frame, the detector letterbox only every Nth -- still in ONE HBM pass
+    (the per-frame program skips the letterbox matmuls and write on
+    non-multiples).
+
+    frame_stride > 1 (the pose-stride mode, SpinConfig.pose_stride) walks
+    the grid over frames[::frame_stride] WITHOUT materialising that slice:
+    the frame BlockSpec index map strides the HBM reads, so only every
+    frame_stride-th frame is ever DMA'd. det_stride then applies on top of
+    the subsampled grid (pass the global detection stride divided by the
+    gcd -- throughput.make_full_frame_step does this)."""
     if frames.dtype != jnp.uint8:
         raise TypeError("fused_letterbox_crop takes uint8 frames (the "
                         "in-kernel u8 -> f32 hop assumes integer pixel "
@@ -167,17 +178,22 @@ def fused_letterbox_crop(
     acc_dtype = compute_dtype
     frames_chw = jnp.transpose(frames, (0, 3, 1, 2))
     bboxes = bboxes.astype(jnp.float32)
+    if frame_stride > 1:
+        # The (B', 4) bbox slice is negligible host-of-kernel work; the
+        # FRAMES are never sliced -- the index map below strides the reads.
+        bboxes = bboxes[::frame_stride]
 
-    n_det = -(-B // det_stride)  # ceil: frames[::det_stride] coverage
+    n_sub = -(-B // frame_stride)  # ceil: frames[::frame_stride] coverage
+    n_det = -(-n_sub // det_stride)  # ceil: then every det_stride-th
     letter_chw, crop_chw = pl.pallas_call(
         functools.partial(
             _kernel, H=H, W=W, out_size=out_size, scale=float(scale),
             acc_dtype=acc_dtype, det_stride=det_stride,
         ),
-        grid=(B,),
+        grid=(n_sub,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3, H, W), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, 3, H, W), lambda b: (b * frame_stride, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((canvas_h, H), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -195,7 +211,7 @@ def fused_letterbox_crop(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_det, 3, canvas_h, canvas_w), compute_dtype),
-            jax.ShapeDtypeStruct((B, 3, out_size, out_size), compute_dtype),
+            jax.ShapeDtypeStruct((n_sub, 3, out_size, out_size), compute_dtype),
         ),
         interpret=interpret,
     )(

@@ -103,6 +103,25 @@ def rotmat_to_axis_angle(R: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def slerp_rotmat(Ra: jnp.ndarray, Rb: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Geodesic interpolation between rotation matrices (..., 3, 3):
+    R(t) = Ra . exp(t . log(Ra^T Rb)), branch-free via the existing
+    rotmat<->axis-angle conversions. `t` must broadcast against the leading
+    dims, e.g. (B, 1, 1) for per-frame weights over (B, 24, 3, 3) joints.
+
+    Endpoint behaviour: t == 0 returns Ra BIT-EXACTLY (the relative
+    axis-angle scales to 0, Rodrigues of 0 is the exact identity, and
+    Ra @ I multiplies by exact 1s/0s); t == 1 returns Rb up to one
+    log/exp round trip (float32 rounding). Used by the pose-stride
+    throughput mode (throughput.make_pose_core) where every anchor frame
+    sits at t == 0, so anchor poses are never perturbed."""
+    Ra = jnp.asarray(Ra)
+    Rb = jnp.asarray(Rb)
+    rel = jnp.matmul(jnp.swapaxes(Ra, -1, -2), Rb)  # Ra^T Rb
+    aa = rotmat_to_axis_angle(rel)
+    return jnp.matmul(Ra, axis_angle_to_rotmat(aa * t))
+
+
 def rotmat_to_euler_xyz(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix (..., 3, 3) -> XYZ Euler angles (..., 3) in radians.
 

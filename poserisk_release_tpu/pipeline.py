@@ -113,7 +113,12 @@ class PoseEstimator:
         self.parents = tuple(int(p) for p in parents)
         from poserisk_release_tpu.throughput import make_pose_core
 
-        self._pose_core = make_pose_core(cfg.SPIN.ief_iters, self.parents, dtype)
+        # Pose-stride throughput mode (SpinConfig.pose_stride): SPIN runs on
+        # every Nth tracked frame; skipped frames slerp between anchors on
+        # device. 1 (default) is the reference's pose-every-frame contract.
+        self._pose_stride = int(cfg.SPIN.pose_stride)
+        self._pose_core = make_pose_core(cfg.SPIN.ief_iters, self.parents, dtype,
+                                         pose_stride=self._pose_stride)
         self.variables = variables if variables is not None else self._load_variables(cfg)
         # Keep the f32 tree for PTQ folding (BN stats fold in f32 even when
         # the live variables are bf16-stored) -- only while int8 needs it;
@@ -166,7 +171,7 @@ class PoseEstimator:
             self._variables_f32 = None
         self._pose_core = make_pose_core(
             self.cfg.SPIN.ief_iters, self.parents, self._dtype,
-            quant_backbone=quant,
+            quant_backbone=quant, pose_stride=self._pose_stride,
         )
         self._step = jax.jit(self._pose_step)
         self._step_frames = jax.jit(self._pose_step_from_frames)
@@ -192,7 +197,8 @@ class PoseEstimator:
 
         self._quant_backbone = None
         self._pose_core = make_pose_core(
-            self.cfg.SPIN.ief_iters, self.parents, self._dtype)
+            self.cfg.SPIN.ief_iters, self.parents, self._dtype,
+            pose_stride=self._pose_stride)
         self._step = jax.jit(self._pose_step)
         self._step_frames = jax.jit(self._pose_step_from_frames)
 
@@ -240,12 +246,15 @@ class PoseEstimator:
 
         chunk == 0 picks frames_per_step * mesh_size (static shapes, one
         compile); the final partial chunk is edge-padded then trimmed.
+        Under pose_stride > 1 only every Nth crop is uploaded (the anchors);
+        outputs still cover every frame (throughput.make_pose_core).
         """
         if crops.shape[0]:
             self._ensure_spin_quantized(crops[:8])
+        stride = self._pose_stride
         return self._run_chunked(
             crops.shape[0],
-            lambda start, size: (crops[start : start + size],),
+            lambda start, size: (crops[start : start + size : stride],),
             self._step,
             chunk,
         )
@@ -258,7 +267,9 @@ class PoseEstimator:
         angles/joints -- the crop tensor never exists on the host, removing
         the split path's crop download + re-upload (two extra image-sized
         f32 transfers per frame). This is the Predictor's production path;
-        `run` remains for callers that already hold crops."""
+        `run` remains for callers that already hold crops. Under
+        pose_stride > 1 only every Nth tracked frame is uploaded at all
+        (upload volume and crop+SPIN cost divide by the stride)."""
         frame_ids = np.asarray(frame_ids)
         bboxes = np.asarray(bboxes, np.float32)
         if self._spin_int8 and self._quant_backbone is None and len(frame_ids):
@@ -269,11 +280,12 @@ class PoseEstimator:
                 out_size=int(self.cfg.MODEL.input_shape[0]),
             )
             self._ensure_spin_quantized(calib)
+        stride = self._pose_stride
         return self._run_chunked(
             len(frame_ids),
             lambda start, size: (
-                frames_rgb[frame_ids[start : start + size]],
-                bboxes[start : start + size],
+                frames_rgb[frame_ids[start : start + size : stride]],
+                bboxes[start : start + size : stride],
             ),
             self._step_frames,
             chunk,
@@ -283,14 +295,23 @@ class PoseEstimator:
         n_dev = 1 if self.mesh is None else self.mesh.devices.size
         if chunk <= 0:
             chunk = self.cfg.PARALLEL.frames_per_step * n_dev
-        chunk = ((chunk + n_dev - 1) // n_dev) * n_dev  # shardable batch
+        # The chunk must stay shardable AND, under a pose stride, keep the
+        # anchor phase aligned across chunks with the anchor batch itself
+        # shardable (the step's crops input has chunk/stride rows): round to
+        # a multiple of n_dev * pose_stride.
+        q = n_dev * self._pose_stride
+        chunk = ((chunk + q - 1) // q) * q
 
         def upload(start: int):
             parts = host_chunk(start, chunk)
-            n_valid = len(parts[0])
+            # n_valid counts FRAMES (the step's output rows); under a pose
+            # stride the uploaded parts are the anchor subsample, so their
+            # length is ceil(n_valid / stride), not n_valid.
+            n_valid = min(chunk, num_items - start)
             batches = []
             for part in parts:
-                padded, _ = pmesh.pad_to_multiple(np.asarray(part), chunk)
+                padded, _ = pmesh.pad_to_multiple(
+                    np.asarray(part), chunk // self._pose_stride)
                 batch = jnp.asarray(padded)
                 if self.mesh is not None:
                     batch = pmesh.shard_batch(self.mesh, batch)

@@ -26,7 +26,7 @@ ROOT_POSE = (3.14, 0.0, 0.0)
 
 
 def make_pose_core(n_iter: int, parents: Tuple[int, ...], compute_dtype=jnp.float32,
-                   quant_backbone: Dict | None = None):
+                   quant_backbone: Dict | None = None, pose_stride: int = 1):
     """THE pose step shared by the product pipeline and the fused bench graph
     (one definition so the subtle ordering can't desynchronise): SPIN forward
     -> Euler from the ORIGINAL rotmats -> axis-angle with the root forced to
@@ -37,9 +37,22 @@ def make_pose_core(n_iter: int, parents: Tuple[int, ...], compute_dtype=jnp.floa
     backbone) -- routes the ResNet through the s8 MXU path; the IEF head and
     everything downstream are unchanged.
 
+    pose_stride > 1 is the pose-stride throughput mode (SpinConfig.
+    pose_stride): `crops` are the ANCHOR crops (every pose_stride-th frame
+    of the clip) and SPIN runs only on them; the intermediate frames' 24
+    joint rotations are geodesically interpolated between the surrounding
+    anchors on device (ops.rotations.slerp_rotmat -- anchors sit at t == 0,
+    so anchor poses are bit-exact vs stride 1), and Euler/axis-angle/joints/
+    scoring still cover every frame. Frames after the LAST anchor hold its
+    pose (the next anchor lives in the next chunk). Deviation bounds:
+    docs/PARITY.md.
+
     Returns core(spin_variables, smpl_params, crops) ->
-    (euler_deg (B, 24, 3), joint_cam_mm (B, 24, 3), aa_forced (B, 24, 3)).
+    (euler_deg (B, 24, 3), joint_cam_mm (B, 24, 3), aa_forced (B, 24, 3)),
+    where B = crops.shape[0] * pose_stride.
     """
+    if pose_stride < 1:
+        raise ValueError(f"pose_stride must be >= 1, got {pose_stride}")
     model = HMR(n_iter=n_iter, dtype=compute_dtype)
 
     def spin_forward(spin_variables, crops):
@@ -53,6 +66,18 @@ def make_pose_core(n_iter: int, parents: Tuple[int, ...], compute_dtype=jnp.floa
 
     def core(spin_variables, smpl_params, crops):
         rotmat, _betas, _cam = spin_forward(spin_variables, crops)
+        if pose_stride > 1:
+            from poserisk_release_tpu.ops.rotations import slerp_rotmat
+
+            anchors = rotmat.shape[0]
+            n_frames = anchors * pose_stride
+            grp = jnp.arange(n_frames) // pose_stride
+            t = (jnp.arange(n_frames) % pose_stride).astype(jnp.float32)
+            rotmat = slerp_rotmat(
+                rotmat[grp],
+                rotmat[jnp.minimum(grp + 1, anchors - 1)],
+                (t / pose_stride)[:, None, None],
+            )
         euler = rotmat_to_euler_deg(rotmat)
         aa = rotmat_to_axis_angle(rotmat)
         aa_forced = aa.at[:, 0, :].set(jnp.asarray(ROOT_POSE, aa.dtype))
@@ -66,13 +91,17 @@ def make_pose_core(n_iter: int, parents: Tuple[int, ...], compute_dtype=jnp.floa
 
 def make_pose_and_score_step(n_iter: int, parents: Tuple[int, ...],
                              compute_dtype=jnp.float32,
-                             quant_backbone: Dict | None = None):
+                             quant_backbone: Dict | None = None,
+                             pose_stride: int = 1):
     """Returns step(spin_variables, smpl_params, crops, info_reba, info_rula)
     -> (reba_scores, rula_scores, euler_deg, joint_cam_mm). Jittable; the
     crops batch axis is the sharding axis. compute_dtype=bfloat16 selects the
-    MXU-native backbone fast path (rotations/scoring stay f32)."""
+    MXU-native backbone fast path (rotations/scoring stay f32). With
+    pose_stride > 1 `crops` are anchor crops and every output covers
+    crops.shape[0] * pose_stride frames (see make_pose_core)."""
 
-    core = make_pose_core(n_iter, parents, compute_dtype, quant_backbone)
+    core = make_pose_core(n_iter, parents, compute_dtype, quant_backbone,
+                          pose_stride=pose_stride)
 
     def step(spin_variables, smpl_params, crops, info_reba, info_rula):
         euler, joint_cam, _aa = core(spin_variables, smpl_params, crops)
@@ -88,7 +117,8 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
                          compute_dtype=jnp.float32, rect: bool = True,
                          quant_backbone: Dict | None = None,
                          fused_resample: bool = False,
-                         det_stride: int = 1):
+                         det_stride: int = 1,
+                         pose_stride: int = 1):
     """Full per-frame device path including the detector forward.
 
     step(yolo_params, spin_variables, smpl_params, frames_u8, bboxes,
@@ -111,37 +141,60 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
     every Nth frame of the batch (crops/pose/scoring still cover every
     frame -- in production SORT interpolates the skipped boxes on host).
     det_best then has shape (ceil(B / det_stride),).
+
+    pose_stride > 1 additionally runs crop+SPIN only on every Nth frame and
+    slerp-interpolates the skipped frames' joint rotations on device
+    (make_pose_core); scoring still covers every frame. B must be a
+    multiple of pose_stride (the bench/dryrun batches are). When both
+    strides are set the fused kernel touches only every
+    gcd(det_stride, pose_stride)-th frame in HBM.
     """
+    import math
+
     from poserisk_release_tpu.models.detector import yolo_forward
     from poserisk_release_tpu.ops.crop import letterbox_device, letterbox_device_rect
 
     if fused_resample and not rect:
         raise ValueError("fused_resample implements the rect-canvas contract")
+    if pose_stride < 1:
+        raise ValueError(f"pose_stride must be >= 1, got {pose_stride}")
 
     # (frame dimensions are read from the runtime batch; the device letterbox
     # is shape-polymorphic)
     letterbox = letterbox_device_rect if rect else letterbox_device
-    pose_step = make_pose_and_score_step(n_iter, parents, compute_dtype, quant_backbone)
+    pose_step = make_pose_and_score_step(n_iter, parents, compute_dtype,
+                                         quant_backbone, pose_stride=pose_stride)
 
     def step(yolo_p, spin_variables, smpl_params, frames, bboxes, info_reba, info_rula):
+        if pose_stride > 1 and frames.shape[0] % pose_stride:
+            raise ValueError(
+                f"batch {frames.shape[0]} is not a multiple of "
+                f"pose_stride {pose_stride}")
         det_frames = frames[::det_stride] if det_stride > 1 else frames
         if fused_resample:
             from poserisk_release_tpu.ops.resample_pallas import fused_letterbox_crop
 
-            # One HBM pass over the frames either way: under a detection
-            # stride the kernel letterboxes only every Nth frame in-place
-            # (crops still cover all frames).
+            # One HBM pass, and under strides only every gcd-th frame is
+            # read at all: the kernel's grid walks frames[::frame_stride],
+            # letterboxing every (det_stride/g)-th of those and cropping
+            # every one; pose anchors are then a static slice of the crops.
+            g = math.gcd(det_stride, pose_stride)
             letter, crops = fused_letterbox_crop(
                 frames, bboxes, img_size, 224, 1.2,
-                compute_dtype=compute_dtype, det_stride=det_stride,
+                compute_dtype=compute_dtype, det_stride=det_stride // g,
+                frame_stride=g,
             )
+            if pose_stride // g > 1:
+                crops = crops[:: pose_stride // g]
         else:
             letter = (
                 letterbox(det_frames, img_size, compute_dtype=compute_dtype)
                 if rect
                 else letterbox(det_frames, img_size)
             )
-            crops = crop_batch(frames, bboxes, scale=1.2, out_size=224,
+            pose_frames = frames[::pose_stride] if pose_stride > 1 else frames
+            pose_boxes = bboxes[::pose_stride] if pose_stride > 1 else bboxes
+            crops = crop_batch(pose_frames, pose_boxes, scale=1.2, out_size=224,
                                compute_dtype=compute_dtype)
         det = yolo_forward(yolo_p, letter, img_size, compute_dtype=compute_dtype)
         det_best = jnp.max(det[..., 4], axis=1)

@@ -18,6 +18,12 @@ gracefully when their asset is absent, so the tool is safe to run anywhere.
                     the data for deciding --fast_detector
   4. demo video     --video PATH             -> full Predictor strict vs
                     all-fast score-sequence diff
+  5. demo video     --video PATH             -> pose-stride score flips:
+                    strict vs pose_stride 2/4 with everything else strict
+                    (isolates the slerp interpolation's effect on real
+                    motion -- the one deviation random weights cannot
+                    bound; docs/PARITY.md #5b) -- the data for deciding
+                    BENCH_POSE_STRIDE / --pose_stride
 
 Usage: python tools/validate_real_assets.py [--video demo.mp4] [--cpu]
 """
@@ -248,6 +254,45 @@ def main() -> None:
                 )
                 print(f"  {osp.basename(csv_s)}: {flips}/{n} "
                       f"differing per-frame rows strict vs all-fast", flush=True)
+
+    # ----------------------------------------------------------- pose stride
+    section("5. Demo video: pose-stride score flips (strict otherwise)")
+    if not (args.video and osp.isfile(args.video)):
+        skip("no --video given (pass the reference demo clip)")
+    else:
+        import glob as _glob
+        import tempfile
+
+        from poserisk_release_tpu.pipeline import Predictor
+
+        info = cfg.DATASET.default_information
+        with tempfile.TemporaryDirectory() as td:
+            runs = {}
+            for stride in (1, 2, 4):
+                p = Predictor(cfg=cfg.replace(SPIN={"pose_stride": stride}),
+                              visualize=False, debug=True)
+                p(args.video, info, osp.join(td, f"s{stride}"))
+                runs[stride] = {
+                    osp.basename(c): open(c).read().splitlines()
+                    for c in _glob.glob(
+                        osp.join(td, f"s{stride}", "debug", "*score_log.csv"))
+                }
+            for stride in (2, 4):
+                for name, rows_1 in runs[1].items():
+                    rows_s = runs[stride].get(name)
+                    if rows_s is None:
+                        continue
+                    n = max(len(rows_1), len(rows_s))
+                    flips = sum(
+                        1 for i in range(n)
+                        if (rows_1[i] if i < len(rows_1) else None)
+                        != (rows_s[i] if i < len(rows_s) else None)
+                    )
+                    verdict = ("OK to enable" if flips / max(n, 1) < 0.02
+                               else "inspect flips before enabling")
+                    print(f"  pose_stride {stride} {name}: {flips}/{n} "
+                          f"differing per-frame rows vs stride 1 -> {verdict}",
+                          flush=True)
 
     print("\ndone.", flush=True)
 
