@@ -70,13 +70,13 @@ def _taps_from_coords(coords, size: int, lane_axis: int):
     return (idx == i0c) * w0 + (idx == i1c) * w1
 
 
-def _bbox_tap_matrices(bbox_ref, H, W, out_size, scale, acc_dtype):
+def _bbox_tap_matrices(bbox_ref, H, W, out_size, scale, acc_dtype, b):
     """Per-frame crop tap matrices (t_c (out, H), s_c_t (W, out)) from the
     bbox scalars (cx, cy, w, h). bbox_ref is the WHOLE (B, 4) array in SMEM
-    (per-block SMEM slices are not lowerable); indexed by grid position.
-    Shared by the fused and crop-only kernels -- ONE place for the sampling
-    convention."""
-    b = pl.program_id(0)
+    (per-block SMEM slices are not lowerable); indexed by the caller-passed
+    grid position `b` (pl.program_id read at kernel top level -- reading it
+    inside a pl.when body does not lower in interpret mode). Shared by the
+    fused and crop-only kernels -- ONE place for the sampling convention."""
     offs_col = (
         jax.lax.broadcasted_iota(jnp.int32, (out_size, 1), 0).astype(jnp.float32)
         - out_size * 0.5
@@ -106,31 +106,39 @@ def _resample(x, t, s_t, acc_dtype):
 
 def _kernel(bbox_ref, frame_ref, t_lb_ref, s_lb_t_ref, border_ref,
             letter_ref, crop_ref, *, H, W, out_size, scale, acc_dtype,
-            det_stride):
+            det_stride, crop_stride):
     inv255 = 1.0 / 255.0
-    t_c, s_c_t = _bbox_tap_matrices(bbox_ref, H, W, out_size, scale, acc_dtype)
-    is_det_frame = pl.program_id(0) % det_stride == 0
+    b = pl.program_id(0)
+    is_det_frame = b % det_stride == 0
+    is_crop_frame = b % crop_stride == 0
+    # Tap matrices are built unconditionally (tiny VPU work vs the gated
+    # resample matmuls); only the resample + write sit under the pl.when.
+    t_c, s_c_t = _bbox_tap_matrices(bbox_ref, H, W, out_size, scale,
+                                    acc_dtype, b)
     for c in range(3):
         x = _load_channel(frame_ref, c, acc_dtype)
 
         # Detection-stride mode letterboxes only every Nth frame: the output
         # block index is b // det_stride, so the same letterbox block stays
         # VMEM-resident across the stride's grid steps and exactly one of
-        # them (the stride multiple) writes it.
+        # them (the stride multiple) writes it. The crop is gated the same
+        # way under a crop (pose) stride.
         @pl.when(is_det_frame)
         def _write_letterbox(x=x, c=c):
             lb = _resample(x, t_lb_ref[:], s_lb_t_ref[:], acc_dtype)
             letter_ref[0, c] = (lb * inv255 + border_ref[:]).astype(letter_ref.dtype)
 
-        cr = _resample(x, t_c, s_c_t, acc_dtype)
-        crop_ref[0, c] = (cr * inv255).astype(crop_ref.dtype)
+        @pl.when(is_crop_frame)
+        def _write_crop(x=x, c=c):
+            cr = _resample(x, t_c, s_c_t, acc_dtype)
+            crop_ref[0, c] = (cr * inv255).astype(crop_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("img_size", "out_size", "scale", "multiple",
                      "compute_dtype", "interpret", "det_stride",
-                     "frame_stride"),
+                     "frame_stride", "crop_stride"),
 )
 def fused_letterbox_crop(
     frames: jnp.ndarray,  # (B, H, W, 3) uint8
@@ -143,25 +151,27 @@ def fused_letterbox_crop(
     interpret: bool = False,
     det_stride: int = 1,
     frame_stride: int = 1,
+    crop_stride: int = 1,
 ):
     """Returns (letterbox (ceil(B'/det_stride), ch, cw, 3), crops
-    (B', out, out, 3)) where B' = ceil(B / frame_stride), both
-    compute_dtype in [0, 1], matching letterbox_device_rect (on
+    (ceil(B'/crop_stride), out, out, 3)) where B' = ceil(B / frame_stride),
+    both compute_dtype in [0, 1], matching letterbox_device_rect (on
     frames[::frame_stride*det_stride]) + crop_batch (on
-    frames[::frame_stride]).
+    frames[::frame_stride*crop_stride]).
 
     det_stride > 1 is the detection-stride throughput mode
-    (DetectorConfig.detection_stride): crops still cover every processed
-    frame, the detector letterbox only every Nth -- still in ONE HBM pass
-    (the per-frame program skips the letterbox matmuls and write on
-    non-multiples).
+    (DetectorConfig.detection_stride): the detector letterbox covers only
+    every Nth processed frame -- still in ONE HBM pass (the per-frame
+    program skips the letterbox matmuls and write on non-multiples).
+    crop_stride gates the crop identically (the pose-stride mode when it
+    does not divide the detection stride).
 
     frame_stride > 1 (the pose-stride mode, SpinConfig.pose_stride) walks
     the grid over frames[::frame_stride] WITHOUT materialising that slice:
     the frame BlockSpec index map strides the HBM reads, so only every
-    frame_stride-th frame is ever DMA'd. det_stride then applies on top of
-    the subsampled grid (pass the global detection stride divided by the
-    gcd -- throughput.make_full_frame_step does this)."""
+    frame_stride-th frame is ever DMA'd. det_stride/crop_stride then apply
+    on top of the subsampled grid (throughput.make_full_frame_step passes
+    the global strides divided by their gcd)."""
     if frames.dtype != jnp.uint8:
         raise TypeError("fused_letterbox_crop takes uint8 frames (the "
                         "in-kernel u8 -> f32 hop assumes integer pixel "
@@ -185,10 +195,12 @@ def fused_letterbox_crop(
 
     n_sub = -(-B // frame_stride)  # ceil: frames[::frame_stride] coverage
     n_det = -(-n_sub // det_stride)  # ceil: then every det_stride-th
+    n_crop = -(-n_sub // crop_stride)
     letter_chw, crop_chw = pl.pallas_call(
         functools.partial(
             _kernel, H=H, W=W, out_size=out_size, scale=float(scale),
             acc_dtype=acc_dtype, det_stride=det_stride,
+            crop_stride=crop_stride,
         ),
         grid=(n_sub,),
         in_specs=[
@@ -206,12 +218,13 @@ def fused_letterbox_crop(
             pl.BlockSpec((1, 3, canvas_h, canvas_w),
                          lambda b: (b // det_stride, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, out_size, out_size), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, 3, out_size, out_size),
+                         lambda b: (b // crop_stride, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_det, 3, canvas_h, canvas_w), compute_dtype),
-            jax.ShapeDtypeStruct((n_sub, 3, out_size, out_size), compute_dtype),
+            jax.ShapeDtypeStruct((n_crop, 3, out_size, out_size), compute_dtype),
         ),
         interpret=interpret,
     )(
@@ -397,7 +410,8 @@ def crop_batch_pallas_windowed(
 
 def _crop_kernel(bbox_ref, frame_ref, crop_ref, *, H, W, out_size, scale,
                  acc_dtype):
-    t_c, s_c_t = _bbox_tap_matrices(bbox_ref, H, W, out_size, scale, acc_dtype)
+    t_c, s_c_t = _bbox_tap_matrices(bbox_ref, H, W, out_size, scale, acc_dtype,
+                                    pl.program_id(0))
     inv255 = 1.0 / 255.0
     for c in range(3):
         x = _load_channel(frame_ref, c, acc_dtype)

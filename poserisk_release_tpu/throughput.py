@@ -118,7 +118,8 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
                          quant_backbone: Dict | None = None,
                          fused_resample: bool = False,
                          det_stride: int = 1,
-                         pose_stride: int = 1):
+                         pose_stride: int = 1,
+                         fused_interpret: bool = False):
     """Full per-frame device path including the detector forward.
 
     step(yolo_params, spin_variables, smpl_params, frames_u8, bboxes,
@@ -148,6 +149,9 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
     multiple of pose_stride (the bench/dryrun batches are). When both
     strides are set the fused kernel touches only every
     gcd(det_stride, pose_stride)-th frame in HBM.
+
+    fused_interpret=True lowers the fused kernel in Pallas interpret mode
+    (tests/dryrun off-TPU only).
     """
     import math
 
@@ -177,15 +181,15 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
             # One HBM pass, and under strides only every gcd-th frame is
             # read at all: the kernel's grid walks frames[::frame_stride],
             # letterboxing every (det_stride/g)-th of those and cropping
-            # every one; pose anchors are then a static slice of the crops.
+            # every (pose_stride/g)-th (both gated in-kernel, so neither
+            # stage's matmuls nor HBM writes run on skipped programs).
             g = math.gcd(det_stride, pose_stride)
             letter, crops = fused_letterbox_crop(
                 frames, bboxes, img_size, 224, 1.2,
                 compute_dtype=compute_dtype, det_stride=det_stride // g,
-                frame_stride=g,
+                crop_stride=pose_stride // g, frame_stride=g,
+                interpret=fused_interpret,
             )
-            if pose_stride // g > 1:
-                crops = crops[:: pose_stride // g]
         else:
             letter = (
                 letterbox(det_frames, img_size, compute_dtype=compute_dtype)

@@ -176,7 +176,9 @@ class TestPoseStrideStep:
     def test_full_step_stride_composition_shapes(self, pose_fixture):
         """det_stride and pose_stride compose: det_best keeps its
         ceil(B/det_stride) shape, scores keep the full batch shape, for
-        both the unfused and the fused (interpret-mode) resample paths."""
+        both the unfused and the fused (interpret-mode) resample paths,
+        which must also agree with each other (same f32 crops/letterbox
+        to rounding -> same SPIN -> same integer scores)."""
         from poserisk_release_tpu.models.detector import (
             fold_bn_params,
             init_yolo_params,
@@ -196,12 +198,25 @@ class TestPoseStrideStep:
                 yolo, est.variables, est.smpl_params, frames, boxes, ir, iu)
             assert reba.shape == (8,) and rula.shape == (8,), (det_s, pose_s)
             assert det_best.shape == (-(-8 // det_s),), (det_s, pose_s)
+            # The fused branch's gcd composition (kernel det_stride//g,
+            # crop_stride//g, frame_stride=g) must reproduce the unfused
+            # slices: same shapes, near-identical detector scores.
+            fused = make_full_frame_step(
+                cfg.SPIN.ief_iters, est.parents, img_size=64,
+                det_stride=det_s, pose_stride=pose_s,
+                fused_resample=True, fused_interpret=True)
+            f_reba, f_rula, f_best = fused(
+                yolo, est.variables, est.smpl_params, frames, boxes, ir, iu)
+            assert f_reba.shape == (8,) and f_best.shape == det_best.shape
+            assert float(jnp.abs(f_best - det_best).max()) < 1e-3, \
+                (det_s, pose_s)
 
 
 class TestFusedKernelFrameStride:
     def test_frame_stride_matches_jnp_pair(self):
-        """fused kernel with frame_stride g + kernel det_stride d must equal
-        letterbox_device_rect(frames[::g*d]) + crop_batch(frames[::g])."""
+        """fused kernel with frame_stride g, det_stride d, crop_stride p
+        must equal letterbox_device_rect(frames[::g*d]) +
+        crop_batch(frames[::g*p])."""
         from poserisk_release_tpu.ops.crop import crop_batch, letterbox_device_rect
         from poserisk_release_tpu.ops.resample_pallas import fused_letterbox_crop
 
@@ -212,17 +227,18 @@ class TestFusedKernelFrameStride:
             np.stack([np.full(B, 80.0), np.full(B, 48.0),
                       rng.uniform(30, 60, B), rng.uniform(40, 80, B)], 1),
             jnp.float32)
-        for g, d in [(2, 2), (4, 1), (2, 1), (1, 4)]:
+        for g, d, p in [(2, 2, 1), (4, 1, 1), (2, 1, 2), (1, 4, 1),
+                        (1, 1, 8), (1, 2, 4), (2, 4, 1)]:
             letter, crops = fused_letterbox_crop(
                 frames, boxes, img_size=64, compute_dtype=jnp.float32,
-                interpret=True, det_stride=d, frame_stride=g)
+                interpret=True, det_stride=d, frame_stride=g, crop_stride=p)
             ref_l = letterbox_device_rect(frames[:: g * d], 64,
                                           compute_dtype=jnp.float32)
-            ref_c = crop_batch(frames[::g], boxes[::g], scale=1.2,
+            ref_c = crop_batch(frames[:: g * p], boxes[:: g * p], scale=1.2,
                                out_size=224, compute_dtype=jnp.float32)
             assert letter.shape == ref_l.shape and crops.shape == ref_c.shape
-            assert float(jnp.abs(letter - ref_l).max()) < 1e-5, (g, d)
-            assert float(jnp.abs(crops - ref_c).max()) < 1e-5, (g, d)
+            assert float(jnp.abs(letter - ref_l).max()) < 1e-5, (g, d, p)
+            assert float(jnp.abs(crops - ref_c).max()) < 1e-5, (g, d, p)
 
 
 class TestPoseEstimatorStride:

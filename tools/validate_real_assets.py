@@ -211,6 +211,7 @@ def main() -> None:
 
     # ----------------------------------------------------------------- video
     section("4. Demo video: strict vs all-fast score sequences")
+    strict_rows = {}  # {csv basename: rows} -- section 5's stride-1 baseline
     if not (args.video and osp.isfile(args.video)):
         skip("no --video given (pass the reference demo clip)")
     else:
@@ -224,6 +225,11 @@ def main() -> None:
         with tempfile.TemporaryDirectory() as td:
             strict = Predictor(cfg=cfg, visualize=False, debug=True)
             s = strict(args.video, info, osp.join(td, "strict"))
+            strict_rows = {
+                osp.basename(c): open(c).read().splitlines()
+                for c in _glob.glob(osp.join(td, "strict", "debug",
+                                             "*score_log.csv"))
+            }
             fastp = Predictor(cfg=cfg.replace(DETECTOR={"rect_letterbox": True,
                                                         "int8": True}),
                               visualize=False, debug=True,
@@ -257,8 +263,9 @@ def main() -> None:
 
     # ----------------------------------------------------------- pose stride
     section("5. Demo video: pose-stride score flips (strict otherwise)")
-    if not (args.video and osp.isfile(args.video)):
-        skip("no --video given (pass the reference demo clip)")
+    if not strict_rows:
+        skip("needs --video (reuses section 4's strict run as the stride-1 "
+             "baseline)")
     else:
         import glob as _glob
         import tempfile
@@ -267,19 +274,17 @@ def main() -> None:
 
         info = cfg.DATASET.default_information
         with tempfile.TemporaryDirectory() as td:
-            runs = {}
-            for stride in (1, 2, 4):
+            for stride in (2, 4):
                 p = Predictor(cfg=cfg.replace(SPIN={"pose_stride": stride}),
                               visualize=False, debug=True)
                 p(args.video, info, osp.join(td, f"s{stride}"))
-                runs[stride] = {
+                rows_by_name = {
                     osp.basename(c): open(c).read().splitlines()
                     for c in _glob.glob(
                         osp.join(td, f"s{stride}", "debug", "*score_log.csv"))
                 }
-            for stride in (2, 4):
-                for name, rows_1 in runs[1].items():
-                    rows_s = runs[stride].get(name)
+                for name, rows_1 in strict_rows.items():
+                    rows_s = rows_by_name.get(name)
                     if rows_s is None:
                         continue
                     n = max(len(rows_1), len(rows_s))
