@@ -2,12 +2,14 @@
 
 Round 1 only tested initialize_distributed's single-process no-op path;
 round 2 added two actual OS processes forming a cluster over a localhost
-coordinator and psum-ing the score histogram. Round 3 closes VERDICT #4:
-the same 2-process cluster now executes the REAL pose+score step
+coordinator and psum-ing the score histogram. Round 3 closes VERDICT #4
+fully: the same 2-process cluster executes the REAL pose+score step
 (throughput.make_pose_and_score_step -- SPIN forward, rotation conversions,
 SMPL joints, both scorers) on crops sharded across the processes via
-jax.make_array_from_process_local_data, and every process-local shard is
-asserted identical to the single-process whole-batch run.
+jax.make_array_from_process_local_data, AND the full frame step
+(make_full_frame_step: device letterbox + YOLOv3 + crop + pose + scoring)
+on sharded raw frames; every process-local shard is asserted identical to
+the single-process whole-batch run.
 """
 
 import json
@@ -101,6 +103,42 @@ for s_r, s_u, s_e in zip(reba_d.addressable_shards,
 
 result = {"topo": topo, "hist": hist.tolist(), "shards": shards, "B": B}
 
+# --- the FULL device path (letterbox + YOLOv3 + crop + pose + scoring) ----
+# across the cluster: raw frames sharded over the 2-process mesh, exactly
+# the production full-frame graph (throughput.make_full_frame_step) at a
+# tiny 64px canvas so the CPU compile stays bounded.
+from poserisk_release_tpu.models.detector import fold_bn_params, init_yolo_params
+from poserisk_release_tpu.throughput import make_full_frame_step
+
+yolo_params = jax.device_get(fold_bn_params(init_yolo_params()))  # deterministic
+full_step = jax.jit(make_full_frame_step(cfg.SPIN.ief_iters, est.parents,
+                                         img_size=64))
+frames_full = np.random.RandomState(1).randint(
+    0, 256, (B, 64, 64, 3)).astype(np.uint8)
+boxes_full = np.tile(np.array([32.0, 32.0, 20.0, 20.0], np.float32), (B, 1))
+global_frames = jax.make_array_from_process_local_data(
+    sharding, frames_full[pid * per_proc : (pid + 1) * per_proc]
+)
+global_boxes = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data", None)),
+    boxes_full[pid * per_proc : (pid + 1) * per_proc],
+)
+f_reba_d, f_rula_d, f_best_d = full_step(
+    yolo_params, variables, smpl_params, global_frames, global_boxes,
+    info_reba, info_rula,
+)
+full_shards = []
+for s_r, s_u in zip(f_reba_d.addressable_shards, f_rula_d.addressable_shards):
+    start = s_r.index[0].start or 0
+    full_shards.append({
+        "start": int(start),
+        "reba": np.asarray(s_r.data).tolist(),
+        "rula": np.asarray(s_u.data).tolist(),
+    })
+result["full_shards"] = full_shards
+result["full_best_sum"] = float(np.asarray(
+    jnp.sum(f_best_d.astype(jnp.float64))))
+
 if pid == 0:
     # Single-process whole-batch reference: same jitted step, replicated
     # local inputs only (no cross-process work -- safe SPMD divergence).
@@ -112,6 +150,14 @@ if pid == 0:
     result["local_euler_sums"] = [
         float(np.abs(np.asarray(euler_l[i], np.float64)).sum()) for i in range(B)
     ]
+    fl_reba, fl_rula, fl_best = full_step(
+        yolo_params, variables, smpl_params, frames_full, boxes_full,
+        info_reba, info_rula,
+    )
+    result["local_full_reba"] = np.asarray(fl_reba).tolist()
+    result["local_full_rula"] = np.asarray(fl_rula).tolist()
+    result["local_full_best_sum"] = float(
+        np.asarray(fl_best, np.float64).sum())
 
 print("RESULT " + json.dumps(result), flush=True)
 """
@@ -139,7 +185,7 @@ def test_two_process_cluster_psum_and_pose_step(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=900)
+        out, err = p.communicate(timeout=1800)
         assert p.returncode == 0, f"worker failed:\nstdout:{out}\nstderr:{err[-3000:]}"
         outs.append(out)
 
@@ -185,3 +231,20 @@ def test_two_process_cluster_psum_and_pose_step(tmp_path):
     assert covered == set(range(B)), (
         f"distributed shards covered {sorted(covered)} of {B} frames"
     )
+
+    # --- the FULL frame step (detector + crop + pose + scoring) ran too ----
+    ref_f_reba = results[0]["local_full_reba"]
+    ref_f_rula = results[0]["local_full_rula"]
+    f_covered = set()
+    for r in results:
+        for shard in r["full_shards"]:
+            start, n = shard["start"], len(shard["reba"])
+            assert n > 0
+            f_covered.update(range(start, start + n))
+            assert shard["reba"] == ref_f_reba[start : start + n]
+            assert shard["rula"] == ref_f_rula[start : start + n]
+        # The fully-addressable detector-score sum is identical on every
+        # process and matches the single-process run (f32 sigmoid scores).
+        np.testing.assert_allclose(
+            r["full_best_sum"], results[0]["local_full_best_sum"], rtol=1e-5)
+    assert f_covered == set(range(B))
