@@ -141,10 +141,13 @@ COCO_PART_COLORS = (
 def vis_coco_skeleton(img_bgr: np.ndarray, kps_2xk: np.ndarray, skeleton,
                       given_color=(0, 1, 0), alpha: float = 1.0) -> np.ndarray:
     """Single-color skeleton overlay (vis_utils.py:27-91 behaviour: edges and
-    endpoint circles in the given RGB 0-1 color, alpha-blended)."""
+    endpoint circles in the given color, alpha-blended). Quirk preserved:
+    the reference scales given_color WITHOUT the R/B swap it applies to its
+    palette (vis_utils.py:64-65), so a non-symmetric given_color draws with
+    its channels in RGB order on the BGR canvas -- exactly as upstream."""
     import cv2
 
-    color = (given_color[2] * 255, given_color[1] * 255, given_color[0] * 255)
+    color = (given_color[0] * 255, given_color[1] * 255, given_color[2] * 255)
     canvas = np.ascontiguousarray(img_bgr, np.uint8).copy()
     for i1, i2 in skeleton:
         p1 = (int(kps_2xk[0, i1]), int(kps_2xk[1, i1]))

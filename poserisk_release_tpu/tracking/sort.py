@@ -32,8 +32,14 @@ def _xyxy_to_z(bbox: np.ndarray) -> np.ndarray:
 
 
 def _x_to_xyxy(x: np.ndarray) -> np.ndarray:
-    w = np.sqrt(max(x[2, 0] * x[3, 0], 0.0))
-    h = x[2, 0] / w if w > 0 else 0.0
+    # Canonical convert_x_to_bbox: NO clamp/guard -- a Kalman update that
+    # drives the area state negative yields sqrt(negative) = NaN, which the
+    # predict loop's isnan check then uses to DELETE the track (exactly the
+    # upstream death path; a clamp here would keep such tracks alive for
+    # max_age extra frames with degenerate [cx, cy, cx, cy] boxes).
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w = np.sqrt(x[2, 0] * x[3, 0])
+        h = x[2, 0] / w
     return np.array(
         [x[0, 0] - w / 2.0, x[1, 0] - h / 2.0, x[0, 0] + w / 2.0, x[1, 0] + h / 2.0]
     )

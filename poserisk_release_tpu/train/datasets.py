@@ -77,21 +77,55 @@ def gather_window(features: np.ndarray, window: Tuple[int, int], seq_len: int) -
 
 
 def split_into_chunks(
-    vid_names: np.ndarray, seqlen: int, stride: int
-) -> List[Tuple[int, int]]:
-    """Per-video sliding [start, end] windows over a flat frame list tagged
-    by video name (working rebuild of _img_utils.py:337-376)."""
-    out: List[Tuple[int, int]] = []
-    names, first_idx = np.unique(vid_names, return_index=True)
-    order = np.argsort(first_idx)
-    groups = np.split(np.arange(vid_names.shape[0]), np.sort(first_idx)[1:])
-    del order
-    for indexes in groups:
+    vid_names: np.ndarray, seqlen: int, stride: int,
+    is_train: bool = True, match_vibe: bool = True,
+) -> List[List[int]]:
+    """Per-video [start, end] windows over a flat frame list tagged by video
+    name: a working rebuild of the FULL _img_utils.py:337-376 semantics (the
+    reference crashes on its undefined view_as_windows import; its intent --
+    skimage's sliding windows -- is unambiguous).
+
+    stride == seqlen: plain non-overlapping windows. stride != seqlen adds
+    the reference's two extras: (a) match_vibe trims trailing windows so the
+    last one ends where the last COMPLETE 16-step window ends (VIBE window
+    alignment); (b) seqlen/2 dummy entries are inserted at the front and
+    ceil(seqlen/2)-1 appended at the back -- copies of the first/last real
+    window when is_train, else single-frame [d+j, d+j] edge markers --
+    reproducing the reference's exact insert/append arithmetic. One
+    divergence, forced by runnability: a video shorter than 16 frames (but
+    >= seqlen) would make the reference's vibe_chunks[-1] raise IndexError;
+    here the trim is skipped for such videos."""
+    out: List[List[int]] = []
+    _names, group = np.unique(vid_names, return_index=True)
+    group = np.sort(group)
+    indices = np.split(np.arange(vid_names.shape[0]), group[1:])
+    for indexes in indices:
         if indexes.shape[0] < seqlen:
             continue
-        for start in range(0, indexes.shape[0] - seqlen + 1, stride):
-            window = indexes[start : start + seqlen]
-            out.append((int(window[0]), int(window[-1])))
+        start_finish = [
+            [int(indexes[s]), int(indexes[s + seqlen - 1])]
+            for s in range(0, indexes.shape[0] - seqlen + 1, stride)
+        ]
+        if stride != seqlen:
+            if match_vibe and indexes.shape[0] >= 16:
+                n16 = indexes.shape[0] // 16
+                vibe_last_end = int(indexes[n16 * 16 - 1])
+                for j in range(1, len(start_finish) + 1):
+                    if start_finish[-j][-1] == vibe_last_end:
+                        if j != 1:
+                            start_finish = start_finish[: -j + 1]
+                        break
+            d = start_finish[0][0]
+            for j in range(int(seqlen / 2)):
+                dummy = start_finish[0] if is_train else [d + j, d + j]
+                start_finish.insert(j, list(dummy))
+            d = start_finish[-1][0]
+            for j in range(int(seqlen / 2 + 0.5) - 1):
+                dummy = (start_finish[-1] if is_train
+                         else [d + int(seqlen / 2) + j + 1,
+                               d + int(seqlen / 2) + j + 1])
+                start_finish.append(list(dummy))
+        out += start_finish
     return out
 
 

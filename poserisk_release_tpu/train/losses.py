@@ -35,12 +35,16 @@ def coord_loss(pred, target, target_valid=None):
     return jnp.mean(jnp.abs(pred - target))
 
 
-def build_laplacian_neighbors(faces: np.ndarray, num_verts: int, max_degree: int = 16):
+def build_laplacian_neighbors(faces: np.ndarray, num_verts: int,
+                              max_degree: int | None = None):
     """Static neighbour table (V, max_degree) + degree (V,) from triangle faces.
 
     Row-normalised uniform Laplacian: L x = x - mean(neighbours). Equivalent
     to the reference's dense matrix (laplacian[i]/degree_i) without the
-    6890 x 6890 matmul.
+    6890 x 6890 matmul. max_degree defaults to the mesh's actual maximum
+    valence (so the equivalence is unconditional); an explicit value that
+    would TRUNCATE a neighbour list raises instead of silently computing a
+    wrong Laplacian.
     """
     neighbors = [[] for _ in range(num_verts)]
     for a, b, c in np.asarray(faces, np.int64):
@@ -49,11 +53,17 @@ def build_laplacian_neighbors(faces: np.ndarray, num_verts: int, max_degree: int
                 neighbors[u].append(v)
             if u not in neighbors[v]:
                 neighbors[v].append(u)
+    actual_max = max((len(n) for n in neighbors), default=0)
+    if max_degree is None:
+        max_degree = max(actual_max, 1)
+    elif actual_max > max_degree:
+        raise ValueError(
+            f"max_degree={max_degree} would truncate a vertex with "
+            f"{actual_max} neighbours; pass max_degree>={actual_max} or None")
     degree = np.array([max(len(n), 1) for n in neighbors], np.int32)
     table = np.zeros((num_verts, max_degree), np.int32)
     mask = np.zeros((num_verts, max_degree), np.float32)
     for i, n in enumerate(neighbors):
-        n = n[:max_degree]
         table[i, : len(n)] = n
         mask[i, : len(n)] = 1.0
     return table, mask, degree

@@ -27,9 +27,14 @@ def get_optimizer(
     nesterov: bool = False,
 ) -> optax.GradientTransformation:
     """Mirrors get_optimizer (funcs_utils.py:147-178): adamw uses the
-    reference's fixed weight_decay=0.1."""
+    reference's fixed weight_decay=0.1; sgd wires weight_decay like torch
+    SGD (decay added to the gradient BEFORE the momentum trace,
+    funcs_utils.py:154-160)."""
     if name == "sgd":
-        return optax.sgd(lr, momentum=momentum, nesterov=nesterov)
+        sgd = optax.sgd(lr, momentum=momentum, nesterov=nesterov)
+        if weight_decay:
+            return optax.chain(optax.add_decayed_weights(weight_decay), sgd)
+        return sgd
     if name == "rmsprop":
         return optax.rmsprop(lr)
     if name == "adam":
@@ -56,17 +61,23 @@ def step_schedule(base_lr: float, milestones: Iterable[int], gamma: float) -> op
 
 @dataclass
 class PlateauScheduler:
-    """ReduceLROnPlateau equivalent (funcs_utils.py:186), host-side state."""
+    """ReduceLROnPlateau equivalent (funcs_utils.py:186), host-side state.
+
+    Matches torch's defaults the reference relies on: mode='min' with the
+    RELATIVE improvement threshold 1e-4 -- a metric only counts as better
+    when it beats best * (1 - threshold), so a loss creeping down by less
+    than 0.01% per epoch still accumulates bad epochs and drops the LR."""
 
     lr: float
     factor: float = 0.1
     patience: int = 10
     min_lr: float = 1e-5
+    threshold: float = 1e-4
     best: float = field(default=float("inf"))
     bad_epochs: int = 0
 
     def step(self, metric: float) -> float:
-        if metric < self.best:
+        if metric < self.best * (1.0 - self.threshold):
             self.best = metric
             self.bad_epochs = 0
         else:

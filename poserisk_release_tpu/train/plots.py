@@ -27,13 +27,16 @@ def _series_plot(series: Sequence[Tuple[np.ndarray, str, str]], plot_title: str,
                  xlabel: str, xtick_step: float, out_path: str,
                  annotate_min: Optional[float] = None) -> str:
     """Shared core: 1-indexed line series, legend, [0, n+1] x-range, small
-    tick labels, optional min-value annotation arrow."""
+    tick labels, optional min-value annotation arrow. The axis range is
+    sized from the FIRST series only -- the reference sizes the MPJVE&MPJAE
+    plot's xlim/xticks from len(mpjve) alone (vis_utils.py:270-272) even
+    though the padded MPJAE series is one entry longer."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    n = max(len(values) for values, _, _ in series)
+    n = len(series[0][0])
     fig = plt.figure()
     for values, style, label in series:
         plt.plot(np.arange(1, len(values) + 1), values, style, label=label)

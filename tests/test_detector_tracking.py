@@ -375,6 +375,18 @@ class TestSort:
         tracks = sort.update(np.array([[10, 10, 50, 90, 0.9]]))
         assert tracks.shape[0] == 1
 
+    def test_negative_area_state_kills_track_like_canonical(self):
+        """Canonical SORT parity: convert_x_to_bbox has no clamp, so a
+        Kalman state whose area went negative produces a NaN box and the
+        predict loop deletes the track -- it must not survive with a
+        degenerate zero-size box."""
+        sort = Sort(max_age=3, min_hits=1)
+        sort.update(np.array([[10, 10, 50, 90, 0.9]]))
+        sort.tracks[0].x[2, 0] = -5.0  # area state driven negative
+        out = sort.update(np.zeros((0, 5)))
+        assert out.shape[0] == 0
+        assert sort.tracks == []  # died immediately, not after max_age
+
     def test_iou(self):
         a = np.array([[0, 0, 10, 10]], np.float64)
         b = np.array([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]], np.float64)

@@ -256,14 +256,44 @@ class TestDatasets:
         assert edge.shape == (16, 4)
         assert (edge == feats[3]).all()
 
-    def test_split_into_chunks(self):
+    def test_split_into_chunks_plain(self):
+        """stride == seqlen: plain non-overlapping windows, no dummies."""
+        vids = np.array(["a"] * 10 + ["b"] * 4 + ["c"] * 2)
+        chunks = ds.split_into_chunks(vids, seqlen=4, stride=4)
+        assert chunks == [[0, 3], [4, 7], [10, 13]]  # video c too short
+
+    def test_split_into_chunks_train_dummies(self):
+        """stride != seqlen, is_train: seqlen/2 front copies of the first
+        window + ceil(seqlen/2)-1 tail copies of the last, per video
+        (_img_utils.py:360-372 arithmetic)."""
         vids = np.array(["a"] * 10 + ["b"] * 4 + ["c"] * 2)
         chunks = ds.split_into_chunks(vids, seqlen=4, stride=2)
-        assert (0, 3) in chunks and (2, 5) in chunks
-        assert (10, 13) in chunks  # video b
-        assert all(e - s == 3 for s, e in chunks)
-        # video c too short -> excluded
-        assert not any(s >= 14 for s, _ in chunks)
+        assert chunks == (
+            [[0, 3], [0, 3], [0, 3], [2, 5], [4, 7], [6, 9], [6, 9]]
+            + [[10, 13]] * 4
+        )
+
+    def test_split_into_chunks_eval_edge_markers(self):
+        """is_train=False: single-frame [d+j, d+j] edge markers instead of
+        window copies, offsets from the reference's captured d values."""
+        vids = np.array(["a"] * 10)
+        chunks = ds.split_into_chunks(vids, seqlen=4, stride=2,
+                                      is_train=False)
+        assert chunks == [[0, 0], [1, 1],
+                          [0, 3], [2, 5], [4, 7], [6, 9], [9, 9]]
+
+    def test_split_into_chunks_match_vibe_trim(self):
+        """Videos >= 16 frames: trailing windows past the last COMPLETE
+        16-step window's end are trimmed (VIBE alignment,
+        _img_utils.py:352-358)."""
+        vids = np.array(["d"] * 18)
+        chunks = ds.split_into_chunks(vids, seqlen=4, stride=2)
+        # untrimmed ends would run ... 15, 17; vibe end = index 15
+        real = [c for c in chunks if c[1] - c[0] == 3]
+        assert real[-1] == [12, 15] and not any(c[1] == 17 for c in chunks)
+        no_trim = ds.split_into_chunks(vids, seqlen=4, stride=2,
+                                       match_vibe=False)
+        assert any(c[1] == 17 for c in no_trim)
 
     def test_batch_iterator(self, rng):
         data = [np.full((2,), i) for i in range(7)]
