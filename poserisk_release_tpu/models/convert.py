@@ -29,6 +29,22 @@ from typing import Dict, Mapping
 import numpy as np
 
 
+BN_EPS = 1e-5  # torch BatchNorm default; both conv towers use it
+
+
+def fold_bn_kernel_bias(kernel, bn_scale, bn_bias, bn_mean, bn_var,
+                        eps: float = BN_EPS):
+    """Eval-mode BN fold, host-side f32: kernel' = kernel * gamma/sqrt(var+
+    eps) per output channel, bias' = beta - mean * that scale. THE one
+    definition shared by the YOLO (detector.fold_bn_params) and ResNet
+    (resnet_int8._fold) PTQ paths, so an eps/accumulation change cannot
+    desynchronise them. kernel is HWIO (flax)."""
+    inv = 1.0 / np.sqrt(np.asarray(bn_var, np.float32) + eps)
+    mul = inv * np.asarray(bn_scale, np.float32)
+    bias = np.asarray(bn_bias, np.float32) - np.asarray(bn_mean, np.float32) * mul
+    return np.asarray(kernel, np.float32) * mul[None, None, None, :], bias
+
+
 def _conv_kernel(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 1, 0))
 

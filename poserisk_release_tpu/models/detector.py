@@ -160,14 +160,16 @@ def fold_bn_params(params: Dict[str, Dict], dtype=None) -> Dict[str, Dict]:
     """
     import jax.numpy as jnp
 
+    from poserisk_release_tpu.models.convert import fold_bn_kernel_bias
+
     folded: Dict[str, Dict] = {}
     for name, layer in params.items():
         kernel = np.asarray(layer["kernel"], np.float32)
         if "scale" in layer:
-            inv = 1.0 / np.sqrt(np.asarray(layer["var"], np.float32) + BN_EPS)
-            mul = inv * np.asarray(layer["scale"], np.float32)
-            bias = np.asarray(layer["bias"], np.float32) - np.asarray(layer["mean"], np.float32) * mul
-            kernel = kernel * mul[None, None, None, :]
+            # ONE BN-fold definition across both conv towers (models.convert).
+            kernel, bias = fold_bn_kernel_bias(
+                kernel, layer["scale"], layer["bias"], layer["mean"],
+                layer["var"], eps=BN_EPS)
             leaky = True
         else:
             bias = np.asarray(layer["conv_bias"], np.float32)
@@ -378,43 +380,7 @@ def bias_correct_yolo(folded: Dict[str, Dict], qparams: Dict[str, Dict],
     pre-activation mean shift the way SPIN's linear feature head does
     (where the same correction HALVES the drift; resnet_int8). Re-evaluate
     as the default once trained weights are available."""
-
-    def walk(fp, qp, x):
-        rec: Dict[str, jnp.ndarray] = {}
-
-        def tap(name, v):
-            rec[name] = v
-
-        _yolo_graph(fp, x, jnp.float32, tap=tap)
-        corr = {}
-        for i, entry in enumerate(YOLOV3_SPEC):
-            if entry[0] != "conv":
-                continue
-            name = f"conv_{i}"
-            if "qkernel" not in qp[name]:
-                continue  # float head conv
-            _, _filters, ksize, stride, _bn = entry
-            pad = (ksize - 1) // 2
-            x_f = rec[name]
-            y_f = jax.lax.conv_general_dilated(
-                x_f, jnp.asarray(fp[name]["kernel"], jnp.float32),
-                (stride, stride), ((pad, pad), (pad, pad)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            layer = qp[name]
-            xq = jnp.clip(
-                jnp.round(x_f * (1.0 / layer["in_scale"])), -127.0, 127.0
-            ).astype(jnp.int8)
-            y_q = jax.lax.conv_general_dilated(
-                xq, layer["qkernel"], (stride, stride),
-                ((pad, pad), (pad, pad)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * (layer["in_scale"] * layer["w_scale"])
-            corr[name] = jnp.mean(y_f - y_q, axis=(0, 1, 2))
-        return corr
-
-    corr = jax.jit(walk)(folded, qparams, letterboxed)
+    corr = _yolo_bias_corr_walk(folded, qparams, letterboxed)
     out = {}
     for name, layer in qparams.items():
         layer = dict(layer)
@@ -424,6 +390,48 @@ def bias_correct_yolo(folded: Dict[str, Dict], qparams: Dict[str, Dict],
             )
         out[name] = layer
     return out
+
+
+@jax.jit
+def _yolo_bias_corr_walk(fp, qp, x):
+    """Float forward + per-quantized-conv E[conv_f32 - conv_int8] in ONE
+    graph. Module-level jit like _calibration_walk: a per-call
+    jax.jit(walk) closure would recompile the 75-conv walk on every
+    re-quantization (~40-90 s per compile through this environment's
+    remote relay)."""
+    rec: Dict[str, jnp.ndarray] = {}
+
+    def tap(name, v):
+        rec[name] = v
+
+    _yolo_graph(fp, x, jnp.float32, tap=tap)
+    corr = {}
+    for i, entry in enumerate(YOLOV3_SPEC):
+        if entry[0] != "conv":
+            continue
+        name = f"conv_{i}"
+        if "qkernel" not in qp[name]:
+            continue  # float head conv
+        _, _filters, ksize, stride, _bn = entry
+        pad = (ksize - 1) // 2
+        x_f = rec[name]
+        y_f = jax.lax.conv_general_dilated(
+            x_f, jnp.asarray(fp[name]["kernel"], jnp.float32),
+            (stride, stride), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        layer = qp[name]
+        xq = jnp.clip(
+            jnp.round(x_f * (1.0 / layer["in_scale"])), -127.0, 127.0
+        ).astype(jnp.int8)
+        y_q = jax.lax.conv_general_dilated(
+            xq, layer["qkernel"], (stride, stride),
+            ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (layer["in_scale"] * layer["w_scale"])
+        corr[name] = jnp.mean(y_f - y_q, axis=(0, 1, 2))
+    return corr
 
 
 def load_darknet_weights(path: str) -> Dict[str, Dict]:
@@ -581,27 +589,18 @@ def _yolo_graph(params: Dict, images: jnp.ndarray, compute_dtype, tap=None
     return jnp.concatenate(detections, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "compute_dtype"))
-def yolo_forward_topk(params: Dict, images: jnp.ndarray, img_size: int = 416,
-                      k: int = 256, compute_dtype=jnp.float32) -> jnp.ndarray:
-    """yolo_forward + device-side top-k selection by person score.
-
-    Returns (B, k, 5) -- the k highest-scoring anchors per frame, score-
-    descending. The full decode is (B, ~10k anchors, 5) f32 = ~213 KB/frame;
-    the host only needs the handful above the 0.1 threshold, so selecting on
-    device cuts the device->host transfer ~40x (which dominates the
-    detection stage on slow links). Exactness contract: if every returned
-    score clears the threshold the k-cap MAY have truncated candidates --
-    YoloDetector falls back to the full pull for that chunk, so host results
-    are always identical to the unfiltered path."""
-    del img_size
-    return _topk_select(_yolo_graph(params, images, compute_dtype), k)
-
-
 @partial(jax.jit, static_argnames=("k",))
 def _topk_select(det: jnp.ndarray, k: int) -> jnp.ndarray:
     """(B, anchors, 5) -> the k best by score, score-descending (ties by
-    lower anchor index, per lax.top_k -- load-bearing for NMS determinism)."""
+    lower anchor index, per lax.top_k -- load-bearing for NMS determinism).
+
+    This is the device half of the top-k transfer reduction
+    (DetectorConfig.max_device_dets, YoloDetector._pull_detections): the
+    full decode is (B, ~10k anchors, 5) f32 = ~213 KB/frame, but the host
+    only needs the handful above the 0.1 threshold, so selecting on the
+    already-computed decode cuts the device->host transfer ~40x. Exactness
+    contract lives in _pull_detections (truncation-guarded full-pull
+    fallback)."""
     k = min(k, det.shape[1])  # small canvases can have < k anchors
     _, idx = jax.lax.top_k(det[..., 4], k)
     return jnp.take_along_axis(det, idx[..., None], axis=1)
@@ -635,7 +634,7 @@ def nms_xyxy(boxes: np.ndarray, scores: np.ndarray, iou_thr: float) -> np.ndarra
 
     Ties break by INPUT ORDER (stable sort): both detector paths present
     equal-scored boxes in anchor order (the full pull trivially;
-    yolo_forward_topk because lax.top_k breaks ties by lower index), so a
+    _topk_select because lax.top_k breaks ties by lower index), so a
     stable descending sort makes NMS deterministic and path-independent --
     load-bearing for the top-k path's results-identical contract."""
     order = np.argsort(-scores, kind="stable")
@@ -679,7 +678,7 @@ class YoloDetector:
     nms_threshold: float = 0.45
     batch_size: int = 8
     rect: bool = False
-    # Device-side top-k pre-selection (yolo_forward_topk): the host pulls
+    # Device-side top-k pre-selection (_topk_select): the host pulls
     # (B, k, 5) instead of every anchor. 0 disables. Results are ALWAYS
     # identical to the full pull: any chunk where the k-th score still
     # clears the detection threshold (possible truncation) re-pulls in full.
@@ -835,7 +834,11 @@ class YoloDetector:
                 results.append(
                     np.concatenate([boxes[keep], det[keep, 4:5]], axis=1).astype(np.float32)
                 )
-        if calibrating:
+        if calibrating and absmax:
+            # absmax is empty when this (calibrating) call received zero
+            # frames: no activation statistics exist, so stay un-quantized
+            # and let the next non-empty call calibrate -- quantizing from
+            # {} would KeyError, turning an empty first window into a crash.
             self._snapshot_float_params()
             self.params = jax.device_put(quantize_yolo_params(
                 self.params, absmax, min_downsample=self.int8_min_downsample))

@@ -27,10 +27,11 @@ STAGES = ((1, 3, 64), (2, 4, 128), (3, 6, 256), (4, 3, 512))
 
 
 def _fold(kernel, bn_scale, bn_bias, bn_mean, bn_var):
-    inv = 1.0 / np.sqrt(np.asarray(bn_var, np.float32) + BN_EPS)
-    mul = inv * np.asarray(bn_scale, np.float32)
-    bias = np.asarray(bn_bias, np.float32) - np.asarray(bn_mean, np.float32) * mul
-    return np.asarray(kernel, np.float32) * mul[None, None, None, :], bias
+    # ONE BN-fold definition across both conv towers (models.convert).
+    from poserisk_release_tpu.models.convert import fold_bn_kernel_bias
+
+    return fold_bn_kernel_bias(kernel, bn_scale, bn_bias, bn_mean, bn_var,
+                               eps=BN_EPS)
 
 
 def fold_resnet50_params(variables: Dict) -> Dict[str, Dict]:
@@ -184,6 +185,27 @@ def _conv_geometry() -> Dict[str, tuple]:
     return geo
 
 
+@jax.jit
+def _bias_corr_walk(fp, qp, x):
+    """Float forward + per-quantized-conv E[conv_f32 - conv_int8] in ONE
+    graph. Module-level jit like _calibration_walk: a per-call jax.jit(walk)
+    closure would recompile the full backbone walk on every re-quantization
+    (~40-90 s per compile through this environment's remote relay, paid per
+    video under recalibrate_per_video)."""
+    geo = _conv_geometry()
+    record: Dict[str, jnp.ndarray] = {}
+    resnet50_forward(fp, x, jnp.float32, _record=record)
+    corr = {}
+    for name, x_f in record.items():
+        if "qkernel" not in qp[name]:
+            continue  # float layer under a min_stage boundary: no error
+        stride, pad = geo[name]
+        y_f = _qconv(fp[name], x_f, stride, pad, jnp.float32)
+        y_q = _qconv(qp[name], x_f, stride, pad, jnp.float32)
+        corr[name] = jnp.mean(y_f - y_q, axis=(0, 1, 2))
+    return corr
+
+
 def bias_correct_resnet50(folded: Dict[str, Dict], qparams: Dict[str, Dict],
                           crops: jnp.ndarray) -> Dict[str, Dict]:
     """Fold the expected per-channel quantization error into the biases.
@@ -195,22 +217,7 @@ def bias_correct_resnet50(folded: Dict[str, Dict], qparams: Dict[str, Dict],
     activations, pre-ReLU where the bias lives) to the int8 path's bias
     removes the systematic component of the drift for free at runtime.
     Returns a new qparams dict with corrected biases."""
-    geo = _conv_geometry()
-
-    def walk(fp, qp, x):
-        record: Dict[str, jnp.ndarray] = {}
-        resnet50_forward(fp, x, jnp.float32, _record=record)
-        corr = {}
-        for name, x_f in record.items():
-            if "qkernel" not in qp[name]:
-                continue  # float layer under a min_stage boundary: no error
-            stride, pad = geo[name]
-            y_f = _qconv(fp[name], x_f, stride, pad, jnp.float32)
-            y_q = _qconv(qp[name], x_f, stride, pad, jnp.float32)
-            corr[name] = jnp.mean(y_f - y_q, axis=(0, 1, 2))
-        return corr
-
-    corr = jax.jit(walk)(folded, qparams, jnp.asarray(crops))
+    corr = _bias_corr_walk(folded, qparams, jnp.asarray(crops))
     out = {}
     for name, layer in qparams.items():
         if name in corr:

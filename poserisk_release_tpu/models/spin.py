@@ -169,8 +169,12 @@ def load_mean_params(path: str) -> dict:
                 "init_shape": data["shape"].astype(np.float32).reshape(1, 10),
                 "init_cam": data["cam"].astype(np.float32).reshape(1, 3),
             }
-    # Identity rotation in 6D: first two columns of I3 -> (1,0,0, 0,1,0)
-    ident6 = np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32), 24)
+    # Identity rotation in 6D. rot6d_to_rotmat reshapes the 6 values to
+    # (3, 2) row-major and reads COLUMNS: a1 = (v0, v2, v4), a2 = (v1, v3,
+    # v5). Identity needs a1 = (1,0,0), a2 = (0,1,0) -> flat (1,0,0,1,0,0).
+    # (The previous (1,0,0,0,1,0) interleaving decoded to a rank-1 det-0
+    # matrix, seeding every asset-free IEF run at a degenerate non-rotation.)
+    ident6 = np.tile(np.array([1, 0, 0, 1, 0, 0], np.float32), 24)
     return {
         "init_pose": ident6.reshape(1, NPOSE),
         "init_shape": np.zeros((1, 10), np.float32),

@@ -170,15 +170,11 @@ def lbs_forward_pallas(
     eye = jnp.eye(3, dtype=rotmats.dtype)
     pose_map = (rotmats[:, 1:] - eye).reshape(B, (J - 1) * 9)
 
-    R = [rotmats[:, 0]]
-    t = [joints_rest[:, 0]]
-    for j in range(1, J):
-        p = parents[j]
-        rel_t = joints_rest[:, j] - joints_rest[:, p]
-        R.append(jnp.matmul(R[p], rotmats[:, j], precision=hi))
-        t.append(jnp.einsum("bij,bj->bi", R[p], rel_t, precision=hi) + t[p])
-    R_world = jnp.stack(R, axis=1)
-    t_world = jnp.stack(t, axis=1)
+    # ONE kinematic-chain definition for both LBS paths (ops.lbs owns it),
+    # so a precision/parent-handling change cannot desynchronise them.
+    from poserisk_release_tpu.ops.lbs import _kinematic_chain
+
+    R_world, t_world = _kinematic_chain(rotmats, joints_rest, parents)
     t_skin = t_world - jnp.einsum("bjik,bjk->bji", R_world, joints_rest, precision=hi)
     affines = jnp.concatenate([R_world.reshape(B, J, 9), t_skin], axis=-1)
 

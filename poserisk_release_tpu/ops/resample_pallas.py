@@ -75,20 +75,10 @@ def _bbox_tap_matrices(bbox_ref, H, W, out_size, scale, acc_dtype, b):
     bbox scalars (cx, cy, w, h). bbox_ref is the WHOLE (B, 4) array in SMEM
     (per-block SMEM slices are not lowerable); indexed by the caller-passed
     grid position `b` (pl.program_id read at kernel top level -- reading it
-    inside a pl.when body does not lower in interpret mode). Shared by the
-    fused and crop-only kernels -- ONE place for the sampling convention."""
-    offs_col = (
-        jax.lax.broadcasted_iota(jnp.int32, (out_size, 1), 0).astype(jnp.float32)
-        - out_size * 0.5
-    )
-    offs_row = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, out_size), 1).astype(jnp.float32)
-        - out_size * 0.5
-    )
-    cx, cy = bbox_ref[b, 0], bbox_ref[b, 1]
-    bw, bh = bbox_ref[b, 2], bbox_ref[b, 3]
-    ys = offs_col * (bh * scale / out_size) + cy  # (out, 1)
-    xs = offs_row * (bw * scale / out_size) + cx  # (1, out)
+    inside a pl.when body does not lower in interpret mode). The coordinate
+    math is _crop_coords (also the windowed kernel's), so the sampling
+    convention has exactly ONE definition."""
+    ys, xs = _crop_coords(bbox_ref, out_size, scale, b)
     t_c = _taps_from_coords(ys, H, lane_axis=1).astype(acc_dtype)
     s_c_t = _taps_from_coords(xs, W, lane_axis=0).astype(acc_dtype)
     return t_c, s_c_t
@@ -239,11 +229,13 @@ def fused_letterbox_crop(
     return letter, crops
 
 
-def _crop_coords(bbox_ref, out_size, scale):
+def _crop_coords(bbox_ref, out_size, scale, b=None):
     """Per-frame global sample coordinates (ys (out, 1), xs (1, out)) from
-    the bbox scalars -- the coordinate half of _bbox_tap_matrices, shared by
-    the windowed kernel which builds its column taps chunk-locally."""
-    b = pl.program_id(0)
+    the bbox scalars -- the coordinate half of _bbox_tap_matrices (which
+    passes its top-level program id `b` explicitly), also consumed by the
+    windowed kernel which builds its column taps chunk-locally."""
+    if b is None:
+        b = pl.program_id(0)
     offs_col = (
         jax.lax.broadcasted_iota(jnp.int32, (out_size, 1), 0).astype(jnp.float32)
         - out_size * 0.5

@@ -154,7 +154,9 @@ class TestPoseStrideStep:
         for k in range(1, 4):
             want = Ra @ axis_angle_to_rotmat(aa_rel * (k / 4.0))
             got = axis_angle_to_rotmat(aa4[k, 1:])
-            assert float(jnp.abs(want - got).max()) < 1e-4, k
+            # f32 tolerance: the comparison stacks two log/exp round trips
+            # (the core's slerp and this restatement), each ~1e-4 worst-case.
+            assert float(jnp.abs(want - got).max()) < 5e-4, k
 
     def test_batch_not_multiple_raises_in_full_step(self, pose_fixture):
         from poserisk_release_tpu.throughput import make_full_frame_step
