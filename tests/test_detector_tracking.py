@@ -260,6 +260,22 @@ class TestYolo:
         for a, b in zip(out2, out3):
             np.testing.assert_array_equal(a, b)
 
+    def test_int8_first_call_with_zero_frames_stays_unquantized(self, params):
+        """An empty first call has no activation statistics: it must return
+        [] and leave the detector unquantized (quantizing from empty absmax
+        used to KeyError), with the next non-empty call calibrating."""
+        d = det.YoloDetector(
+            params=det.fold_bn_params(params), img_size=96,
+            detection_threshold=0.5, rect=True, int8=True,
+        )
+        out = d(np.zeros((0, 30, 60, 3), np.uint8))
+        assert out == []
+        assert not any("qkernel" in l for l in d.params.values())
+        frames = np.random.RandomState(5).randint(0, 255, (2, 30, 60, 3)).astype(np.uint8)
+        out = d(frames)
+        assert len(out) == 2
+        assert any("qkernel" in l for l in d.params.values())
+
     def test_int8_explicit_calibrate(self, params):
         """calibrate() quantizes without running detection, making shared
         instances order-independent; a second calibrate is a no-op."""
