@@ -39,6 +39,11 @@ REFERENCE_FPS_ESTIMATE = 30.0
 import os as _os
 
 BENCH_DTYPE = _os.environ.get("BENCH_DTYPE", "bfloat16")
+if BENCH_DTYPE not in ("bfloat16", "float32"):
+    # Anything else would silently select float32 while the printed unit
+    # string echoed the typo'd name -- a mislabeled measurement.
+    raise SystemExit(
+        f"BENCH_DTYPE must be 'bfloat16' or 'float32', got {BENCH_DTYPE!r}")
 BATCH = int(_os.environ.get("BENCH_BATCH", "128"))
 BENCH_INT8 = _os.environ.get("BENCH_INT8", "1") == "1"
 # Mixed-precision int8 boundary / q8 handoff knobs for A/B only: the
@@ -103,7 +108,6 @@ def main() -> None:
     family = SMPLFamily(cfg.SPIN.smpl_model_dir)
     estimator = PoseEstimator(cfg, family)
     compute_dtype = jnp.bfloat16 if BENCH_DTYPE == "bfloat16" else jnp.float32
-    yolo_params = jax.device_put(fold_bn_params(init_yolo_params(), compute_dtype))
     spin_variables = estimator.variables
     if BENCH_DTYPE == "bfloat16":
         from poserisk_release_tpu.models.spin import cast_backbone_params
@@ -155,6 +159,11 @@ def main() -> None:
                 min_downsample=BENCH_INT8_MIN_DS, q8_handoff=BENCH_Q8,
             )
         )
+    else:
+        # Only built when actually used: the default int8 path replaces the
+        # float tree anyway, and a ~60M-param device_put over this
+        # environment's slow relay is not free.
+        yolo_params = jax.device_put(fold_bn_params(init_yolo_params(), compute_dtype))
     bboxes = jnp.asarray(
         np.tile(np.array([400.0, 225.0, 220.0, 220.0], np.float32), (BATCH, 1))
     )

@@ -318,23 +318,18 @@ class PoseEstimator:
                 batches.append(batch)
             return batches, n_valid
 
-        # Dispatch every chunk first; fetch after (device pipelines across
-        # chunks). Only (results, start, n_valid) is retained -- holding the
-        # device batches would pin all F frames in HBM at once; the rare
-        # retry path re-uploads its chunk from the host array instead.
-        pending = []
-        for start in range(0, num_items, chunk):
-            batches, n_valid = upload(start)
-            pending.append(
-                (step_fn(self.variables, self.smpl_params, *batches), start, n_valid)
-            )
-            del batches
+        if num_items == 0:
+            # Empty-in/empty-out, matching the detector's pinned empty-call
+            # contract (a bare np.concatenate([]) would raise instead).
+            empty = np.zeros((0, 24, 3), np.float32)
+            return empty, empty.copy(), empty.copy()
 
         # Fetch with per-chunk fault isolation: a transient device/transfer
         # failure retries that chunk once before surfacing with context (the
         # reference has no failure handling at all -- SURVEY.md section 5.3).
         eulers, jcams, aas = [], [], []
-        for idx, (out, start, n_valid) in enumerate(pending):
+
+        def fetch(out, start, n_valid, idx):
             try:
                 e, jc, aa = (np.asarray(x) for x in out)
             except Exception:
@@ -350,6 +345,27 @@ class PoseEstimator:
             eulers.append(e[:n_valid])
             jcams.append(jc[:n_valid])
             aas.append(aa[:n_valid])
+
+        # Bounded pipelining: dispatch runs ahead of the fetches so the
+        # device overlaps chunks, but at most MAX_IN_FLIGHT chunks'
+        # dispatched-but-unfetched input buffers coexist in HBM -- an
+        # unbounded dispatch-all-then-fetch loop would pin every chunk's
+        # uint8 frames on the chip at once for long tracks. Only
+        # (results, start, n_valid) is retained on host; the rare retry
+        # path re-uploads its chunk from the host array instead.
+        MAX_IN_FLIGHT = 4
+        pending = []
+        for start in range(0, num_items, chunk):
+            batches, n_valid = upload(start)
+            pending.append(
+                (step_fn(self.variables, self.smpl_params, *batches), start, n_valid)
+            )
+            del batches
+            if len(pending) > MAX_IN_FLIGHT:
+                out, s, nv = pending.pop(0)
+                fetch(out, s, nv, len(eulers))
+        for out, s, nv in pending:
+            fetch(out, s, nv, len(eulers))
         return (
             np.concatenate(eulers),
             np.concatenate(jcams),
@@ -414,18 +430,19 @@ def apply_explicit_calibration(cfg: Config, detector, pose_estimator) -> None:
     if needs_spin:
         sample = frames[:: max(1, len(frames) // 8)][:8]
         H, W = sample.shape[1:3]
+        from poserisk_release_tpu.tracking.mpt import squared_cxcywh
+
         boxes = []
         for dets in detect_frames(detector, sample):
             if len(dets):
                 best = dets[np.argmax(
                     (dets[:, 2] - dets[:, 0]) * (dets[:, 3] - dets[:, 1])
                 )]
-                w, h = best[2] - best[0], best[3] - best[1]
-                cx, cy = best[0] + w / 2.0, best[1] + h / 2.0
-                side = max(w, h)
+                # ONE squaring rule with the production crop geometry.
+                boxes.append(squared_cxcywh(best[0], best[1], best[2], best[3]))
             else:
-                cx, cy, side = W / 2.0, H / 2.0, float(max(H, W))
-            boxes.append([cx, cy, side, side])
+                side = float(max(H, W))
+                boxes.append([W / 2.0, H / 2.0, side, side])
         crops = crop_batch(
             jnp.asarray(sample), jnp.asarray(np.asarray(boxes, np.float32)),
             scale=float(cfg.DATASET.bbox_scale),
@@ -636,6 +653,15 @@ class Predictor:
         shutil.rmtree(debug_path, ignore_errors=True)
         os.makedirs(debug_path, exist_ok=True)
         timestamp = (0, frames, clip.num_frames)
+
+        # Per-track stage keys start fresh: under --multi_person this method
+        # runs once per person within one __call__, and the accumulating
+        # score.* keys would otherwise sum across earlier persons while
+        # 'pose'/'score' held only the last -- each person_<id>/
+        # run_summary.json now carries ITS track's timings (the shared
+        # decode/track entries remain whole-clip, which they are).
+        for key in ("pose", "score", "score.device", "score.render"):
+            self.timings.pop(key, None)
 
         # --- crops + pose estimation --------------------------------------
         t0 = time.time()

@@ -360,10 +360,11 @@ class StreamingScorer:
                     areas = (tracks[:, 2] - tracks[:, 0]) * (tracks[:, 3] - tracks[:, 1])
                     target_id = int(tracks[int(np.argmax(areas)), 4])
                 row = tracks[tracks[:, 4] == target_id][0]
-                w, h = row[2] - row[0], row[3] - row[1]
-                side = max(w, h)
+                from poserisk_release_tpu.tracking.mpt import squared_cxcywh
+
                 track_boxes.append(
-                    np.array([row[0] + w / 2, row[1] + h / 2, side, side], np.float32)
+                    squared_cxcywh(row[0], row[1], row[2], row[3])
+                    .astype(np.float32)
                 )
                 track_local.append(local_idx)
 

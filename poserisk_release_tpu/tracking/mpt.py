@@ -144,6 +144,17 @@ def interpolate_track_gaps(
     return out
 
 
+def squared_cxcywh(x1: float, y1: float, x2: float, y2: float) -> np.ndarray:
+    """xyxy -> the upstream tracker's squared [cx, cy, side, side] output
+    convention (prepare_output_tracks, SURVEY.md section 2.9). THE one
+    definition of the squaring rule -- shared by track accumulation, the
+    online streaming target-follow, and the explicit-calibration crop
+    geometry, so the crop aspect contract cannot fork between them."""
+    w, h = x2 - x1, y2 - y1
+    side = max(w, h)
+    return np.array([x1 + w / 2.0, y1 + h / 2.0, side, side], np.float64)
+
+
 def accumulate_tracks(people: Dict[int, Dict[str, list]], frame_idx: int,
                       tracks: np.ndarray) -> None:
     """Fold one frame's SORT output rows (x1, y1, x2, y2, id) into the MPT
@@ -152,11 +163,8 @@ def accumulate_tracks(people: Dict[int, Dict[str, list]], frame_idx: int,
     whole-clip tracker above and the streaming scorer's tracking pass."""
     for row in tracks:
         x1, y1, x2, y2, tid = row
-        w, h = x2 - x1, y2 - y1
-        cx, cy = x1 + w / 2.0, y1 + h / 2.0
-        side = max(w, h)
         entry = people.setdefault(int(tid), {"bbox": [], "frames": []})
-        entry["bbox"].append(np.array([cx, cy, side, side], np.float64))
+        entry["bbox"].append(squared_cxcywh(x1, y1, x2, y2))
         entry["frames"].append(frame_idx)
 
 

@@ -128,6 +128,38 @@ def test_missing_info_falls_back_to_default(predictor, synthetic_video, tmp_path
     assert "REBA" in summary
 
 
+def test_pose_estimator_empty_input_returns_empty():
+    """Empty-in/empty-out (the detector's pinned contract class): zero crops
+    or zero tracked frames must not crash in np.concatenate([])."""
+    from poserisk_release_tpu.body.smpl import SMPLFamily
+    from poserisk_release_tpu.pipeline import PoseEstimator
+
+    cfg = _test_config()
+    est = PoseEstimator(cfg, SMPLFamily(cfg.SPIN.smpl_model_dir))
+    e, jc, aa = est.run(np.zeros((0, 224, 224, 3), np.float32))
+    assert e.shape == jc.shape == aa.shape == (0, 24, 3)
+    e2, _, _ = est.run_from_frames(
+        np.zeros((4, 60, 80, 3), np.uint8), np.zeros((0,), np.int64),
+        np.zeros((0, 4), np.float32))
+    assert e2.shape == (0, 24, 3)
+
+
+def test_pose_estimator_many_chunks_bounded_pipeline(rng):
+    """More chunks than the in-flight cap: the bounded dispatch/fetch loop
+    must return the same results (and order) as a single-chunk run."""
+    from poserisk_release_tpu.body.smpl import SMPLFamily
+    from poserisk_release_tpu.pipeline import PoseEstimator
+
+    cfg = default_config().replace(PARALLEL={"frames_per_step": 4})
+    est = PoseEstimator(cfg, SMPLFamily(cfg.SPIN.smpl_model_dir))
+    crops = rng.uniform(0, 1, (26, 224, 224, 3)).astype(np.float32)
+    e_many, jc_many, _ = est.run(crops)          # 7 chunks > cap of 4
+    e_one, jc_one, _ = est.run(crops, chunk=32)  # single chunk
+    assert e_many.shape == (26, 24, 3)
+    np.testing.assert_allclose(e_many, e_one, atol=2e-3)
+    np.testing.assert_allclose(jc_many, jc_one, atol=2e-3)
+
+
 def test_invalid_debug_joint_rejected():
     with pytest.raises(ValueError, match="Invalid Joint name"):
         Predictor(cfg=_test_config(), debug_joints="NotAJoint", detector=StubDetector())
