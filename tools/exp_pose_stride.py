@@ -89,6 +89,17 @@ def main() -> None:
             quant_backbone=quant_spin if spin_q else None,
             fused_resample=True, det_stride=det_s, pose_stride=pose_s))
 
+    # batch-512 variant of the max config: at det8/pose8 only B/8 frames
+    # reach SPIN, and a 16-crop backbone batch underfills the MXU; 512
+    # frames keep the anchor batch at 64 (HBM: 512 x 450x800x3 u8 = 553 MB
+    # of frames, fine).
+    B2 = 512
+    frames_512 = jax.jit(
+        lambda k: jax.random.randint(k, (B2, *FRAME_HW, 3), 0, 256, jnp.uint8)
+    )(jax.random.PRNGKey(2))
+    bboxes_512 = jnp.asarray(
+        np.tile(np.array([400.0, 225.0, 220.0, 220.0], np.float32), (B2, 1)))
+
     steps = {
         "det1/pose1": build(1, 1),
         "det1/pose8": build(1, 8),
@@ -97,15 +108,21 @@ def main() -> None:
         "det8/pose4": build(8, 4),
         "det8/pose8": build(8, 8),
         "det8/pose8/int8spin": build(8, 8, spin_q=True),
+        "det8/pose8/int8spin/b512": build(8, 8, spin_q=True),
     }
-    args = (yolo, spin_bf16, est.smpl_params, frames, bboxes,
-            info_reba, info_rula)
 
-    print(f"backend {jax.devices()[0].platform}; batch {B}; full step "
-          f"(int8 detector, rect, bf16, fused resample), interleaved",
-          flush=True)
+    def args_for(name):
+        if name.endswith("/b512"):
+            return (yolo, spin_bf16, est.smpl_params, frames_512, bboxes_512,
+                    info_reba, info_rula)
+        return (yolo, spin_bf16, est.smpl_params, frames, bboxes,
+                info_reba, info_rula)
+
+    print(f"backend {jax.devices()[0].platform}; batch {B} (+{B2} variant); "
+          f"full step (int8 detector, rect, bf16, fused resample), "
+          f"interleaved", flush=True)
     for name, fn in steps.items():
-        out = fn(*args)
+        out = fn(*args_for(name))
         acc = jnp.float32(0)
         for leaf in jax.tree_util.tree_leaves(out):
             acc = acc + jnp.sum(leaf.astype(jnp.float32))
@@ -115,15 +132,16 @@ def main() -> None:
     times = {name: [] for name in steps}
     for _ in range(2):
         for name, fn in steps.items():
-            times[name].append(one_pass(fn, args))
+            times[name].append(one_pass(fn, args_for(name)))
 
-    print("\n| config | ms / 128 frames | fps/chip | vs det8/pose1 |")
+    print("\n| config | ms / batch | fps/chip | vs det8/pose1 |")
     print("|---|---|---|---|")
     base = min(times["det8/pose1"])
     for name in steps:
         ms = min(times[name])
-        print(f"| {name} | {ms:.2f} | {B / ms * 1000:.0f} | {base / ms:.2f}x |",
-              flush=True)
+        n = B2 if name.endswith("/b512") else B
+        print(f"| {name} | {ms:.2f} | {n / ms * 1000:.0f} | "
+              f"{(base / B) / (ms / n):.2f}x |", flush=True)
 
 
 if __name__ == "__main__":
