@@ -86,13 +86,13 @@ def main() -> None:
             steps[f"{s}/unfused"] = jax.jit(make_full_frame_step(
                 cfg.SPIN.ief_iters, est.parents, compute_dtype=jnp.bfloat16,
                 fused_resample=False, det_stride=s))
-    args = lambda s: (yolo, spin_bf16, est.smpl_params, frames, bboxes,  # noqa: E731
-                      info_reba, info_rula)
+    args = (yolo, spin_bf16, est.smpl_params, frames, bboxes,
+            info_reba, info_rula)
 
     print(f"backend {jax.devices()[0].platform}; batch {B}; full step "
           f"(int8 detector, rect, bf16), interleaved", flush=True)
     for name, fn in steps.items():
-        out = fn(*args(name))
+        out = fn(*args)
         acc = jnp.float32(0)
         for leaf in jax.tree_util.tree_leaves(out):
             acc = acc + jnp.sum(leaf.astype(jnp.float32))
@@ -103,7 +103,7 @@ def main() -> None:
     times = {name: [] for name in steps}
     for _ in range(2):
         for name, fn in steps.items():
-            times[name].append(one_pass(fn, args(name)))
+            times[name].append(one_pass(fn, args))
 
     print("\n| det stride | ms / 128 frames | fps/chip | vs stride 1 |")
     print("|---|---|---|---|")

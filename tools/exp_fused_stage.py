@@ -93,9 +93,13 @@ def main() -> None:
     print("|---|---|---|---|---|---|")
     for c in args.stages:
         start, n, H, W = STAGE_GEOM[c]
-        x = jax.device_put(jnp.asarray(
-            rng.uniform(-0.5, 2.0, (B, H, W, c)).astype(np.float32)
-        ).astype(jnp.bfloat16))
+        # Generated ON device (a host device_put of this activation tensor
+        # would cross the ~4 MB/s relay; 245 MB for the C256 stage).
+        x = jax.jit(
+            lambda key, H=H, W=W, c=c: jax.random.uniform(
+                key, (B, H, W, c), jnp.float32, -0.5, 2.0
+            ).astype(jnp.bfloat16)
+        )(jax.random.PRNGKey(c))
         pack = jax.device_put(pack_yolo_stage(jax.device_get(qp), start, n))
         chain = jax.jit(xla_chain(start, n))
         ms_xla = timed(lambda: chain(x, qp))

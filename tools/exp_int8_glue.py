@@ -164,7 +164,6 @@ def make_chain_forward(scales):
         outputs = []
         detections = []
         x = letter_q8  # int8 canvas
-        prev = "input"
         for i, entry in enumerate(YOLOV3_SPEC):
             kind = entry[0]
             if kind == "conv":
@@ -213,7 +212,6 @@ def make_chain_forward(scales):
                 stride = letter_q8.shape[1] // x.shape[1]
                 detections.append(_decode_head(x.astype(jnp.float32), entry[1], stride))
             outputs.append(x)
-            prev = i
         return jnp.concatenate(detections, axis=1)
 
     return fwd

@@ -13,7 +13,8 @@ pose stride alone (det 1) and the max configuration (+ int8 SPIN),
 interleaved in ONE process per the measurement discipline in docs/PERF.md.
 
 Usage: python tools/exp_pose_stride.py
-Run EXCLUSIVELY (single-tenant TPU; 7 remote compiles).
+Run EXCLUSIVELY (single-tenant TPU; 8 remote compiles incl. the batch-512
+variant -- budget 60-90 min cold through the relay).
 """
 from __future__ import annotations
 

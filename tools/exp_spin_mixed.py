@@ -19,7 +19,8 @@ Configs: bf16 (no quant), int8 whole tower (min_stage=0), int8 deep-only
 (the product default).
 
 Usage: python tools/exp_spin_mixed.py
-Run EXCLUSIVELY (single-tenant TPU; 4 remote compiles of the pose step).
+Run EXCLUSIVELY (single-tenant TPU; 5 remote compiles of the pose step:
+bf16 + 3 int8 configs + the f32 drift reference).
 """
 from __future__ import annotations
 

@@ -31,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 from poserisk_release_tpu.ops.crop import crop_batch  # noqa: E402
 from poserisk_release_tpu.ops.resample_pallas import (  # noqa: E402
+    _crop_coords,
     _load_channel,
     _resample,
     _taps_from_coords,
@@ -46,20 +47,12 @@ def _multi_kernel(bbox_ref, frame_ref, crop_ref, *, H, W, out_size, scale,
     steps -- probes whether the 1-frame kernel is grid-latency-bound."""
     b0 = pl.program_id(0) * fpb
     inv255 = 1.0 / 255.0
-    offs_col = (
-        jax.lax.broadcasted_iota(jnp.int32, (out_size, 1), 0).astype(jnp.float32)
-        - out_size * 0.5
-    )
-    offs_row = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, out_size), 1).astype(jnp.float32)
-        - out_size * 0.5
-    )
     for f in range(fpb):
         b = b0 + f
-        cx, cy = bbox_ref[b, 0], bbox_ref[b, 1]
-        bw, bh = bbox_ref[b, 2], bbox_ref[b, 3]
-        ys = offs_col * (bh * scale / out_size) + cy
-        xs = offs_row * (bw * scale / out_size) + cx
+        # The library's ONE sampling-convention definition, at an explicit
+        # frame index (an inline copy here would silently diverge from the
+        # kernels this probe compares against).
+        ys, xs = _crop_coords(bbox_ref, out_size, scale, b)
         t_c = _taps_from_coords(ys, H, lane_axis=1).astype(acc_dtype)
         s_c_t = _taps_from_coords(xs, W, lane_axis=0).astype(acc_dtype)
         for c in range(3):
@@ -120,8 +113,6 @@ def main():
     frames = jax.jit(
         lambda k: jax.random.randint(k, (B, 450, 800, 3), 0, 256, jnp.uint8)
     )(jax.random.PRNGKey(0))
-    # Realistic tracked-person geometry: centers drift across the frame,
-    # widths 180-220 px, heights 300-430 px (box near frame height).
     # Realistic tracked-person geometry: centers drift across the frame,
     # widths 180-220 px (fits the 512 window: 220*1.2+2+127=393), heights
     # 300-430 px. The 384-window row uses narrower boxes (<= 210*1.2 span).

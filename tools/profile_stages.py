@@ -201,7 +201,10 @@ def main() -> None:
                 def body(i, acc):
                     f = fr + i.astype(jnp.uint8)  # wraps mod 256; breaks hoisting
                     reba, rula, det = step_fn(qp, sv, sp, f, bb, ir, iu)
-                    return acc + jnp.sum(reba) + jnp.sum(det)
+                    # Consume EVERY output: dropping rula would let XLA
+                    # dead-code-eliminate the RULA scoring chain from the
+                    # loop graph and under-report the step's latency.
+                    return acc + jnp.sum(reba) + jnp.sum(rula) + jnp.sum(det)
                 return jax.lax.fori_loop(0, STEPS, body, jnp.float32(0))
 
             fn = jax.jit(looped)

@@ -129,9 +129,12 @@ def time_class(key, bf16=False):
     pad = (k - 1) // 2
     rng = np.random.RandomState(0)
     dtype = jnp.bfloat16
-    x = jax.device_put(
-        jnp.asarray(rng.uniform(-1, 1, (B, h, w, cin)).astype(np.float32)).astype(dtype)
-    )
+    # Generated ON device: a host device_put of (B, h, w, cin) f32 crosses
+    # this environment's ~4 MB/s relay (up to GBs per conv class).
+    x = jax.jit(
+        lambda key: jax.random.uniform(key, (B, h, w, cin), jnp.float32,
+                                       -1.0, 1.0).astype(dtype)
+    )(jax.random.PRNGKey(0))
     kern = rng.normal(0, 0.05, (k, k, cin, cout)).astype(np.float32)
     bias = rng.normal(0, 0.01, (cout,)).astype(np.float32)
     if bf16:

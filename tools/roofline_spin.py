@@ -120,8 +120,12 @@ def _measure(call):
 def time_stage(h, w, c, int8=False, depths=(2, 6)):
     rng = np.random.RandomState(0)
     q = c // 4
-    x = jax.device_put(jnp.asarray(
-        rng.uniform(-1, 1, (B, h, w, c)).astype(np.float32)).astype(jnp.bfloat16))
+    # Generated ON device (host device_put of (B, h, w, c) f32 would cross
+    # the ~4 MB/s relay -- hundreds of MB for the 56x56x256 stage).
+    x = jax.jit(
+        lambda key: jax.random.uniform(key, (B, h, w, c), jnp.float32,
+                                       -1.0, 1.0).astype(jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
     ks = [rng.normal(0, 0.05, s).astype(np.float32)
           for s in ((1, 1, c, q), (3, 3, q, q), (1, 1, q, c))]
     if int8:

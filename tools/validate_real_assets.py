@@ -131,9 +131,20 @@ def main() -> None:
             tm = TorchHMR(mean)
             state = torch.load(cfg.SPIN.checkpoint, map_location="cpu")
             sd = state.get("model", state)
-            tm.load_state_dict(
+            missing, unexpected = tm.load_state_dict(
                 {k.replace("module.", ""): v for k, v in sd.items()}, strict=False
             )
+            n_loaded = len(sd) - len(unexpected)
+            if n_loaded == 0:
+                # strict=False would silently leave the oracle at random
+                # init and print a garbage "real-weights drift".
+                raise RuntimeError(
+                    "torch oracle matched ZERO checkpoint keys -- naming "
+                    f"scheme differs (sample: {sorted(sd)[:3]})")
+            if missing or unexpected:
+                print(f"  (oracle load: {n_loaded} keys matched, "
+                      f"{len(missing)} missing, {len(unexpected)} unexpected)",
+                      flush=True)
             tm.eval()
             with torch.no_grad():
                 r_t, _, _ = tm(torch.from_numpy(
