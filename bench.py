@@ -80,20 +80,16 @@ FRAME_HW = (450, 800)  # reference ingest cap (funcs_utils.py:26-31)
 
 
 def main() -> None:
-    import os.path as osp
-
     import jax
     import jax.numpy as jnp
 
     # Persistent compilation cache: the fused full-frame step is one large
     # jit signature whose cold compile through the remote-TPU relay takes
-    # tens of minutes; if the backend supports executable serialization this
-    # makes every later bench invocation start in seconds (harmless no-op
-    # otherwise).
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        osp.join(osp.dirname(osp.abspath(__file__)), ".jax_cache_tpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # tens of minutes; the shared on-disk cache (also enabled by every
+    # tools/ script) makes every later invocation start in seconds.
+    from poserisk_release_tpu.utils.profiling import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from poserisk_release_tpu.body.smpl import SMPLFamily
     from poserisk_release_tpu.config import default_config

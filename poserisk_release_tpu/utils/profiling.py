@@ -42,6 +42,33 @@ class StageTimer:
         return "\n".join(lines)
 
 
+def enable_persistent_cache(cache_dir: str | None = None) -> str:
+    """Enable JAX's persistent compilation cache, shared by bench and tools.
+
+    Remote-TPU relays in environments like this one compile each new jit
+    signature in 40-90 s (tens of minutes for the fused full-frame step);
+    the on-disk executable cache makes every later process that reuses a
+    signature start in seconds. Harmless no-op where the backend does not
+    support executable serialization. Default location: `.jax_cache_tpu/`
+    at the repository root (next to bench.py) so bench.py and every tools/
+    script share one cache; override with POSERISK_JAX_CACHE or the
+    argument. Returns the directory used.
+    """
+    import os
+    import os.path as osp
+
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get("POSERISK_JAX_CACHE") or osp.join(
+            osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))),
+            ".jax_cache_tpu",
+        )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    return cache_dir
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """jax.profiler trace context (no-op fallback if profiling unavailable)."""

@@ -37,6 +37,10 @@ import numpy as np
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
+from poserisk_release_tpu.utils.profiling import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()  # share bench.py's on-disk executable cache
+
 
 class RealComputeStubBoxDetector:
     """Runs the real detector forward per window, returns deterministic boxes."""

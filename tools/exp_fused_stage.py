@@ -22,6 +22,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from poserisk_release_tpu.utils.profiling import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()  # share bench.py's on-disk executable cache
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 

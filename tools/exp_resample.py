@@ -17,6 +17,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from poserisk_release_tpu.utils.profiling import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()  # share bench.py's on-disk executable cache
+
 from poserisk_release_tpu.ops.crop import crop_batch, letterbox_device_rect  # noqa: E402
 from poserisk_release_tpu.ops.resample_pallas import fused_letterbox_crop  # noqa: E402
 

@@ -24,6 +24,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from poserisk_release_tpu.utils.profiling import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()  # share bench.py's on-disk executable cache
+
 import functools  # noqa: E402
 
 from jax.experimental import pallas as pl  # noqa: E402
