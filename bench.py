@@ -71,9 +71,11 @@ BENCH_DET_STRIDE = int(_os.environ.get("BENCH_DET_STRIDE", "8"))
 # Pose-stride throughput mode (SpinConfig.pose_stride): crop+SPIN cover only
 # every Nth frame; the skipped frames' joint rotations slerp between anchors
 # on device and scoring still covers every frame (deviation class in
-# docs/PARITY.md). Default 1 (pose-every-frame) until measured on the chip;
-# set BENCH_POSE_STRIDE=8 for the maximum-throughput configuration.
-BENCH_POSE_STRIDE = int(_os.environ.get("BENCH_POSE_STRIDE", "1"))
+# docs/PARITY.md #5b). Measured 1.93x on top of det stride 8
+# (tools/exp_pose_stride.py, docs/PERF.md round 3), so the headline defaults
+# to the production throughput configuration, stride 8, like the detection
+# stride; BENCH_POSE_STRIDE=1 recovers pose-on-every-frame.
+BENCH_POSE_STRIDE = int(_os.environ.get("BENCH_POSE_STRIDE", "8"))
 WARMUP_STEPS = 2
 MEASURE_STEPS = 24
 FRAME_HW = (450, 800)  # reference ingest cap (funcs_utils.py:26-31)
