@@ -44,7 +44,11 @@ if BENCH_DTYPE not in ("bfloat16", "float32"):
     # string echoed the typo'd name -- a mislabeled measurement.
     raise SystemExit(
         f"BENCH_DTYPE must be 'bfloat16' or 'float32', got {BENCH_DTYPE!r}")
-BATCH = int(_os.environ.get("BENCH_BATCH", "128"))
+# Batch 1024 is the measured knee at the default strides (det 8 + pose 8
+# leave the conv towers with batch/8 = 128 effective frames per dispatch;
+# smaller bench batches underfill them): 128 -> 14898, 512 -> 17181,
+# 1024 -> 22210, 2048 -> 22268 fps/chip (docs/PERF.md round 3).
+BATCH = int(_os.environ.get("BENCH_BATCH", "1024"))
 BENCH_INT8 = _os.environ.get("BENCH_INT8", "1") == "1"
 # Mixed-precision int8 boundary / q8 handoff knobs for A/B only: the
 # round-3 in-situ measurement (tools/exp_mixed_int8.py) found whole-

@@ -311,13 +311,21 @@ def crop_window_fits(bboxes, scale: float = 1.2, window: int = 384,
     """Host-side exactness guard for the windowed crop kernel: every frame's
     scaled bbox width (plus the two-tap overhang and the chunk-alignment
     slack) must fit in the window, else crops would silently lose taps --
-    callers fall back to the full-width kernel when this is False."""
+    callers fall back to the full-width kernel when this is False.
+
+    The slack term is a FULL chunk_w, not chunk_w - 1: the window start is
+    floor((xs_min - 1) / chunk_w) * chunk_w and xs_min is real-valued, so
+    the left-edge offset (xs_min - 1) mod chunk_w reaches just under
+    chunk_w (a chunk_w - 1 bound admitted bboxes whose rightmost
+    interpolation tap fell one column past the window -- the crop's right
+    edge silently lost up to a full tap weight; regression-pinned in
+    tests/test_resample_pallas.py)."""
     import numpy as np
 
     bboxes = np.asarray(bboxes)
     if bboxes.size == 0:
         return True
-    return bool(np.max(bboxes[:, 2]) * scale + 2.0 + (chunk_w - 1) <= window)
+    return bool(np.max(bboxes[:, 2]) * scale + 2.0 + chunk_w <= window)
 
 
 @functools.partial(
@@ -340,7 +348,7 @@ def crop_batch_pallas_windowed(
     ~W/window times less HBM traffic, VPU cast work, and column-pass FLOPs.
 
     EXACTNESS PRECONDITION (caller-checked, host-side: crop_window_fits):
-    max(bbox_w) * scale + 2 + 127 <= window. Bboxes are host-known (SORT
+    max(bbox_w) * scale + 2 + 128 <= window. Bboxes are host-known (SORT
     output) in every product path, so the caller picks this kernel or the
     full-width one per batch. Within the precondition the result equals
     crop_batch_pallas up to f32 partial-sum accumulation order (the bf16

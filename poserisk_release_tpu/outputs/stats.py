@@ -42,13 +42,28 @@ def post_process_scores(
         plt.clf()
 
     scores_log = np.copy(scores)
-    scores = np.sort(scores)[::-1]
+    return final_scores_stats(scores), scores_log, logs
+
+
+def final_scores_stats(scores) -> Tuple[float, float, float, float, int]:
+    """(avg, top50, top10, max, mode) with the reference's exact semantics
+    (base.py:263-271): sort DESCENDING, head-slice means for the top 50%/10%
+    (clips shorter than 2/10 frames give NaN there, like the reference's
+    empty-slice numpy means), 3dp rounding, scipy mode (smallest modal value
+    on ties). The ONE implementation shared by post_process_scores and
+    streaming.StreamResult.stats so the stat semantics cannot fork. Raises
+    ValueError on an empty list -- the reference dies less legibly there
+    (mean of an empty array)."""
+    scores = np.sort(np.asarray(scores))[::-1]
+    if scores.size == 0:
+        raise ValueError(
+            "no scored frames: score statistics need at least one score")
     score_avg = round(float(scores.mean()), 3)
     score50 = round(float(scores[: len(scores) // 2].mean()), 3)
     score10 = round(float(scores[: len(scores) // 10].mean()), 3)
     score_max = round(float(scores.max()), 3)
     score_mode = mode(scores).mode.item()
-    return (score_avg, score50, score10, score_max, score_mode), scores_log, logs
+    return (score_avg, score50, score10, score_max, score_mode)
 
 
 def format_result_txt(final_scores: Sequence, action_level, action_name, trailing_space: bool) -> str:

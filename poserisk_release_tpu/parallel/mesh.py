@@ -46,11 +46,21 @@ def replicate_tree(mesh: Mesh, tree) -> Any:
     return jax.tree_util.tree_map(lambda leaf: jax.device_put(leaf, sharding), tree)
 
 
-def pad_to_multiple(x: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
-    """Pad dim 0 up to a multiple (repeat-edge padding); returns (padded, n_valid)."""
+def pad_to_multiple(x, multiple: int) -> tuple:
+    """Pad dim 0 up to a multiple (repeat-edge padding); returns (padded, n_valid).
+
+    Accepts a host ndarray OR a device (jax.Array) batch: device inputs are
+    padded with jnp ops so an already-uploaded batch (e.g. the streaming
+    scorer's shared per-window union upload) is never pulled back to host
+    just to be padded."""
     n = x.shape[0]
     if multiple <= 1 or n % multiple == 0:
         return x, n
     pad = multiple - (n % multiple)
+    if isinstance(x, jax.Array):
+        import jax.numpy as jnp
+
+        filler = jnp.repeat(x[-1:], pad, axis=0)
+        return jnp.concatenate([x, filler], axis=0), n
     filler = np.repeat(x[-1:], pad, axis=0)
     return np.concatenate([x, filler], axis=0), n

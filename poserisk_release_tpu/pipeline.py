@@ -310,8 +310,13 @@ class PoseEstimator:
             n_valid = min(chunk, num_items - start)
             batches = []
             for part in parts:
+                # A device part (jax.Array -- e.g. a gather from the
+                # streaming scorer's shared per-window upload) is padded on
+                # device; np.asarray here would pull it back to host.
+                if not isinstance(part, jax.Array):
+                    part = np.asarray(part)
                 padded, _ = pmesh.pad_to_multiple(
-                    np.asarray(part), chunk // self._pose_stride)
+                    part, chunk // self._pose_stride)
                 batch = jnp.asarray(padded)
                 if self.mesh is not None:
                     batch = pmesh.shard_batch(self.mesh, batch)

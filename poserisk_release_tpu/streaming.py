@@ -50,17 +50,14 @@ class StreamResult:
     fps: float = 0.0
 
     def stats(self, which: str = "reba"):
-        """(avg, top50, top10, max, mode) with the reference's semantics."""
-        from scipy.stats import mode as scipy_mode
+        """(avg, top50, top10, max, mode) via the ONE shared implementation
+        (outputs.stats.final_scores_stats -- the same code the Predictor and
+        write_outputs use, so the reference's stat semantics cannot fork).
+        Raises ValueError with a clear message when the stream scored zero
+        frames (e.g. the online mode never saw a detection)."""
+        from poserisk_release_tpu.outputs.stats import final_scores_stats
 
-        scores = np.sort(np.asarray(getattr(self, f"{which}_scores")))[::-1]
-        return (
-            round(float(scores.mean()), 3),
-            round(float(scores[: len(scores) // 2].mean()), 3),
-            round(float(scores[: len(scores) // 10].mean()), 3),
-            round(float(scores.max()), 3),
-            scipy_mode(scores).mode.item(),
-        )
+        return final_scores_stats(getattr(self, f"{which}_scores"))
 
 
 def _decode_windows(path: str, window: int, out_q: "queue.Queue",
@@ -104,9 +101,18 @@ def _decode_windows(path: str, window: int, out_q: "queue.Queue",
                 buf = []
         if buf:
             emit(("window", idx - len(buf), np.stack(buf)))
+    except Exception as exc:
+        # A mid-clip decode failure (corrupt frame in cv2, MemoryError on
+        # np.stack, ...) must NOT masquerade as clean EOF: emitting
+        # ("end", idx) here would make the consumer score a silent prefix of
+        # the video with an inflated total_frames (and a wrong min-frame-
+        # ratio filter). Surface it as an error item instead; the buffered
+        # frames that never formed a window are intentionally dropped.
+        emit(("error", f"decode failed after frame {idx}: {exc!r}"))
+        return
     finally:
         cap.release()
-        emit(("end", idx))
+    emit(("end", idx))
 
 
 def _window_stream(video_path: str, window: int, max_frames: Optional[int],
@@ -136,7 +142,9 @@ def _window_stream(video_path: str, window: int, max_frames: Optional[int],
         while True:
             item = q.get()
             if item[0] == "error":
-                raise FileNotFoundError(item[1])
+                if item[1].startswith("cannot open video"):
+                    raise FileNotFoundError(item[1])
+                raise RuntimeError(item[1])  # mid-clip decode failure
             yield item
             if item[0] == "end":
                 break
@@ -241,12 +249,36 @@ class StreamingScorer:
             if item[0] != "window":
                 continue
             _, start_idx, frames = item
+            overlapping = []
             for pid, (fr, bx) in tracks.items():
                 mask = (fr >= start_idx) & (fr < start_idx + len(frames))
-                if not mask.any():
-                    continue
+                if mask.any():
+                    overlapping.append((pid, fr[mask] - start_idx, bx[mask]))
+            if len(overlapping) > 1:
+                # Multi-person windows share ONE device upload of the union
+                # of selected frames; each track then gathers its own frames
+                # on device (run_from_frames / _run_chunked handle jax.Array
+                # sources natively). Without this, every frame seen by P
+                # tracks shipped to the device P times per window. Scores
+                # are bit-identical: each track still feeds the exact same
+                # (frame, bbox) sequence through the same chunking/stride.
+                import jax.numpy as jnp
+
+                union = np.unique(np.concatenate(
+                    [ids for _, ids, _ in overlapping]))
+                pos = np.full(int(union.max()) + 1, -1, np.int64)
+                pos[union] = np.arange(len(union))
+                frames_src = jnp.asarray(frames[union])
+                for pid, ids, bx in overlapping:
+                    self._score_window(
+                        frames_src, pos[ids], bx,
+                        int(start_idx), add_info, reba, rula, results[pid],
+                        orig_local_ids=ids,
+                    )
+            elif overlapping:
+                pid, ids, bx = overlapping[0]
                 self._score_window(
-                    frames, fr[mask] - start_idx, bx[mask],
+                    frames, ids, bx,
                     int(start_idx), add_info, reba, rula, results[pid],
                 )
         return results
@@ -443,13 +475,17 @@ class StreamingScorer:
             )
         return summary
 
-    def _score_window(self, frames: np.ndarray, local_ids: np.ndarray,
+    def _score_window(self, frames, local_ids: np.ndarray,
                       boxes: np.ndarray, start_idx: int, add_info: Dict,
-                      reba, rula, result: StreamResult) -> None:
+                      reba, rula, result: StreamResult,
+                      orig_local_ids: Optional[np.ndarray] = None) -> None:
         # Fused crop+pose (PoseEstimator.run_from_frames): uint8 frames up,
         # angles down, no crop tensor on the host. Chunk by the window size
         # (padded to the mesh size inside): the default frames_per_step chunk
         # would pad a small window up to 64 x n_devices frames of waste.
+        # `frames` may be a device array (score_all's shared union upload),
+        # in which case local_ids index THAT array and orig_local_ids carries
+        # the window-relative frame numbers for bookkeeping.
         euler, joint_cam, _aa = self.estimator.run_from_frames(
             frames, local_ids, np.asarray(boxes, np.float32), chunk=self.window
         )
@@ -457,4 +493,5 @@ class StreamingScorer:
             result.reba_scores.append(r["score"])
         for r in rula(euler, joint_cam, add_info):
             result.rula_scores.append(r["score"])
-        result.frames.extend(int(start_idx + i) for i in local_ids)
+        ids = local_ids if orig_local_ids is None else orig_local_ids
+        result.frames.extend(int(start_idx + i) for i in ids)

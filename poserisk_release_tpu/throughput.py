@@ -174,7 +174,6 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
             raise ValueError(
                 f"batch {frames.shape[0]} is not a multiple of "
                 f"pose_stride {pose_stride}")
-        det_frames = frames[::det_stride] if det_stride > 1 else frames
         if fused_resample:
             from poserisk_release_tpu.ops.resample_pallas import fused_letterbox_crop
 
@@ -191,6 +190,7 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
                 interpret=fused_interpret,
             )
         else:
+            det_frames = frames[::det_stride] if det_stride > 1 else frames
             letter = (
                 letterbox(det_frames, img_size, compute_dtype=compute_dtype)
                 if rect

@@ -145,11 +145,45 @@ def test_windowed_crop_kernel_matches_crop_batch():
 def test_crop_window_fits_guard():
     from poserisk_release_tpu.ops.resample_pallas import crop_window_fits
 
-    # 220 * 1.2 + 2 + 127 = 393 > 384: realistic wide boxes need window 512.
+    # 220 * 1.2 + 2 + 128 = 394 > 384: realistic wide boxes need window 512.
     wide = np.array([[400.0, 225.0, 220.0, 300.0]], np.float32)
     assert not crop_window_fits(wide, window=384)
     assert crop_window_fits(wide, window=512)
     assert crop_window_fits(np.zeros((0, 4), np.float32), window=384)
+
+
+def test_crop_window_fits_slack_is_a_full_chunk():
+    """Regression (round-3 review): the guard's chunk-alignment slack must be
+    a FULL chunk_w. xs_min is real-valued, so (xs_min - 1) mod chunk_w can
+    reach just under chunk_w; a chunk_w - 1 bound admitted this bbox
+    (bw*scale + 2 + 127 == window exactly) whose rightmost interpolation tap
+    falls one column past the 256-px window -- the windowed kernel's crop
+    right edge silently lost ~33% of a tap weight (measured 0.33 max abs
+    pixel error vs crop_batch)."""
+    from poserisk_release_tpu.ops.resample_pallas import (
+        crop_batch_pallas_windowed,
+        crop_window_fits,
+    )
+
+    bbox = np.array([[192.4, 225.0, 127.0 / 1.2, 300.0]], np.float32)
+    # Old (chunk_w - 1) bound: 127 + 2 + 127 <= 256 held; the tightened
+    # guard must reject, because the kernel really does lose a tap here:
+    assert not crop_window_fits(bbox, window=256)
+    rng = np.random.default_rng(5)
+    frames = jnp.asarray(rng.integers(0, 256, (1, 450, 800, 3), dtype=np.uint8))
+    ref = np.asarray(crop_batch(frames, jnp.asarray(bbox)))
+    lossy = np.asarray(crop_batch_pallas_windowed(
+        frames, jnp.asarray(bbox), window=256,
+        compute_dtype=jnp.float32, interpret=True,
+    ))
+    assert np.abs(lossy - ref).max() > 0.1  # the guard exists for a reason
+    # One chunk more and the same bbox is exact again:
+    assert crop_window_fits(bbox, window=384)
+    ok = np.asarray(crop_batch_pallas_windowed(
+        frames, jnp.asarray(bbox), window=384,
+        compute_dtype=jnp.float32, interpret=True,
+    ))
+    np.testing.assert_allclose(ok, ref, atol=1e-5)
 
 
 def test_windowed_crop_falls_back_when_window_covers_width():

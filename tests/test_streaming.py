@@ -272,6 +272,59 @@ def test_score_all_matches_batch_multi_person(two_person_clip, tmp_path):
         assert res.total_frames == 40
 
 
+def test_stats_on_empty_stream_raises_clearly():
+    """Round-3 review: a stream that scored zero frames (e.g. the online
+    mode never saw a detection) must raise a clear ValueError from stats(),
+    not numpy's 'zero-size array to reduction operation maximum'."""
+    from poserisk_release_tpu.streaming import StreamResult
+
+    with pytest.raises(ValueError, match="no scored frames"):
+        StreamResult().stats("reba")
+
+
+def test_stats_shares_the_one_stat_implementation():
+    """StreamResult.stats must be the SAME code as the Predictor's
+    post-processing (outputs.stats.final_scores_stats) so the reference's
+    stat semantics cannot fork between the batch and streaming paths."""
+    from poserisk_release_tpu.outputs.stats import final_scores_stats
+    from poserisk_release_tpu.streaming import StreamResult
+
+    scores = [2, 2, 8, 8, 5, 3, 7, 1, 9, 4]
+    res = StreamResult(reba_scores=list(scores))
+    assert res.stats("reba") == final_scores_stats(scores)
+    assert res.stats("reba")[4] == 2  # scipy mode: smallest modal on ties
+
+
+def test_mid_clip_decode_failure_surfaces_not_clean_eof(long_clip, monkeypatch):
+    """Round-3 review: an exception inside the decode thread used to emit a
+    normal ("end", idx) from its finally block -- the consumer scored a
+    silent prefix of the video with an inflated total. It must surface as a
+    RuntimeError instead."""
+    import poserisk_release_tpu.io.video as video_mod
+    import poserisk_release_tpu.streaming as streaming_mod
+
+    real = video_mod._decoded_rgb
+
+    def dying(cap, width, height, max_frames=None):
+        for idx, rgb in real(cap, width, height, max_frames=max_frames):
+            if idx == 19:
+                raise MemoryError("synthetic mid-clip decode failure")
+            yield idx, rgb
+
+    # _decode_windows imports the helpers inside the function body, so the
+    # io.video module attribute is the one binding to patch.
+    monkeypatch.setattr(video_mod, "_decoded_rgb", dying)
+    scorer = StreamingScorer(detector=StubDetector(), window=8)
+    with pytest.raises(RuntimeError, match="decode failed after frame"):
+        scorer(long_clip, INFO)
+
+
+def test_missing_video_still_raises_file_not_found():
+    scorer = StreamingScorer(detector=StubDetector(), window=8)
+    with pytest.raises(FileNotFoundError, match="cannot open video"):
+        scorer("/nonexistent/clip.mp4", INFO)
+
+
 def test_score_all_rejects_online_selection(two_person_clip):
     scorer = StreamingScorer(detector=StubDetector(), window=16,
                              selection="online")
