@@ -187,6 +187,37 @@ def test_multichip_mesh_run(synthetic_video, info_path, tmp_path):
     assert summary["REBA"][0] == summary2["REBA"][0]
 
 
+def test_run_from_frames_device_source_matches_host(rng):
+    """run_from_frames with a device-resident frames array (the streaming
+    scorer's shared per-window union upload) must equal the host-ndarray
+    run exactly -- including the device-side repeat-edge padding branch
+    (13 frames force padding at frames_per_step=4) and mesh sharding."""
+    import jax.numpy as jnp
+
+    from poserisk_release_tpu.body.smpl import SMPLFamily
+    from poserisk_release_tpu.pipeline import PoseEstimator
+
+    cfg = default_config().replace(PARALLEL={"frames_per_step": 4})
+    family = SMPLFamily(cfg.SPIN.smpl_model_dir)
+    frames = rng.randint(0, 256, (16, 60, 80, 3)).astype(np.uint8)
+    ids = np.arange(3, 16)  # 13 tracked frames: not a chunk multiple
+    boxes = np.tile(np.array([40.0, 30.0, 24.0, 40.0], np.float32), (13, 1))
+
+    est = PoseEstimator(cfg, family)
+    e_host, jc_host, _ = est.run_from_frames(frames, ids, boxes)
+    e_dev, jc_dev, _ = est.run_from_frames(jnp.asarray(frames), ids, boxes)
+    np.testing.assert_array_equal(e_host, e_dev)
+    np.testing.assert_array_equal(jc_host, jc_dev)
+
+    # A mesh instance compiles a DIFFERENT executable (sharded lowering), so
+    # cross-run agreement is the documented last-ulp compile class
+    # (docs/PARITY.md #5b qualifier), not bit-exactness.
+    est_mesh = PoseEstimator(cfg, family, mesh=make_mesh(8))
+    e_mesh, jc_mesh, _ = est_mesh.run_from_frames(jnp.asarray(frames), ids, boxes)
+    np.testing.assert_allclose(e_host, e_mesh, atol=2e-3)
+    np.testing.assert_allclose(jc_host, jc_mesh, atol=2e-3)
+
+
 def test_windowed_int8_detector_calibrates_before_tracking(synthetic_video,
                                                            info_path, tmp_path):
     """Predictor + int8 YoloDetector + windows smaller than the clip: the

@@ -13,7 +13,8 @@ relay used in this environment, see utils/profiling.device_sync):
   YOLOv3 fwd (bf16)            models.detector.yolo_forward
   YOLOv3 fwd (int8 PTQ)        quantize_yolo_params + yolo_forward
   pose+score step (bf16)       throughput.make_pose_and_score_step
-  FULL step (bench default)    throughput.make_full_frame_step
+  FULL step (strides 1/1)      throughput.make_full_frame_step
+  FULL step (det8/pose8)       the bench's default throughput config
 
 Usage: python tools/profile_stages.py [batch]   (default 128; ~10 min of
 remote compiles on first run). Prints a markdown table.
@@ -126,6 +127,13 @@ def main() -> None:
         make_full_frame_step(cfg.SPIN.ief_iters, estimator.parents,
                              compute_dtype=jnp.bfloat16, fused_resample=True)
     )
+    # The bench's default throughput configuration (det stride 8 + pose
+    # stride 8, docs/PERF.md round 3) next to the strict strides-1 contract.
+    full_step_strided = jax.jit(
+        make_full_frame_step(cfg.SPIN.ief_iters, estimator.parents,
+                             compute_dtype=jnp.bfloat16, fused_resample=True,
+                             det_stride=8, pose_stride=8)
+    )
 
     rows = []
 
@@ -160,7 +168,10 @@ def main() -> None:
     )(frames, bboxes)
     add("pose+score step (bf16)", pose_step,
         (spin_bf16, estimator.smpl_params, crops, info_reba, info_rula))
-    add("FULL step (bench default)", full_step,
+    add("FULL step (strict strides 1/1)", full_step,
+        (qparams, spin_bf16, estimator.smpl_params, frames, bboxes,
+         info_reba, info_rula))
+    add("FULL step (bench default det8/pose8)", full_step_strided,
         (qparams, spin_bf16, estimator.smpl_params, frames, bboxes,
          info_reba, info_rula))
 
