@@ -116,16 +116,28 @@ def input_videos(path: str):
         raise ValueError(f"no video files ({'/'.join(VIDEO_EXTS)}) in {path}")
     # Extension-stripped stems can collide (demo.mp4 + demo.mov) and would
     # silently overwrite each other's result files; colliding entries keep
-    # their extension in the subdir name instead (demo_mp4, demo_mov).
+    # their extension in the subdir name instead (demo_mp4, demo_mov). That
+    # rename can itself collide with another video's unique stem
+    # (demo.mp4 -> demo_mp4 vs demo_mp4.avi), so every candidate is checked
+    # against the names already assigned, falling back to the full-name
+    # rename and then a numeric suffix -- two runs can never share a subdir.
     from collections import Counter
 
     stems = Counter(osp.splitext(name)[0] for name in vids)
-    return [
-        (osp.join(path, name),
-         osp.splitext(name)[0] if stems[osp.splitext(name)[0]] == 1
-         else name.replace(".", "_"))
-        for name in vids
-    ]
+    used: set = set()
+    pairs = []
+    for name in vids:
+        stem = osp.splitext(name)[0]
+        cand = stem if stems[stem] == 1 else name.replace(".", "_")
+        if cand in used:
+            cand = name.replace(".", "_")
+        base, n = cand, 2
+        while cand in used:
+            cand = f"{base}_{n}"
+            n += 1
+        used.add(cand)
+        pairs.append((osp.join(path, name), cand))
+    return pairs
 
 
 def profile_report(timings: dict) -> str:
@@ -154,7 +166,10 @@ def run_streaming(args, cfg) -> int:
     """--streaming entry: StreamingScorer with the Predictor's detector
     policy, info fallback, and int8 calibration lifecycle, emitting
     reference-format result files."""
+    import jax
+
     from poserisk_release_tpu.outputs.stats import print_result_summary
+    from poserisk_release_tpu.parallel.mesh import make_mesh
     from poserisk_release_tpu.pipeline import (
         apply_explicit_calibration,
         build_detector,
@@ -162,12 +177,22 @@ def run_streaming(args, cfg) -> int:
     )
     from poserisk_release_tpu.streaming import StreamingScorer
 
+    for flag in ("profile", "debug"):
+        if getattr(args, flag):
+            print(f"[streaming] --{flag} is ignored in streaming mode "
+                  "(use the batch path for stage timings / debug dumps)")
+    n_devices = args.num_devices or len(jax.devices())
+    mesh = make_mesh(n_devices) if n_devices > 1 else None
+    print("Work on devices: ", jax.devices()[: n_devices or None])
     scorer = StreamingScorer(
         cfg=cfg,
         detector=build_detector(cfg),
         window=args.streaming_window,
+        mesh=mesh,
         fast=args.fast,
         spin_int8=args.spin_int8,
+        gender=args.gender,
+        validate_rotations=args.validate_rotations,
     )
     # Same explicit-calibration lifecycle as the batch Predictor: an
     # operator-supplied --calibration source derives the int8 scales before

@@ -69,9 +69,16 @@ def load_spin_variables(cfg: Config) -> Dict:
     a checkpoint (e.g. tools/validate_real_assets.py) reuse this so the
     logic cannot drift from the Predictor's."""
     npz_path = cfg.SPIN.checkpoint + ".flax.npz"
-    if osp.isfile(npz_path):
+    have_ckpt = osp.isfile(cfg.SPIN.checkpoint)
+    # Staleness guard: an operator dropping NEW weights over the old
+    # checkpoint path must not be silently shadowed by the cached
+    # conversion of the previous ones.
+    if osp.isfile(npz_path) and not (
+        have_ckpt
+        and os.path.getmtime(cfg.SPIN.checkpoint) > os.path.getmtime(npz_path)
+    ):
         return model_convert.load_flax_variables(npz_path)
-    if osp.isfile(cfg.SPIN.checkpoint):
+    if have_ckpt:
         variables = model_convert.load_spin_checkpoint(cfg.SPIN.checkpoint)
         mean = load_mean_params(cfg.SPIN.smpl_mean_params)
         params = dict(variables["params"])
@@ -361,14 +368,16 @@ class PoseEstimator:
         MAX_IN_FLIGHT = 4
         pending = []
         for start in range(0, num_items, chunk):
+            # Drain BEFORE dispatching: popping after the append let a 5th
+            # chunk's buffers coexist with the bound's 4.
+            if len(pending) >= MAX_IN_FLIGHT:
+                out, s, nv = pending.pop(0)
+                fetch(out, s, nv, len(eulers))
             batches, n_valid = upload(start)
             pending.append(
                 (step_fn(self.variables, self.smpl_params, *batches), start, n_valid)
             )
             del batches
-            if len(pending) > MAX_IN_FLIGHT:
-                out, s, nv = pending.pop(0)
-                fetch(out, s, nv, len(eulers))
         for out, s, nv in pending:
             fetch(out, s, nv, len(eulers))
         return (
@@ -376,6 +385,31 @@ class PoseEstimator:
             np.concatenate(jcams),
             np.concatenate(aas),
         )
+
+
+def validate_rotation_roundtrip(axis_angles) -> None:
+    """Host-side euler round-trip guard mirroring the reference's
+    coord_utils assert -- THE shared check behind --validate_rotations for
+    both the batch Predictor and the streaming scorer.
+
+    Joints 1..23 carry the SPIN rotmats faithfully through the axis-angle
+    dump; joint 0 is excluded because its axis-angle is root-forced to
+    (3.14, 0, 0) (the reference's buffer mutation, coord_utils.py:12-13)
+    while its euler keeps the original rotmat. Frame axis padded to the
+    scoring bucket so clip length does not recompile the check (zero
+    axis-angle -> identity -> defect 0)."""
+    from poserisk_release_tpu.ops.rotations import (
+        assert_euler_roundtrip,
+        axis_angle_to_rotmat,
+    )
+    from poserisk_release_tpu.scoring.common import score_chunk_size
+
+    aa = np.asarray(axis_angles)[:, 1:, :]
+    bucket = score_chunk_size(aa.shape[0])
+    n_pad = -(-max(aa.shape[0], 1) // bucket) * bucket
+    padded = np.zeros((n_pad,) + aa.shape[1:], aa.dtype)
+    padded[: aa.shape[0]] = aa
+    assert_euler_roundtrip(axis_angle_to_rotmat(padded))
 
 
 def build_detector(cfg: Config):
@@ -679,25 +713,7 @@ class Predictor:
         self.timings["pose"] = time.time() - t0
 
         if self.validate_rotations:
-            from poserisk_release_tpu.ops.rotations import (
-                assert_euler_roundtrip,
-                axis_angle_to_rotmat,
-            )
-
-            # Joints 1..23 carry the SPIN rotmats faithfully through the
-            # axis-angle dump; joint 0 is excluded because its axis-angle is
-            # root-forced to (3.14, 0, 0) (the reference's buffer mutation,
-            # coord_utils.py:12-13) while its euler keeps the original rotmat.
-            # Frame axis padded to the scoring bucket so clip length does not
-            # recompile the check (zero axis-angle -> identity -> defect 0).
-            from poserisk_release_tpu.scoring.common import score_chunk_size
-
-            aa = np.asarray(axis_angles[:, 1:, :])
-            bucket = score_chunk_size(aa.shape[0])
-            n_pad = -(-max(aa.shape[0], 1) // bucket) * bucket
-            padded = np.zeros((n_pad,) + aa.shape[1:], aa.dtype)
-            padded[: aa.shape[0]] = aa
-            assert_euler_roundtrip(axis_angle_to_rotmat(padded))
+            validate_rotation_roundtrip(axis_angles)
 
         # --- single-frame debug branch ------------------------------------
         if self.debugging and self.debug_frame >= 0:
@@ -774,7 +790,14 @@ class Predictor:
 
     # ------------------------------------------------------------------
     def _visualize_joint_cam_mesh(self, axis_angles, joint_cam, frames, output_path):
-        idx = int(np.where(frames == self.debug_frame)[0][0])
+        hits = np.flatnonzero(np.asarray(frames) == self.debug_frame)
+        if hits.size == 0:
+            raise ValueError(
+                f"--debug_frame {self.debug_frame} is not among the selected "
+                f"track's frames ({len(frames)} tracked frames in "
+                f"[{int(np.min(frames))}, {int(np.max(frames))}])"
+            )
+        idx = int(hits[0])
         pose = axis_angles[idx].reshape(1, -1)
         verts, _ = self.lbs_neutral(jnp.asarray(pose, jnp.float32))
         verts = np.asarray(verts, np.float32).reshape(-1, 3) * 1000

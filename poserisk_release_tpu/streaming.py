@@ -15,9 +15,14 @@ Two target-selection modes:
     then the reference's filter + max-mean-area selection runs over the
     complete tracks (/root/reference/lib/core/base.py:53-74,
     funcs_utils.py:55-64) exactly as the whole-clip Predictor does; pass 2
-    re-decodes and crops/scores only the selected person. Scores are
-    IDENTICAL to the batch Predictor on any clip, including multi-person
-    contention (tests/test_streaming.py).
+    re-decodes and crops/scores only the selected person. At pose_stride 1
+    scores are IDENTICAL to the batch Predictor on any clip, including
+    multi-person contention (tests/test_streaming.py). Under pose_stride > 1
+    the slerp anchor phase restarts at each WINDOW's first selected frame
+    while the batch path restarts it at each 64-frame chunk of the whole
+    selected track, so interpolated frames fall in the documented
+    chunk-boundary deviation class (docs/PARITY.md #5b); anchor frames and
+    static clips remain exact in both.
   * ``selection="online"`` -- single pass, lowest latency: lock onto the
     largest-box identity as soon as one is seen and follow it. No min-frame
     filter and no whole-video mean-area comparison, so on multi-person clips
@@ -81,6 +86,13 @@ def _decode_windows(path: str, window: int, out_q: "queue.Queue",
         cap, fps, width, height = _open_video(path)
     except FileNotFoundError:
         emit(("error", f"cannot open video: {path}"))
+        return
+    except Exception as exc:
+        # Any OTHER setup failure (cv2 import error on a headless host, a
+        # raising backend constructor, ...) must also surface as an item:
+        # a thread that dies before emitting anything leaves the consumer
+        # blocked forever on q.get().
+        emit(("error", f"decode setup failed for {path}: {exc!r}"))
         return
     if not emit(("meta", fps)):
         cap.release()
@@ -170,6 +182,8 @@ class StreamingScorer:
         selection: str = "reference",
         fast: bool = False,
         spin_int8: bool = False,
+        gender: str = "neutral",
+        validate_rotations: bool = False,
     ):
         from poserisk_release_tpu.body.smpl import SMPLFamily
         from poserisk_release_tpu.models.detector import StubDetector
@@ -186,8 +200,11 @@ class StreamingScorer:
         # crop+pose jit).
         self.estimator = PoseEstimator(self.cfg, self.smpl, mesh=mesh,
                                        variables=spin_variables, fast=fast,
-                                       spin_int8=spin_int8)
+                                       spin_int8=spin_int8, gender=gender)
         self.detector = detector if detector is not None else StubDetector()
+        # Same opt-in euler round-trip guard as Predictor(--validate_rotations),
+        # via the ONE shared check (pipeline.validate_rotation_roundtrip).
+        self.validate_rotations = validate_rotations
 
     def _per_video_calibration_reset(self) -> None:
         """Same shared-instance int8 lifecycle as Predictor.__call__: under
@@ -298,12 +315,21 @@ class StreamingScorer:
         people: Dict[int, Dict[str, list]] = {}
         fps = 0.0
         total = 0
+        # Same int8 PTQ lifecycle as Predictor._ingest_and_track_overlapped
+        # (pipeline.py): without this, the detector's implicit whole-call
+        # calibration would run on window 1 and leave that window detected
+        # by the FLOAT graph while every later window uses int8 --
+        # inconsistent within one video and divergent from the batch path.
+        needs_cal = getattr(self.detector, "needs_calibration", False)
         for item in _window_stream(video_path, self.window, max_frames,
                                    self.cfg.DATASET.decode_workers):
             if item[0] == "meta":
                 fps = float(item[1])
             elif item[0] == "window":
                 _, start_idx, frames = item
+                if needs_cal:
+                    self.detector.calibrate(frames)
+                    needs_cal = False
                 update_window_tracks(sort, people, start_idx, frames,
                                      self.detector, stride)
             else:  # end
@@ -320,7 +346,10 @@ class StreamingScorer:
         tracking_results, total, fps = self._track_pass(video_path, max_frames)
         result = StreamResult(total_frames=total, fps=fps)
         if not tracking_results:
-            return result
+            # Same contract as the batch Predictor (and the --multi_person
+            # streaming branch): a clip with nobody tracked must not look
+            # like a successful zero-score run.
+            raise ValueError("no person tracks found in the clip")
         bboxes, sel_frames = filter_and_select_target(
             tracking_results, total, self.cfg.DATASET.min_frame_ratio
         )
@@ -357,6 +386,8 @@ class StreamingScorer:
         sort = Sort()  # persistent across windows -> stable identities
         target_id: Optional[int] = None
         reba, rula = self._scorers()
+        # First-window int8 calibration, same lifecycle as _track_pass.
+        needs_cal = getattr(self.detector, "needs_calibration", False)
 
         for item in _window_stream(video_path, self.window, max_frames,
                                    self.cfg.DATASET.decode_workers):
@@ -367,6 +398,9 @@ class StreamingScorer:
                 result.total_frames = int(item[1])
                 break
             _, start_idx, frames = item
+            if needs_cal:
+                self.detector.calibrate(frames)
+                needs_cal = False
 
             # Online mode keeps no pixels to back-fill, so under a detection
             # stride it detects AND scores only the strided subsample (the
@@ -405,6 +439,9 @@ class StreamingScorer:
                     frames, np.asarray(track_local), np.stack(track_boxes),
                     int(start_idx), add_info, reba, rula, result,
                 )
+        if not result.frames:
+            # Same contract as the two-pass mode and the batch Predictor.
+            raise ValueError("no person tracks found in the clip")
         return result
 
     # -- shared helpers ----------------------------------------------------
@@ -489,6 +526,10 @@ class StreamingScorer:
         euler, joint_cam, _aa = self.estimator.run_from_frames(
             frames, local_ids, np.asarray(boxes, np.float32), chunk=self.window
         )
+        if self.validate_rotations:
+            from poserisk_release_tpu.pipeline import validate_rotation_roundtrip
+
+            validate_rotation_roundtrip(_aa)
         for r in reba(euler, joint_cam, add_info):
             result.reba_scores.append(r["score"])
         for r in rula(euler, joint_cam, add_info):

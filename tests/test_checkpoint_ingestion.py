@@ -59,3 +59,38 @@ def test_torch_checkpoint_priority_chain(tmp_path, rng):
         t_rot, _, _ = torch_model(torch.from_numpy(np.transpose(crops, (0, 3, 1, 2))))
     rot_jax, _, _ = HMR(n_iter=3).apply(est.variables, jnp.asarray(crops))
     np.testing.assert_allclose(np.asarray(rot_jax), t_rot.numpy(), atol=3e-4)
+
+
+def test_newer_checkpoint_invalidates_npz_cache(tmp_path):
+    """Dropping NEW weights over the old checkpoint path must re-convert:
+    the cached .flax.npz of the previous weights used to shadow them
+    unconditionally."""
+    import os
+
+    from poserisk_release_tpu.pipeline import load_spin_variables
+
+    mean = load_mean_params("")
+    ckpt_path = str(tmp_path / "model_checkpoint.pt")
+    mean_path = str(tmp_path / "smpl_mean_params.npz")
+    np.savez(mean_path, pose=mean["init_pose"].reshape(-1),
+             shape=mean["init_shape"].reshape(-1), cam=mean["init_cam"].reshape(-1))
+    cfg = default_config().replace(
+        SPIN={"checkpoint": ckpt_path, "smpl_mean_params": mean_path})
+
+    torch.save({"model": randomized_torch_hmr(mean, seed=1).state_dict()}, ckpt_path)
+    v1 = load_spin_variables(cfg)
+    npz = ckpt_path + ".flax.npz"
+    assert osp.isfile(npz)
+
+    # New weights at the same path, mtime forced past the cache's.
+    torch.save({"model": randomized_torch_hmr(mean, seed=2).state_dict()}, ckpt_path)
+    os.utime(ckpt_path, (os.path.getmtime(npz) + 10,) * 2)
+    v2 = load_spin_variables(cfg)
+    w1 = np.asarray(jnp.asarray(v1["params"]["fc1"]["kernel"]))
+    w2 = np.asarray(jnp.asarray(v2["params"]["fc1"]["kernel"]))
+    assert not np.array_equal(w1, w2)
+
+    # And the refreshed cache now serves the NEW weights torch-free.
+    v3 = load_spin_variables(cfg)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.asarray(v3["params"]["fc1"]["kernel"])), w2)

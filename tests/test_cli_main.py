@@ -187,3 +187,18 @@ def test_profile_report_total_excludes_subintervals():
     # Parent share is vs the correct total; sub-intervals render indented.
     assert "score" in report and " 40.0%" in report
     assert "  score.device" in report and "  score.render" in report
+
+
+def test_input_videos_rename_collision_with_unique_stem(tmp_path):
+    """The collision rename (demo.mp4 -> demo_mp4) must not itself collide
+    with another video's unique stem (demo_mp4.avi): every subdir is unique,
+    so no two runs can overwrite each other's results."""
+    from poserisk_release_tpu.cli import input_videos
+
+    for name in ("demo.mp4", "demo.mov", "demo_mp4.avi"):
+        (tmp_path / name).write_bytes(b"")
+    got = input_videos(str(tmp_path))
+    subdirs = [sub for _, sub in got]
+    assert len(set(subdirs)) == len(subdirs) == 3
+    # The well-behaved entries keep their documented names.
+    assert "demo_mov" in subdirs and "demo_mp4" in subdirs

@@ -246,3 +246,17 @@ def test_windowed_int8_detector_calibrates_before_tracking(synthetic_video,
         assert "track" in str(exc) or "person" in str(exc)
     assert not det.needs_calibration  # quantized during the run
     assert any("qkernel" in l for l in det.params.values())
+
+
+def test_debug_frame_not_in_track_raises_clearly():
+    """--debug_frame on a frame the selected track never covers must raise a
+    clear ValueError, not IndexError from an empty np.where."""
+    import numpy as np
+    import pytest
+
+    from poserisk_release_tpu.pipeline import Predictor
+
+    p = Predictor.__new__(Predictor)  # guard fires before any other attr
+    p.debug_frame = 100
+    with pytest.raises(ValueError, match="--debug_frame 100"):
+        p._visualize_joint_cam_mesh(None, None, np.array([1, 2, 3]), "/tmp")

@@ -358,3 +358,98 @@ def test_cli_streaming_multi_person_layout(tmp_path, two_person_clip, monkeypatc
     for d in person_dirs:
         assert osp.isfile(osp.join(out, d, "reba_result.txt"))
         assert osp.isfile(osp.join(out, d, "stream_summary.json"))
+
+
+# ---------------------------------------------------------------------------
+# Round-3 ninth review batch: lifecycle/contract regressions.
+
+
+class _CalibrationOrderDetector(StubDetector):
+    """needs_calibration detector recording whether any window was ever
+    detected BEFORE calibrate() ran (the within-video float/int8
+    inconsistency the batch ingest explicitly prevents)."""
+
+    def __init__(self):
+        self.calibrate_calls = 0
+        self.detected_before_calibration = 0
+
+    @property
+    def needs_calibration(self):
+        return self.calibrate_calls == 0
+
+    def calibrate(self, frames_rgb):
+        self.calibrate_calls += 1
+
+    def __call__(self, frames_rgb):
+        if self.needs_calibration:
+            self.detected_before_calibration += 1
+        return super().__call__(frames_rgb)
+
+
+@pytest.mark.parametrize("selection", ["reference", "online"])
+def test_first_window_calibrates_before_any_detection(long_clip, selection):
+    """Same int8 PTQ lifecycle as the batch ingest (pipeline.py): the first
+    decoded window calibrates explicitly, then EVERY window -- including the
+    first -- is detected through the quantized graph."""
+    det = _CalibrationOrderDetector()
+    StreamingScorer(detector=det, window=16, selection=selection)(
+        long_clip, INFO)
+    assert det.calibrate_calls == 1
+    assert det.detected_before_calibration == 0
+
+
+class _NothingDetector:
+    def __call__(self, frames_rgb):
+        return [np.zeros((0, 5), np.float32) for _ in range(len(frames_rgb))]
+
+
+@pytest.mark.parametrize("selection", ["reference", "online"])
+def test_no_tracks_raises_like_batch_predictor(long_clip, selection):
+    """A clip with nobody tracked must not look like a successful zero-score
+    run (the batch Predictor and the --multi_person streaming branch raise
+    the same message)."""
+    scorer = StreamingScorer(detector=_NothingDetector(), window=16,
+                             selection=selection)
+    with pytest.raises(ValueError, match="no person tracks"):
+        scorer(long_clip, INFO)
+
+
+def test_gender_reaches_the_pose_estimator():
+    """--streaming --gender must score with the requested SMPL body model,
+    not silently fall back to neutral."""
+    from poserisk_release_tpu.body.smpl import SMPLFamily
+
+    cfg = _test_config()
+    scorer = StreamingScorer(cfg=cfg, detector=StubDetector(),
+                             gender="female")
+    female = SMPLFamily(cfg.SPIN.smpl_model_dir)["female"]
+    np.testing.assert_array_equal(
+        np.asarray(scorer.estimator.smpl_params["v_template"]),
+        np.asarray(female.v_template, np.float32),
+    )
+
+
+def test_validate_rotations_smoke(long_clip):
+    """StreamingScorer(validate_rotations=True) runs the shared euler
+    round-trip guard per window without changing scores."""
+    plain = StreamingScorer(detector=StubDetector(), window=16)(long_clip, INFO)
+    guarded = StreamingScorer(detector=StubDetector(), window=16,
+                              validate_rotations=True)(long_clip, INFO)
+    assert guarded.reba_scores == plain.reba_scores
+    assert guarded.rula_scores == plain.rula_scores
+
+
+def test_decode_setup_failure_raises_instead_of_hanging(monkeypatch):
+    """A decode-thread setup failure OTHER than a missing file (cv2 import
+    error on a headless host, raising backend constructor) must surface as
+    an exception -- a thread dying before its first emit used to leave the
+    consumer blocked forever on q.get()."""
+    from poserisk_release_tpu import streaming as streaming_mod
+
+    def boom(path):
+        raise RuntimeError("libGL.so.1: cannot open shared object file")
+
+    monkeypatch.setattr("poserisk_release_tpu.io.video._open_video", boom)
+    with pytest.raises(RuntimeError, match="decode setup failed"):
+        for _ in streaming_mod._window_stream("whatever.mp4", 16, None):
+            pass
