@@ -84,7 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="bounded-memory long-video mode: two-pass "
                              "reference-consistent target selection, peak "
                              "host memory ~2 windows of frames; writes the "
-                             "result txts/plots but no annotated video")
+                             "result txts/plots and (with --visualize, the "
+                             "default) the annotated REBA/RULA videos, "
+                             "rendered incrementally window by window")
     parser.add_argument("--streaming_window", type=int, default=256,
                         help="frames per streaming window")
     parser.add_argument("--decode_workers", type=int, default=1,
@@ -205,8 +207,12 @@ def run_streaming(args, cfg) -> int:
         out = osp.join(args.output, subdir) if subdir else args.output
         if args.multi_person:
             # Same per-person layout as the batch --multi_person extension:
-            # one person_<id>/ directory per surviving track.
-            per_person = scorer.score_all(video, add_info)
+            # one person_<id>/ directory per surviving track (annotated
+            # videos included when --visualize, rendered incrementally).
+            per_person = scorer.score_all(
+                video, add_info,
+                video_output=out if args.visualize else None,
+                video_types=args.type)
             if not per_person:
                 # Match the batch --multi_person contract (pipeline.py
                 # raises the same message): a clip with nobody tracked must
@@ -220,7 +226,12 @@ def run_streaming(args, cfg) -> int:
                 print("Result files saved in ", person_out)
                 print_result_summary(summary)
             continue
-        result = scorer(video, add_info)
+        # Reference --visualize semantics (type=bool quirk: any non-empty
+        # string is True): render the annotated videos incrementally during
+        # pass 2 -- the one batch output streaming used to have to skip.
+        result = scorer(video, add_info,
+                        video_output=out if args.visualize else None,
+                        video_types=args.type)
         summary = scorer.write_outputs(result, out, score_type=args.type)
         print("\n\n===> DONE! (streaming)")
         print("Result files saved in ", out)

@@ -125,6 +125,51 @@ def render_result_video(
     return out_file
 
 
+class ResultVideoWriter:
+    """Incremental counterpart of render_result_video for bounded-memory
+    consumers (streaming pass 2): same canvas geometry, codec, and file
+    naming, but clip frames are fed window by window as they are decoded,
+    with the track's scores/logs arrays grown as windows are scored.
+
+    This is exact, not approximate: compose_result_frame reads track
+    entries only at the even-snapped position of the CURRENT frame
+    (idx//2*2 snaps DOWN, base.py:305-325), so a frame can be written as
+    soon as the window containing it has been scored -- the byte stream
+    matches render_result_video over the whole clip."""
+
+    def __init__(self, output_path: str, title: str, fps: float,
+                 frame_hw, joint_names: Sequence[str],
+                 track_frames: np.ndarray, bboxes: np.ndarray):
+        import cv2
+
+        height, width = int(frame_hw[0]), int(frame_hw[1])
+        resize_w = 720
+        resize_h = int(height * resize_w / width)
+        self.out_file = osp.join(output_path, title + "_video.mp4")
+        self._writer = cv2.VideoWriter(
+            self.out_file, 0x7634706D, fps, (resize_w + 280, resize_h))
+        self._title = title
+        self._joint_names = joint_names
+        self._track_frames = np.asarray(track_frames)
+        self._bboxes = np.asarray(bboxes)
+
+    def write_window(self, frames_rgb: np.ndarray, start_idx: int,
+                     scores, logs) -> None:
+        """scores/logs: the track-so-far arrays in frame order (they must
+        cover every track position up to this window's last selected
+        frame -- true when windows are scored before they are written)."""
+        scores = np.asarray(scores)
+        for k in range(frames_rgb.shape[0]):
+            self._writer.write(compose_result_frame(
+                frames_rgb[k], start_idx + k, self._track_frames,
+                self._bboxes, scores, self._joint_names, logs, self._title,
+            ))
+
+    def close(self) -> str:
+        self._writer.release()
+        return self.out_file
+
+
 COCO_PART_COLORS = (
     # face x4, left arm x2, right leg x2, left leg x2, shoulder/hip links x4,
     # center body x2, right arm x2 (vis_utils.py:28-62 palette, RGB 0-1)

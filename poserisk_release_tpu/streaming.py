@@ -51,6 +51,10 @@ class StreamResult:
     frames: List[int] = field(default_factory=list)
     reba_scores: List[int] = field(default_factory=list)
     rula_scores: List[int] = field(default_factory=list)
+    # Per-frame per-joint log entries (the scorers' "log_score"), in the
+    # same frame order -- what the annotated video's side panel prints.
+    reba_logs: List[list] = field(default_factory=list)
+    rula_logs: List[list] = field(default_factory=list)
     total_frames: int = 0
     fps: float = 0.0
 
@@ -220,15 +224,30 @@ class StreamingScorer:
             self.estimator.reset_calibration()
 
     def __call__(self, video_path: str, add_info: Dict,
-                 max_frames: Optional[int] = None) -> StreamResult:
+                 max_frames: Optional[int] = None,
+                 video_output: Optional[str] = None,
+                 video_types: str = "REBA,RULA") -> StreamResult:
+        """video_output: directory to write the annotated {REBA,RULA}_video
+        .mp4 into, rendered INCREMENTALLY during pass 2 (frame-exact vs the
+        batch renderer -- outputs.render.ResultVideoWriter). Still bounded
+        memory: one window of pixels at a time; rendering decodes the whole
+        clip (the stop-after-last-selected-frame shortcut would truncate
+        the video). Two-pass mode only: the online mode has no complete
+        track for the side panel's snapped reads."""
         self._per_video_calibration_reset()
         if self.selection == "reference":
-            return self._run_two_pass(video_path, add_info, max_frames)
+            return self._run_two_pass(video_path, add_info, max_frames,
+                                      video_output, video_types)
+        if video_output is not None:
+            raise ValueError(
+                "video rendering requires the two-pass mode "
+                "(selection='reference')")
         return self._run_online(video_path, add_info, max_frames)
 
     def score_all(self, video_path: str, add_info: Dict,
-                  max_frames: Optional[int] = None
-                  ) -> Dict[int, StreamResult]:
+                  max_frames: Optional[int] = None,
+                  video_output: Optional[str] = None,
+                  video_types: str = "REBA,RULA") -> Dict[int, StreamResult]:
         """Multi-person streaming: score EVERY track surviving the
         reference's min-frames filter, bounded-memory.
 
@@ -238,7 +257,13 @@ class StreamingScorer:
         from the shared windows -- per-track filter/fallback semantics match
         the batch path exactly (min(min_frame_ratio * total, 1000), keep-all
         fallback, base.py:66-68). Returns {person_id: StreamResult}; write
-        each with write_outputs into its own directory."""
+        each with write_outputs into its own directory.
+
+        video_output: base output directory -- each surviving track's
+        annotated {REBA,RULA}_video.mp4 is rendered incrementally into
+        <video_output>/person_<id>/ (the batch --multi_person layout),
+        still one window of pixels at a time; decodes the whole clip like
+        the single-target renderer."""
         if self.selection != "reference":
             raise ValueError(
                 "score_all needs the two-pass mode (selection='reference'): "
@@ -251,8 +276,13 @@ class StreamingScorer:
 
         survivors = surviving_tracks(
             tracking_results, total, self.cfg.DATASET.min_frame_ratio)
+        # Keep the tracker's native float64 boxes: the renderer's int()
+        # truncation is dtype-sensitive (f32 rounds 72.99999676 up to 73.0,
+        # f64 truncates to 72 -- a one-pixel box shift vs the batch
+        # renderer). Scoring is unaffected either way (_score_window casts
+        # to float32 itself, exactly like the batch crop path).
         tracks = {
-            pid: (np.asarray(t["frames"]), np.asarray(t["bbox"], np.float32))
+            pid: (np.asarray(t["frames"]), np.asarray(t["bbox"]))
             for pid, t in survivors.items()
         }
         results = {pid: StreamResult(total_frames=total, fps=fps)
@@ -261,11 +291,38 @@ class StreamingScorer:
         stop_at = max(int(fr.max()) for fr, _ in tracks.values()) + 1
         if max_frames is not None:
             stop_at = min(stop_at, max_frames)
+        render_plan = [
+            (title, scorer, scores_attr, logs_attr)
+            for title, scorer, scores_attr, logs_attr in (
+                ("REBA", reba, "reba_scores", "reba_logs"),
+                ("RULA", rula, "rula_scores", "rula_logs"),
+            )
+            if title in video_types.replace(" ", "").upper().split(",")
+        ]
+        writers: Dict[int, list] = {}
+        if video_output is not None:
+            stop_at = max_frames  # rendering draws the whole clip
         for item in _window_stream(video_path, self.window, stop_at,
                                    self.cfg.DATASET.decode_workers):
             if item[0] != "window":
                 continue
             _, start_idx, frames = item
+            if video_output is not None and not writers:
+                import os
+
+                from poserisk_release_tpu.outputs.render import (
+                    ResultVideoWriter,
+                )
+
+                for pid, (fr, bx) in tracks.items():
+                    person_out = os.path.join(video_output, f"person_{pid}")
+                    os.makedirs(person_out, exist_ok=True)
+                    writers[pid] = [
+                        ResultVideoWriter(person_out, title, fps,
+                                          frames.shape[1:3],
+                                          scorer.eval_items, fr, bx)
+                        for title, scorer, _, _ in render_plan
+                    ]
             overlapping = []
             for pid, (fr, bx) in tracks.items():
                 mask = (fr >= start_idx) & (fr < start_idx + len(frames))
@@ -298,6 +355,15 @@ class StreamingScorer:
                     frames, ids, bx,
                     int(start_idx), add_info, reba, rula, results[pid],
                 )
+            for pid, per_title in writers.items():
+                for writer, (_, _, s_attr, l_attr) in zip(per_title,
+                                                          render_plan):
+                    writer.write_window(frames, int(start_idx),
+                                        getattr(results[pid], s_attr),
+                                        getattr(results[pid], l_attr))
+        for per_title in writers.values():
+            for writer in per_title:
+                writer.close()
         return results
 
     # -- pass 1: detect + track only (no pixels retained) -----------------
@@ -340,7 +406,9 @@ class StreamingScorer:
         return results, total, fps
 
     def _run_two_pass(self, video_path: str, add_info: Dict,
-                      max_frames: Optional[int]) -> StreamResult:
+                      max_frames: Optional[int],
+                      video_output: Optional[str] = None,
+                      video_types: str = "REBA,RULA") -> StreamResult:
         from poserisk_release_tpu.tracking.mpt import filter_and_select_target
 
         tracking_results, total, fps = self._track_pass(video_path, max_frames)
@@ -356,24 +424,60 @@ class StreamingScorer:
         sel_frames = np.asarray(sel_frames)
         reba, rula = self._scorers()
         # pass 2: decode again, crop + score only the selected track's
-        # frames. Decode stops right after the last selected frame -- if the
-        # target leaves the clip early, the tail never decodes (windows
-        # without selected frames inside the range are skipped below).
+        # frames. Without rendering, decode stops right after the last
+        # selected frame -- if the target leaves the clip early, the tail
+        # never decodes (windows without selected frames inside the range
+        # are skipped below). Rendering needs EVERY clip frame (the batch
+        # renderer draws 'Not detected target' tails), so it decodes to the
+        # end and writes each window right after scoring it.
         stop_at = int(sel_frames.max()) + 1
         if max_frames is not None:
             stop_at = min(stop_at, max_frames)
+        writers: list = []
+        if video_output is not None:
+            stop_at = max_frames
+            import os
+
+            os.makedirs(video_output, exist_ok=True)
+        wanted = video_types.replace(" ", "").upper().split(",")
+        render_plan = [
+            (title, scorer, scores_attr, logs_attr)
+            for title, scorer, scores_attr, logs_attr in (
+                ("REBA", reba, "reba_scores", "reba_logs"),
+                ("RULA", rula, "rula_scores", "rula_logs"),
+            )
+            if title in wanted
+        ]
         for item in _window_stream(video_path, self.window, stop_at,
                                    self.cfg.DATASET.decode_workers):
             if item[0] != "window":
                 continue
             _, start_idx, frames = item
             mask = (sel_frames >= start_idx) & (sel_frames < start_idx + len(frames))
-            if not mask.any():
-                continue
-            self._score_window(
-                frames, sel_frames[mask] - start_idx, bboxes[mask],
-                int(start_idx), add_info, reba, rula, result,
-            )
+            if mask.any():
+                self._score_window(
+                    frames, sel_frames[mask] - start_idx, bboxes[mask],
+                    int(start_idx), add_info, reba, rula, result,
+                )
+            if video_output is not None:
+                if not writers:
+                    from poserisk_release_tpu.outputs.render import (
+                        ResultVideoWriter,
+                    )
+
+                    writers = [
+                        ResultVideoWriter(video_output, title, fps,
+                                          frames.shape[1:3],
+                                          scorer.eval_items, sel_frames,
+                                          bboxes)
+                        for title, scorer, _, _ in render_plan
+                    ]
+                for writer, (_, _, s_attr, l_attr) in zip(writers, render_plan):
+                    writer.write_window(frames, int(start_idx),
+                                        getattr(result, s_attr),
+                                        getattr(result, l_attr))
+        for writer in writers:
+            writer.close()
         return result
 
     # -- single-pass online mode ------------------------------------------
@@ -464,9 +568,9 @@ class StreamingScorer:
         post_process_scores/format_result_txt code) and a machine-readable
         stream_summary.json. `score_type` filters the emitted families with
         the Predictor's --type parsing (scoring both is free; only the
-        output files are gated). No annotated video: rendering needs every
-        clip frame in memory, which contradicts the bounded-memory contract
-        -- use the batch Predictor when a video artifact is required.
+        output files are gated). No annotated video from THIS method (a
+        StreamResult holds no pixels) -- pass video_output to __call__ to
+        render the {title}_video.mp4 incrementally during pass 2 instead.
         Returns {title: (final_scores, action_level, action_name)}."""
         import json
         import os
@@ -532,7 +636,9 @@ class StreamingScorer:
             validate_rotation_roundtrip(_aa)
         for r in reba(euler, joint_cam, add_info):
             result.reba_scores.append(r["score"])
+            result.reba_logs.append(r["log_score"])
         for r in rula(euler, joint_cam, add_info):
             result.rula_scores.append(r["score"])
+            result.rula_logs.append(r["log_score"])
         ids = local_ids if orig_local_ids is None else orig_local_ids
         result.frames.extend(int(start_idx + i) for i in ids)

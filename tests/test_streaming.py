@@ -453,3 +453,103 @@ def test_decode_setup_failure_raises_instead_of_hanging(monkeypatch):
     with pytest.raises(RuntimeError, match="decode setup failed"):
         for _ in streaming_mod._window_stream("whatever.mp4", 16, None):
             pass
+
+
+# ---------------------------------------------------------------------------
+# Incremental annotated-video rendering (pass 2, bounded memory).
+
+
+def _decoded_video(path):
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(f)
+    cap.release()
+    return np.stack(frames)
+
+
+def _early_exit_dets(n_frames=40, tracked=30):
+    """Target tracked only in frames 0..tracked-1: the tail exercises the
+    renderer's 'Not detected target' branch AND the full-clip decode that
+    rendering requires (the scoring-only pass stops after the last selected
+    frame)."""
+    box = [30.0, 20.0, 80.0, 110.0, 0.9]
+    return [[box] if i < tracked else [] for i in range(n_frames)]
+
+
+def test_streaming_video_frame_exact_vs_batch_renderer(tmp_path, long_clip):
+    """The incrementally rendered {REBA,RULA}_video.mp4 must decode to the
+    SAME frames as the batch Predictor's whole-clip render on an identical
+    clip/track (outputs.render.ResultVideoWriter docstring: the side
+    panel's even-snapped reads only look backward)."""
+    batch_out = str(tmp_path / "batch")
+    stream_out = str(tmp_path / "stream")
+
+    predictor = Predictor(cfg=_test_config(), score_type="REBA,RULA",
+                          detector=_ScriptedStreamDetector(_early_exit_dets()),
+                          visualize=True)
+    predictor(long_clip, "/nonexistent.json", batch_out)
+
+    scorer = StreamingScorer(detector=_ScriptedStreamDetector(_early_exit_dets()),
+                             window=16)
+    scorer(long_clip, INFO, video_output=stream_out)
+
+    import os.path as osp
+
+    for title in ("REBA", "RULA"):
+        b = _decoded_video(osp.join(batch_out, f"{title}_video.mp4"))
+        s = _decoded_video(osp.join(stream_out, f"{title}_video.mp4"))
+        assert b.shape == s.shape, title
+        np.testing.assert_array_equal(b, s, err_msg=title)
+
+
+def test_streaming_video_type_filter_and_online_rejection(tmp_path, long_clip):
+    scorer = StreamingScorer(detector=StubDetector(), window=16)
+    out = str(tmp_path / "reba_only")
+    scorer(long_clip, INFO, video_output=out, video_types="REBA")
+    import os.path as osp
+
+    assert osp.isfile(osp.join(out, "REBA_video.mp4"))
+    assert not osp.exists(osp.join(out, "RULA_video.mp4"))
+
+    online = StreamingScorer(detector=StubDetector(), window=16,
+                             selection="online")
+    with pytest.raises(ValueError, match="two-pass"):
+        online(long_clip, INFO, video_output=str(tmp_path / "x"))
+
+
+def test_score_all_videos_frame_exact_vs_batch_multi_person(
+        two_person_clip, tmp_path):
+    """score_all(video_output=...) renders each surviving track's annotated
+    videos into person_<id>/ -- frame-exact vs the batch --multi_person
+    renderer on the same clip."""
+    stream_out = str(tmp_path / "stream")
+    results = StreamingScorer(
+        detector=_ScriptedStreamDetector(_two_survivor_dets()), window=16
+    ).score_all(two_person_clip, INFO, video_output=stream_out)
+
+    batch_out = str(tmp_path / "batch")
+    predictor = Predictor(
+        cfg=_test_config(), score_type="REBA,RULA",
+        detector=StubDetector(scripted=_two_survivor_dets()),
+        visualize=True, multi_person=True,
+    )
+    summaries = predictor(two_person_clip, "/nonexistent.json", batch_out)
+
+    import os.path as osp
+
+    # Track-id counters are global across SORT instances; discovery order
+    # is the stable correspondence (same convention as the stats test).
+    for spid, bpid in zip(sorted(results), sorted(summaries)):
+        for title in ("REBA", "RULA"):
+            s = _decoded_video(
+                osp.join(stream_out, f"person_{spid}", f"{title}_video.mp4"))
+            b = _decoded_video(
+                osp.join(batch_out, f"person_{bpid}", f"{title}_video.mp4"))
+            assert s.shape == b.shape, (title, spid)
+            np.testing.assert_array_equal(s, b, err_msg=f"{title}/{spid}")
