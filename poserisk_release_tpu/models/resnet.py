@@ -27,7 +27,10 @@ class Bottleneck(nn.Module):
     stride: int = 1
     has_downsample: bool = False
     # Computation dtype: bfloat16 halves HBM traffic and doubles MXU rate on
-    # TPU; BatchNorm statistics stay f32 via its own dtype handling.
+    # TPU. NOTE: flax BatchNorm normalises in this dtype too, and the fast
+    # path additionally casts the stored running stats to bf16
+    # (spin.cast_backbone_params) -- the f32-parity guarantee is the
+    # measured zero score drift documented there, not any f32 island here.
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

@@ -34,6 +34,27 @@ from poserisk_release_tpu.ops.rotations import rot6d_to_rotmat
 NPOSE = 24 * 6
 
 
+def ief_head(dense, xf, pred_pose, pred_shape, pred_cam, n_iter):
+    """THE single IEF-head definition (SPIN hmr.py:66-90 semantics).
+
+    `dense(name, t)` abstracts the layer application so the flax module
+    path (HMR.__call__) and the raw-weight int8 path (hmr_forward_quant)
+    share one loop -- a head change cannot desynchronise them (same policy
+    as throughput.make_pose_core). SPIN's regressor applies
+    fc1 -> dropout -> fc2 -> dropout with NO activations; dropout is
+    identity at inference. Inputs are the already-broadcast (B, .) initial
+    states; returns (rotmat (B,24,3,3), betas (B,10), camera (B,3))."""
+    B = xf.shape[0]
+    for _ in range(n_iter):
+        xc = jnp.concatenate([xf, pred_pose, pred_shape, pred_cam], axis=1)
+        xc = dense("fc2", dense("fc1", xc))
+        pred_pose = dense("decpose", xc) + pred_pose
+        pred_shape = dense("decshape", xc) + pred_shape
+        pred_cam = dense("deccam", xc) + pred_cam
+    rotmat = rot6d_to_rotmat(pred_pose.reshape(B * 24, 6)).reshape(B, 24, 3, 3)
+    return rotmat, pred_shape, pred_cam
+
+
 class HMR(nn.Module):
     """SPIN regressor. __call__ returns (rotmat, betas, camera).
 
@@ -64,24 +85,15 @@ class HMR(nn.Module):
         pred_shape = jnp.broadcast_to(init_shape, (B, 10))
         pred_cam = jnp.broadcast_to(init_cam, (B, 3))
 
-        fc1 = nn.Dense(1024, name="fc1")
-        fc2 = nn.Dense(1024, name="fc2")
-        decpose = nn.Dense(NPOSE, name="decpose")
-        decshape = nn.Dense(10, name="decshape")
-        deccam = nn.Dense(3, name="deccam")
-
-        for _ in range(self.n_iter):
-            xc = jnp.concatenate([xf, pred_pose, pred_shape, pred_cam], axis=1)
-            # SPIN's regressor applies fc1 -> dropout -> fc2 -> dropout with
-            # NO activations; dropout is identity at inference.
-            xc = fc1(xc)
-            xc = fc2(xc)
-            pred_pose = decpose(xc) + pred_pose
-            pred_shape = decshape(xc) + pred_shape
-            pred_cam = deccam(xc) + pred_cam
-
-        rotmat = rot6d_to_rotmat(pred_pose.reshape(B * 24, 6)).reshape(B, 24, 3, 3)
-        return rotmat, pred_shape, pred_cam
+        modules = {
+            "fc1": nn.Dense(1024, name="fc1"),
+            "fc2": nn.Dense(1024, name="fc2"),
+            "decpose": nn.Dense(NPOSE, name="decpose"),
+            "decshape": nn.Dense(10, name="decshape"),
+            "deccam": nn.Dense(3, name="deccam"),
+        }
+        return ief_head(lambda name, t: modules[name](t), xf,
+                        pred_pose, pred_shape, pred_cam, self.n_iter)
 
 
 def hmr_forward_quant(qbackbone: dict, variables: dict, x: jnp.ndarray,
@@ -107,15 +119,7 @@ def hmr_forward_quant(qbackbone: dict, variables: dict, x: jnp.ndarray,
             p[name]["bias"], jnp.float32
         )
 
-    for _ in range(n_iter):
-        xc = jnp.concatenate([xf, pred_pose, pred_shape, pred_cam], axis=1)
-        xc = dense("fc2", dense("fc1", xc))
-        pred_pose = dense("decpose", xc) + pred_pose
-        pred_shape = dense("decshape", xc) + pred_shape
-        pred_cam = dense("deccam", xc) + pred_cam
-
-    rotmat = rot6d_to_rotmat(pred_pose.reshape(B * 24, 6)).reshape(B, 24, 3, 3)
-    return rotmat, pred_shape, pred_cam
+    return ief_head(dense, xf, pred_pose, pred_shape, pred_cam, n_iter)
 
 
 def quantize_spin_backbone(variables: dict, sample_crops,
@@ -220,4 +224,4 @@ def init_spin_params(rng_key, mean_params: dict, n_iter: int = 3):
         params[key] = jnp.asarray(mean_params[key])
     variables = dict(variables)
     variables["params"] = params
-    return jax.tree_util.tree_map(lambda x: x, variables)
+    return variables

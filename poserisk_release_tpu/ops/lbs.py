@@ -85,8 +85,12 @@ def _lbs_impl(params, pose_axisang, betas, trans, parents):
     rotmats = axis_angle_to_rotmat_smpl(aa)  # (B, J, 3, 3)
 
     # --- shape blend + joint regression -----------------------------------
-    # Reference quirk: all-zero betas (norm == 0) fall back to template betas.
-    use_template = jnp.linalg.norm(betas) == 0.0
+    # Reference quirk: all-zero betas (norm == 0) fall back to template
+    # betas. PER FRAME -- the reference runs smpl_layer one frame at a time
+    # (smpl_layer.py:87), so in a mixed batch each frame takes its own
+    # branch; a batch-global norm would leak one frame's betas into
+    # another's fallback decision.
+    use_template = jnp.linalg.norm(betas, axis=1, keepdims=True) == 0.0
     eff_betas = jnp.where(
         use_template, jnp.broadcast_to(params["template_betas"], betas.shape), betas
     )
@@ -116,10 +120,11 @@ def _lbs_impl(params, pose_axisang, betas, trans, parents):
     tv = M[..., 9:]
     verts = jnp.einsum("bvij,bvj->bvi", Rv, v_posed, precision=_HI) + tv
 
-    # --- translation (reference: skipped when all-zero) -----------------------
-    has_trans = jnp.linalg.norm(trans) != 0.0
-    verts = verts + jnp.where(has_trans, 1.0, 0.0) * trans[:, None, :]
-    joints = t_world + jnp.where(has_trans, 1.0, 0.0) * trans[:, None, :]
+    # --- translation (reference: skipped when all-zero, per frame) -----------
+    has_trans = jnp.linalg.norm(trans, axis=1) != 0.0
+    gate = jnp.where(has_trans, 1.0, 0.0)[:, None, None]
+    verts = verts + gate * trans[:, None, :]
+    joints = t_world + gate * trans[:, None, :]
     return verts, joints
 
 
@@ -133,7 +138,9 @@ class LBS:
     (ops/lbs_pallas.py): ~13x faster on TPU for full-mesh batches, at default
     MXU precision (vs this path's HIGHEST) -- use it for throughput/training
     workloads; the default jnp path is the bit-parity reference for debug
-    mesh exports. Translation is not supported on the pallas path.
+    mesh exports. Translation composes as a post-kernel add (reference
+    semantics preserved); off-TPU the kernel runs in interpret mode so the
+    option stays usable everywhere.
     """
 
     def __init__(self, model: SMPLModel, use_pallas: bool = False):
@@ -161,14 +168,20 @@ class LBS:
             from poserisk_release_tpu.ops.lbs_pallas import lbs_pallas_jit
 
             verts, joints = lbs_pallas_jit(
-                self.params, pose_axisang, jnp.asarray(betas, jnp.float32), self.parents
+                self.params, pose_axisang, jnp.asarray(betas, jnp.float32),
+                self.parents,
+                # The module docstring's promised off-TPU fallback: Mosaic
+                # lowering needs a TPU, interpret mode does not (same
+                # platform gate as pipeline._pallas_crop).
+                interpret=jax.devices()[0].platform != "tpu",
             )
-            # Reference semantics: translation applies only when non-zero
-            # (smpl_layer.py:148-155); the kernel skins in rest space, so it
-            # composes as a plain post-add.
+            # Reference semantics: translation applies only when non-zero,
+            # PER FRAME (smpl_layer.py:148-155 runs one frame per call); the
+            # kernel skins in rest space, so it composes as a plain post-add.
             trans = jnp.asarray(trans, jnp.float32)
-            has_trans = jnp.where(jnp.linalg.norm(trans) != 0.0, 1.0, 0.0)
-            offset = has_trans * trans[:, None, :]
+            gate = jnp.where(
+                jnp.linalg.norm(trans, axis=1) != 0.0, 1.0, 0.0)[:, None, None]
+            offset = gate * trans[:, None, :]
             return verts + offset, joints + offset
         return _lbs_impl(self.params, pose_axisang, jnp.asarray(betas, jnp.float32),
                          jnp.asarray(trans, jnp.float32), self.parents)

@@ -155,17 +155,27 @@ def lbs_forward_pallas(
     aa = pose_axisang.reshape(B, J, 3)
     rotmats = axis_angle_to_rotmat_smpl(aa)
 
-    use_template = jnp.linalg.norm(betas) == 0.0
+    # Per-frame template-betas fallback, matching ops.lbs._lbs_impl (the
+    # reference applies the quirk one frame at a time).
+    use_template = jnp.linalg.norm(betas, axis=1, keepdims=True) == 0.0
     eff_betas = jnp.where(
         use_template, jnp.broadcast_to(params["template_betas"], betas.shape), betas
     )
 
-    # Rest joints from shaped template (small matmuls; leave to XLA).
+    # Rest joints WITHOUT materialising (B, V, 3): fold the joint regressor
+    # into the template and the shape basis once (B-independent, XLA hoists
+    # it), then contract per-batch over the 10 betas only -- O(B*J) traffic
+    # instead of an HBM round trip of the full shaped mesh, which would
+    # dwarf the kernel's one-pass win at large B. Numerically this is the
+    # same sum re-associated (HIGHEST precision throughout).
     hi = jax.lax.Precision.HIGHEST
-    v_shaped = params["v_template"][None] + jnp.matmul(
-        eff_betas, params["shapedirs"].T, precision=hi
-    ).reshape(B, V, 3)
-    joints_rest = jnp.einsum("jv,bvc->bjc", params["J_regressor"], v_shaped, precision=hi)
+    reg = params["J_regressor"]  # (J, V)
+    joints_base = jnp.matmul(reg, params["v_template"], precision=hi)  # (J, 3)
+    # shapedirs rows are v-major/coord-minor: (V*3, 10) -> (V, 3, 10).
+    shape_basis = params["shapedirs"].reshape(V, 3, -1)
+    joints_shape = jnp.einsum("jv,vcs->jcs", reg, shape_basis, precision=hi)
+    joints_rest = joints_base[None] + jnp.einsum(
+        "bs,jcs->bjc", eff_betas, joints_shape, precision=hi)
 
     eye = jnp.eye(3, dtype=rotmats.dtype)
     pose_map = (rotmats[:, 1:] - eye).reshape(B, (J - 1) * 9)

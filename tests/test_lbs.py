@@ -173,3 +173,66 @@ def test_vertex_segmentation_and_part_colors(full_model):
     from poserisk_release_tpu.body.smpl import PART_SEGMENTS_COLOR
 
     assert len(PART_SEGMENTS_COLOR) == 24
+
+
+class TestPerFrameQuirks:
+    """The reference applies its all-zero fallbacks ONE FRAME AT A TIME
+    (smpl_layer runs per frame), so in a mixed batch each frame takes its
+    own branch -- a batch-global norm would leak one frame's betas/trans
+    into another's decision. Template betas are NONZERO here: the suite's
+    synthetic models carry zero template betas, which made the fallback
+    untestable (a regression to plain zero betas would have passed)."""
+
+    @pytest.fixture(scope="class")
+    def template_model(self):
+        arrays = body.synthetic_smpl_arrays(num_verts=200, seed=11)
+        arrays["betas"] = np.linspace(-0.5, 0.5, 10).astype(np.float32)
+        return body.SMPLModel.from_arrays(arrays)
+
+    def test_mixed_batch_betas_fallback_is_per_frame(self, template_model):
+        lbs = LBS(template_model)
+        pose = np.zeros((2, 72), np.float32)
+        betas = np.stack([np.zeros(10, np.float32),
+                          np.full(10, 0.3, np.float32)])
+        verts, _ = lbs(pose, betas)
+
+        v_tpl, _ = lbs(pose[:1], template_model.betas[None].astype(np.float32))
+        v_03, _ = lbs(pose[1:], betas[1:])
+        # Frame 0 (all-zero betas) takes the template fallback; frame 1
+        # keeps its own betas -- independent of sharing a batch.
+        np.testing.assert_allclose(np.asarray(verts[0]), np.asarray(v_tpl[0]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(verts[1]), np.asarray(v_03[0]),
+                                   atol=1e-6)
+        # And the fallback is NOT a zero-betas forward (template != 0 here).
+        v_zero_request = np.asarray(verts[0])
+        v_true_zero = np.asarray(lbs(pose[:1], betas[1:] * 0 + 1e-8)[0][0])
+        assert np.abs(v_zero_request - v_true_zero).max() > 1e-4
+
+    def test_mixed_batch_trans_gate_is_per_frame(self, template_model):
+        lbs = LBS(template_model)
+        pose = np.zeros((2, 72), np.float32)
+        trans = np.stack([np.zeros(3, np.float32),
+                          np.array([0.1, -0.2, 0.3], np.float32)])
+        verts, joints = lbs(pose, None, trans)
+        # Frame 0 untranslated, frame 1 shifted by its own trans.
+        np.testing.assert_allclose(np.asarray(verts[0]),
+                                   np.asarray(lbs(pose[:1])[0][0]), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(joints[1] - joints[0]),
+            np.broadcast_to(trans[1], joints[0].shape), atol=1e-5)
+
+    def test_pallas_path_matches_per_frame_fallback(self, template_model):
+        """use_pallas=True (interpret mode off-TPU, the module docstring's
+        promised fallback -- no monkeypatch) agrees with the jnp path on
+        the mixed batch, including the precontracted rest-joint math."""
+        pose = np.random.RandomState(0).uniform(
+            -0.3, 0.3, (2, 72)).astype(np.float32)
+        betas = np.stack([np.zeros(10, np.float32),
+                          np.full(10, 0.2, np.float32)])
+        ref_v, ref_j = LBS(template_model)(pose, betas)
+        pal_v, pal_j = LBS(template_model, use_pallas=True)(pose, betas)
+        np.testing.assert_allclose(np.asarray(pal_v), np.asarray(ref_v),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(pal_j), np.asarray(ref_j),
+                                   atol=2e-5)

@@ -44,22 +44,16 @@ def test_zero_betas_template_fallback(model):
 
 
 def test_pallas_path_applies_translation(model, rng):
-    """LBS(use_pallas=True) must honor trans (post-kernel composition)."""
+    """LBS(use_pallas=True) must honor trans (post-kernel composition).
+    No monkeypatch: off-TPU the class routes the kernel through interpret
+    mode itself (the module docstring's promised fallback)."""
     from poserisk_release_tpu.ops.lbs import LBS
 
     lbs = LBS(model, use_pallas=True)
     pose = rng.uniform(-0.5, 0.5, size=(2, 72)).astype(np.float32)
     trans = rng.normal(size=(2, 3)).astype(np.float32)
-    import poserisk_release_tpu.ops.lbs_pallas as lp
-    import unittest.mock as mock
-
-    # CPU: route the kernel through interpret mode for this test.
-    with mock.patch.object(
-        lp, "lbs_pallas_jit",
-        lambda params, p, b, parents: lp.lbs_forward_pallas(params, p, b, parents, interpret=True),
-    ):
-        v0, j0 = lbs(pose, None, np.zeros((2, 3), np.float32))
-        v1, j1 = lbs(pose, None, trans)
+    v0, j0 = lbs(pose, None, np.zeros((2, 3), np.float32))
+    v1, j1 = lbs(pose, None, trans)
     np.testing.assert_allclose(np.asarray(v1) - np.asarray(v0),
                                np.broadcast_to(trans[:, None, :], v0.shape), atol=1e-5)
     np.testing.assert_allclose(np.asarray(j1) - np.asarray(j0),
