@@ -55,10 +55,19 @@ def smpl_forward(arrays, pose_72, betas_10=None, trans_3=None):
 
     rotmats = _rodrigues(pose.reshape(B * J, 3)).reshape(B, J, 3, 3)
 
-    if betas_10 is None or float(np.linalg.norm(betas_10)) == 0.0:
+    # The reference runs SMPL_Layer one frame at a time (its caller loops,
+    # coord_utils.py:12), so the all-zero-betas template fallback
+    # (smpl_layer.py:87-95) is decided PER FRAME, never over the batch.
+    if betas_10 is None:
         betas = template_betas.unsqueeze(0).expand(B, -1)
     else:
-        betas = torch.from_numpy(np.asarray(betas_10, np.float32))
+        given = np.broadcast_to(np.asarray(betas_10, np.float32), (B, 10))
+        per_frame = np.where(
+            np.linalg.norm(given, axis=1, keepdims=True) == 0.0,
+            np.asarray(arrays["betas"], np.float32)[None],
+            given,
+        )
+        betas = torch.from_numpy(np.ascontiguousarray(per_frame))
     v_shaped = v_template.unsqueeze(0) + torch.einsum(
         "vck,bk->bvc", shapedirs.view(V, 3, -1), betas
     )
@@ -94,8 +103,12 @@ def smpl_forward(arrays, pose_72, betas_10=None, trans_3=None):
     v_h = torch.cat([v_posed, torch.ones(B, V, 1)], dim=2)
     verts = torch.einsum("bvik,bvk->bvi", T, v_h)[:, :, :3]
 
-    if trans_3 is not None and float(np.linalg.norm(trans_3)) != 0.0:
-        t = torch.from_numpy(np.asarray(trans_3, np.float32))
+    if trans_3 is not None:
+        # Same per-frame rule for the all-zero-translation skip
+        # (smpl_layer.py:148-155): each frame gates on its own trans.
+        given = np.broadcast_to(np.asarray(trans_3, np.float32), (B, 3))
+        gate = (np.linalg.norm(given, axis=1, keepdims=True) != 0.0).astype(np.float32)
+        t = torch.from_numpy(np.ascontiguousarray(given * gate))
         verts = verts + t.unsqueeze(1)
         joints = joints + t.unsqueeze(1)
     return verts.numpy(), joints.numpy()

@@ -222,6 +222,27 @@ class TestPerFrameQuirks:
             np.asarray(joints[1] - joints[0]),
             np.broadcast_to(trans[1], joints[0].shape), atol=1e-5)
 
+    def test_mixed_batch_matches_torch_oracle(self, template_model):
+        """Close the truth-link loop: the torch restatement of SMPL_Layer
+        (per-frame fallback/trans gates, like the reference's one-frame
+        loop) agrees with the product LBS on a batch mixing zero and
+        non-zero betas AND zero and non-zero trans."""
+        from tests.oracles import torch_smpl
+
+        pose = np.random.RandomState(3).uniform(
+            -0.4, 0.4, (3, 72)).astype(np.float32)
+        betas = np.stack([np.zeros(10, np.float32),
+                          np.full(10, 0.25, np.float32),
+                          np.linspace(-0.2, 0.2, 10).astype(np.float32)])
+        trans = np.stack([np.array([0.2, 0.0, -0.1], np.float32),
+                          np.zeros(3, np.float32),
+                          np.array([-0.05, 0.3, 0.0], np.float32)])
+        want_v, want_j = torch_smpl.smpl_forward(
+            _arrays(template_model), pose, betas, trans)
+        got_v, got_j = LBS(template_model)(pose, betas, trans)
+        np.testing.assert_allclose(np.asarray(got_v), want_v, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_j), want_j, atol=2e-5)
+
     def test_pallas_path_matches_per_frame_fallback(self, template_model):
         """use_pallas=True (interpret mode off-TPU, the module docstring's
         promised fallback -- no monkeypatch) agrees with the jnp path on
