@@ -67,11 +67,10 @@ def get_all_bbox_params(
             params.extend(interp)
             gap = 0
         params.append(np.asarray(p, np.float64))
-    stacked = (
-        np.stack(params).astype(np.float32)
-        if params
-        else np.empty((0, 3), np.float32)
-    )
+    # Non-empty results are float64 like the reference's (its float32 empty
+    # seed promotes on the first vstack with a float64 param row); only the
+    # all-missing case keeps the float32 empty.
+    stacked = np.stack(params) if params else np.empty((0, 3), np.float32)
     return stacked, start_index, i - gap + 1
 
 

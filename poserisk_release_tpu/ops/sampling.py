@@ -32,10 +32,15 @@ def sample_image_feature(
     y0 = jnp.floor(gy)
     fx = gx - x0
     fy = gy - y0
+    # Clip the TRUE neighbour indices, not clipped-x0 + 1: for a point just
+    # left of the grid (gx in [-1, 0), x0 = -1) the x1 tap is pixel 0, but
+    # clip(x0)+1 would read pixel 1 -- a real divergence from
+    # grid_sample(padding_mode='zeros') in the one-pixel border band where
+    # exactly one tap is still inside.
     x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
-    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    x1i = jnp.clip((x0 + 1).astype(jnp.int32), 0, W - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
-    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    y1i = jnp.clip((y0 + 1).astype(jnp.int32), 0, H - 1)
 
     # Zero-padding outside the grid (grid_sample default padding_mode='zeros').
     vx0 = ((x0 >= 0) & (x0 <= W - 1)).astype(img_feat.dtype)

@@ -56,6 +56,12 @@ def pad_to_multiple(x, multiple: int) -> tuple:
     n = x.shape[0]
     if multiple <= 1 or n % multiple == 0:
         return x, n
+    if n == 0:
+        # x[-1:] of an empty batch yields ZERO filler rows, silently
+        # returning an unpadded empty -- unreachable from the product
+        # (_run_chunked returns empty-in/empty-out before uploading), but a
+        # library caller deserves a loud error over a wrong shape.
+        raise ValueError("cannot edge-pad an empty batch to a multiple")
     pad = multiple - (n % multiple)
     if isinstance(x, jax.Array):
         import jax.numpy as jnp

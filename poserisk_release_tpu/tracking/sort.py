@@ -100,7 +100,12 @@ class _KalmanBoxTrack:
         S = self.H @ self.P @ self.H.T + self.R
         K = self.P @ self.H.T @ np.linalg.inv(S)
         self.x = self.x + K @ y
-        self.P = (np.eye(7) - K @ self.H) @ self.P
+        # Joseph-stabilised covariance update, the form filterpy's
+        # KalmanFilter.update computes (the upstream SORT's filter): equal to
+        # (I-KH)P in exact arithmetic but not in floats, and the track boxes
+        # it shapes feed crop geometry downstream.
+        i_kh = np.eye(7) - K @ self.H
+        self.P = i_kh @ self.P @ i_kh.T + K @ self.R @ K.T
 
     def state(self) -> np.ndarray:
         return _x_to_xyxy(self.x)
