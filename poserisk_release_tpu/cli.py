@@ -29,6 +29,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="input additional_information.json")
     parser.add_argument("--output", type=str, default="output", help="output directory")
     parser.add_argument("--visualize", type=bool, default=True, help="do result visualization")
+    parser.add_argument("--no_visualize", action="store_true",
+                        help="disable annotated-video rendering. The "
+                             "reference's type=bool --visualize quirk makes "
+                             "'--visualize False' parse as True (any "
+                             "non-empty string is truthy; preserved for "
+                             "parity -- '--visualize \"\"' also disables), "
+                             "so this is the real off-switch, essential for "
+                             "--streaming where rendering forces a full-clip "
+                             "decode + per-frame cv2 composition")
     parser.add_argument("--debug", action="store_true", help="for debuging")
     parser.add_argument("--debug_joints", type=str, default="",
                         help='for debuging, input joint names (i.e. "Neck,L_Hip")')
@@ -241,6 +250,11 @@ def run_streaming(args, cfg) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.no_visualize:
+        # Normalise once so every downstream consumer (Predictor,
+        # run_streaming) sees one boolean; keeps the quirky --visualize
+        # surface untouched for reference parity.
+        args.visualize = False
 
     import jax
 

@@ -171,11 +171,42 @@ def unflatten_tree(flat: Dict[str, np.ndarray]) -> Dict:
     return tree
 
 
-def save_flax_variables(variables: Dict, path: str) -> None:
-    """Flatten-and-save converted variables to npz for torch-free reload."""
-    np.savez(path, **flatten_tree(variables))
+_SOURCE_STAMP_KEY = "__source_stamp__"
+
+
+def source_stamp(path: str) -> np.ndarray:
+    """(size_bytes, mtime_ns) identity of a converted checkpoint, stored
+    INSIDE the npz cache. Comparing stamps catches replacement checkpoints
+    installed with timestamp-preserving tools (cp -p, rsync -a, tar) or on
+    coarse-mtime filesystems, which a bare mtime '>' ordering misses."""
+    import os
+
+    st = os.stat(path)
+    return np.asarray([st.st_size, st.st_mtime_ns], np.int64)
+
+
+def save_flax_variables(variables: Dict, path: str,
+                        source: str | None = None) -> None:
+    """Flatten-and-save converted variables to npz for torch-free reload.
+
+    source: path of the checkpoint these variables were converted from;
+    its source_stamp is embedded so loaders can detect replacement."""
+    flat = flatten_tree(variables)
+    if source is not None:
+        flat[_SOURCE_STAMP_KEY] = source_stamp(source)
+    np.savez(path, **flat)
 
 
 def load_flax_variables(path: str) -> Dict:
     with np.load(path) as data:
-        return unflatten_tree({key: data[key] for key in data.files})
+        return unflatten_tree({key: data[key] for key in data.files
+                               if key != _SOURCE_STAMP_KEY})
+
+
+def cached_source_stamp(path: str) -> np.ndarray | None:
+    """The source_stamp stored in an npz cache, or None for caches written
+    before stamps existed (or by save calls without a source)."""
+    with np.load(path) as data:
+        if _SOURCE_STAMP_KEY in data.files:
+            return data[_SOURCE_STAMP_KEY]
+    return None

@@ -72,12 +72,23 @@ def load_spin_variables(cfg: Config) -> Dict:
     have_ckpt = osp.isfile(cfg.SPIN.checkpoint)
     # Staleness guard: an operator dropping NEW weights over the old
     # checkpoint path must not be silently shadowed by the cached
-    # conversion of the previous ones.
-    if osp.isfile(npz_path) and not (
-        have_ckpt
-        and os.path.getmtime(cfg.SPIN.checkpoint) > os.path.getmtime(npz_path)
-    ):
-        return model_convert.load_flax_variables(npz_path)
+    # conversion of the previous ones. The cache embeds the source
+    # checkpoint's (size, mtime_ns) stamp; ANY mismatch -- including
+    # timestamp-preserving installs (cp -p, rsync -a, tar) that a bare
+    # mtime '>' ordering would miss -- triggers re-conversion. Pre-stamp
+    # caches (stamp is None) fall back to the mtime ordering.
+    if osp.isfile(npz_path):
+        fresh = not have_ckpt
+        if have_ckpt:
+            stamp = model_convert.cached_source_stamp(npz_path)
+            if stamp is not None:
+                fresh = bool(np.array_equal(
+                    stamp, model_convert.source_stamp(cfg.SPIN.checkpoint)))
+            else:
+                fresh = not (os.path.getmtime(cfg.SPIN.checkpoint)
+                             > os.path.getmtime(npz_path))
+        if fresh:
+            return model_convert.load_flax_variables(npz_path)
     if have_ckpt:
         variables = model_convert.load_spin_checkpoint(cfg.SPIN.checkpoint)
         mean = load_mean_params(cfg.SPIN.smpl_mean_params)
@@ -85,7 +96,8 @@ def load_spin_variables(cfg: Config) -> Dict:
         for key in ("init_pose", "init_shape", "init_cam"):
             params.setdefault(key, jnp.asarray(mean[key]))
         variables["params"] = params
-        model_convert.save_flax_variables(variables, npz_path)
+        model_convert.save_flax_variables(variables, npz_path,
+                                          source=cfg.SPIN.checkpoint)
         return variables
     return init_spin_params(
         jax.random.PRNGKey(0), load_mean_params(cfg.SPIN.smpl_mean_params),

@@ -89,14 +89,14 @@ def _decode_windows(path: str, window: int, out_q: "queue.Queue",
     try:
         cap, fps, width, height = _open_video(path)
     except FileNotFoundError:
-        emit(("error", f"cannot open video: {path}"))
+        emit(("error", "not_found", f"cannot open video: {path}"))
         return
     except Exception as exc:
         # Any OTHER setup failure (cv2 import error on a headless host, a
         # raising backend constructor, ...) must also surface as an item:
         # a thread that dies before emitting anything leaves the consumer
         # blocked forever on q.get().
-        emit(("error", f"decode setup failed for {path}: {exc!r}"))
+        emit(("error", "setup", f"decode setup failed for {path}: {exc!r}"))
         return
     if not emit(("meta", fps)):
         cap.release()
@@ -124,7 +124,7 @@ def _decode_windows(path: str, window: int, out_q: "queue.Queue",
         # the video with an inflated total_frames (and a wrong min-frame-
         # ratio filter). Surface it as an error item instead; the buffered
         # frames that never formed a window are intentionally dropped.
-        emit(("error", f"decode failed after frame {idx}: {exc!r}"))
+        emit(("error", "decode", f"decode failed after frame {idx}: {exc!r}"))
         return
     finally:
         cap.release()
@@ -158,9 +158,13 @@ def _window_stream(video_path: str, window: int, max_frames: Optional[int],
         while True:
             item = q.get()
             if item[0] == "error":
-                if item[1].startswith("cannot open video"):
-                    raise FileNotFoundError(item[1])
-                raise RuntimeError(item[1])  # mid-clip decode failure
+                # Structured ("error", kind, msg) items: the exception type
+                # is picked by the kind tag, not by matching message text,
+                # so rewording a message cannot silently change the type.
+                _, kind, msg = item
+                if kind == "not_found":
+                    raise FileNotFoundError(msg)
+                raise RuntimeError(msg)  # setup / mid-clip decode failure
             yield item
             if item[0] == "end":
                 break
@@ -299,71 +303,86 @@ class StreamingScorer:
             )
             if title in video_types.replace(" ", "").upper().split(",")
         ]
+        if video_output is not None and not render_plan:
+            # A video_types string matching neither family would otherwise
+            # decode the WHOLE clip for nothing and leave empty person_<id>/
+            # directories with no videos in them.
+            raise ValueError(
+                f"video_types {video_types!r} selects neither REBA nor RULA;"
+                " nothing to render")
         writers: Dict[int, list] = {}
         if video_output is not None:
             stop_at = max_frames  # rendering draws the whole clip
-        for item in _window_stream(video_path, self.window, stop_at,
-                                   self.cfg.DATASET.decode_workers):
-            if item[0] != "window":
-                continue
-            _, start_idx, frames = item
-            if video_output is not None and not writers:
-                import os
+        try:
+            for item in _window_stream(video_path, self.window, stop_at,
+                                       self.cfg.DATASET.decode_workers):
+                if item[0] != "window":
+                    continue
+                _, start_idx, frames = item
+                if video_output is not None and not writers:
+                    import os
 
-                from poserisk_release_tpu.outputs.render import (
-                    ResultVideoWriter,
-                )
-
-                for pid, (fr, bx) in tracks.items():
-                    person_out = os.path.join(video_output, f"person_{pid}")
-                    os.makedirs(person_out, exist_ok=True)
-                    writers[pid] = [
-                        ResultVideoWriter(person_out, title, fps,
-                                          frames.shape[1:3],
-                                          scorer.eval_items, fr, bx)
-                        for title, scorer, _, _ in render_plan
-                    ]
-            overlapping = []
-            for pid, (fr, bx) in tracks.items():
-                mask = (fr >= start_idx) & (fr < start_idx + len(frames))
-                if mask.any():
-                    overlapping.append((pid, fr[mask] - start_idx, bx[mask]))
-            if len(overlapping) > 1:
-                # Multi-person windows share ONE device upload of the union
-                # of selected frames; each track then gathers its own frames
-                # on device (run_from_frames / _run_chunked handle jax.Array
-                # sources natively). Without this, every frame seen by P
-                # tracks shipped to the device P times per window. Scores
-                # are bit-identical: each track still feeds the exact same
-                # (frame, bbox) sequence through the same chunking/stride.
-                import jax.numpy as jnp
-
-                union = np.unique(np.concatenate(
-                    [ids for _, ids, _ in overlapping]))
-                pos = np.full(int(union.max()) + 1, -1, np.int64)
-                pos[union] = np.arange(len(union))
-                frames_src = jnp.asarray(frames[union])
-                for pid, ids, bx in overlapping:
-                    self._score_window(
-                        frames_src, pos[ids], bx,
-                        int(start_idx), add_info, reba, rula, results[pid],
-                        orig_local_ids=ids,
+                    from poserisk_release_tpu.outputs.render import (
+                        ResultVideoWriter,
                     )
-            elif overlapping:
-                pid, ids, bx = overlapping[0]
-                self._score_window(
-                    frames, ids, bx,
-                    int(start_idx), add_info, reba, rula, results[pid],
-                )
-            for pid, per_title in writers.items():
-                for writer, (_, _, s_attr, l_attr) in zip(per_title,
-                                                          render_plan):
-                    writer.write_window(frames, int(start_idx),
-                                        getattr(results[pid], s_attr),
-                                        getattr(results[pid], l_attr))
-        for per_title in writers.values():
-            for writer in per_title:
-                writer.close()
+
+                    for pid, (fr, bx) in tracks.items():
+                        person_out = os.path.join(video_output,
+                                                  f"person_{pid}")
+                        os.makedirs(person_out, exist_ok=True)
+                        writers[pid] = [
+                            ResultVideoWriter(person_out, title, fps,
+                                              frames.shape[1:3],
+                                              scorer.eval_items, fr, bx)
+                            for title, scorer, _, _ in render_plan
+                        ]
+                overlapping = []
+                for pid, (fr, bx) in tracks.items():
+                    mask = (fr >= start_idx) & (fr < start_idx + len(frames))
+                    if mask.any():
+                        overlapping.append(
+                            (pid, fr[mask] - start_idx, bx[mask]))
+                if len(overlapping) > 1:
+                    # Multi-person windows share ONE device upload of the
+                    # union of selected frames; each track then gathers its
+                    # own frames on device (run_from_frames / _run_chunked
+                    # handle jax.Array sources natively). Without this,
+                    # every frame seen by P tracks shipped to the device P
+                    # times per window. Scores are bit-identical: each track
+                    # still feeds the exact same (frame, bbox) sequence
+                    # through the same chunking/stride.
+                    import jax.numpy as jnp
+
+                    union = np.unique(np.concatenate(
+                        [ids for _, ids, _ in overlapping]))
+                    pos = np.full(int(union.max()) + 1, -1, np.int64)
+                    pos[union] = np.arange(len(union))
+                    frames_src = jnp.asarray(frames[union])
+                    for pid, ids, bx in overlapping:
+                        self._score_window(
+                            frames_src, pos[ids], bx,
+                            int(start_idx), add_info, reba, rula,
+                            results[pid], orig_local_ids=ids,
+                        )
+                elif overlapping:
+                    pid, ids, bx = overlapping[0]
+                    self._score_window(
+                        frames, ids, bx,
+                        int(start_idx), add_info, reba, rula, results[pid],
+                    )
+                for pid, per_title in writers.items():
+                    for writer, (_, _, s_attr, l_attr) in zip(per_title,
+                                                              render_plan):
+                        writer.write_window(frames, int(start_idx),
+                                            getattr(results[pid], s_attr),
+                                            getattr(results[pid], l_attr))
+        finally:
+            # close() on every path: an exception mid-clip (decode failure,
+            # scoring error, rotation-validation assert) must not leak cv2
+            # VideoWriter handles / leave unreleased mp4s behind.
+            for per_title in writers.values():
+                for writer in per_title:
+                    writer.close()
         return results
 
     # -- pass 1: detect + track only (no pixels retained) -----------------
@@ -433,12 +452,6 @@ class StreamingScorer:
         stop_at = int(sel_frames.max()) + 1
         if max_frames is not None:
             stop_at = min(stop_at, max_frames)
-        writers: list = []
-        if video_output is not None:
-            stop_at = max_frames
-            import os
-
-            os.makedirs(video_output, exist_ok=True)
         wanted = video_types.replace(" ", "").upper().split(",")
         render_plan = [
             (title, scorer, scores_attr, logs_attr)
@@ -448,36 +461,54 @@ class StreamingScorer:
             )
             if title in wanted
         ]
-        for item in _window_stream(video_path, self.window, stop_at,
-                                   self.cfg.DATASET.decode_workers):
-            if item[0] != "window":
-                continue
-            _, start_idx, frames = item
-            mask = (sel_frames >= start_idx) & (sel_frames < start_idx + len(frames))
-            if mask.any():
-                self._score_window(
-                    frames, sel_frames[mask] - start_idx, bboxes[mask],
-                    int(start_idx), add_info, reba, rula, result,
-                )
-            if video_output is not None:
-                if not writers:
-                    from poserisk_release_tpu.outputs.render import (
-                        ResultVideoWriter,
-                    )
+        writers: list = []
+        if video_output is not None:
+            if not render_plan:
+                # Same guard as score_all: an unrenderable video_types would
+                # decode the whole clip for nothing.
+                raise ValueError(
+                    f"video_types {video_types!r} selects neither REBA nor"
+                    " RULA; nothing to render")
+            stop_at = max_frames
+            import os
 
-                    writers = [
-                        ResultVideoWriter(video_output, title, fps,
-                                          frames.shape[1:3],
-                                          scorer.eval_items, sel_frames,
-                                          bboxes)
-                        for title, scorer, _, _ in render_plan
-                    ]
-                for writer, (_, _, s_attr, l_attr) in zip(writers, render_plan):
-                    writer.write_window(frames, int(start_idx),
-                                        getattr(result, s_attr),
-                                        getattr(result, l_attr))
-        for writer in writers:
-            writer.close()
+            os.makedirs(video_output, exist_ok=True)
+        try:
+            for item in _window_stream(video_path, self.window, stop_at,
+                                       self.cfg.DATASET.decode_workers):
+                if item[0] != "window":
+                    continue
+                _, start_idx, frames = item
+                mask = ((sel_frames >= start_idx)
+                        & (sel_frames < start_idx + len(frames)))
+                if mask.any():
+                    self._score_window(
+                        frames, sel_frames[mask] - start_idx, bboxes[mask],
+                        int(start_idx), add_info, reba, rula, result,
+                    )
+                if video_output is not None:
+                    if not writers:
+                        from poserisk_release_tpu.outputs.render import (
+                            ResultVideoWriter,
+                        )
+
+                        writers = [
+                            ResultVideoWriter(video_output, title, fps,
+                                              frames.shape[1:3],
+                                              scorer.eval_items, sel_frames,
+                                              bboxes)
+                            for title, scorer, _, _ in render_plan
+                        ]
+                    for writer, (_, _, s_attr, l_attr) in zip(writers,
+                                                              render_plan):
+                        writer.write_window(frames, int(start_idx),
+                                            getattr(result, s_attr),
+                                            getattr(result, l_attr))
+        finally:
+            # Mirror score_all: release writer handles on exception paths
+            # too, not just the happy path.
+            for writer in writers:
+                writer.close()
         return result
 
     # -- single-pass online mode ------------------------------------------

@@ -94,3 +94,50 @@ def test_newer_checkpoint_invalidates_npz_cache(tmp_path):
     v3 = load_spin_variables(cfg)
     np.testing.assert_array_equal(
         np.asarray(jnp.asarray(v3["params"]["fc1"]["kernel"])), w2)
+
+
+def test_timestamp_preserving_replacement_invalidates_cache(tmp_path):
+    """A replacement checkpoint installed with a timestamp-preserving tool
+    (cp -p / rsync -a / tar) can carry an mtime OLDER than the npz cache;
+    the embedded (size, mtime_ns) source stamp must still detect it."""
+    import os
+
+    from poserisk_release_tpu.pipeline import load_spin_variables
+
+    mean = load_mean_params("")
+    ckpt_path = str(tmp_path / "model_checkpoint.pt")
+    mean_path = str(tmp_path / "smpl_mean_params.npz")
+    np.savez(mean_path, pose=mean["init_pose"].reshape(-1),
+             shape=mean["init_shape"].reshape(-1),
+             cam=mean["init_cam"].reshape(-1))
+    cfg = default_config().replace(
+        SPIN={"checkpoint": ckpt_path, "smpl_mean_params": mean_path})
+
+    torch.save({"model": randomized_torch_hmr(mean, seed=1).state_dict()},
+               ckpt_path)
+    v1 = load_spin_variables(cfg)
+    npz = ckpt_path + ".flax.npz"
+    assert osp.isfile(npz)
+
+    # New weights whose mtime is forced BEFORE the cache's -- the old
+    # mtime-'>'-ordering guard would keep serving the stale conversion.
+    torch.save({"model": randomized_torch_hmr(mean, seed=2).state_dict()},
+               ckpt_path)
+    os.utime(ckpt_path, (os.path.getmtime(npz) - 100,) * 2)
+    v2 = load_spin_variables(cfg)
+    w1 = np.asarray(jnp.asarray(v1["params"]["fc1"]["kernel"]))
+    w2 = np.asarray(jnp.asarray(v2["params"]["fc1"]["kernel"]))
+    assert not np.array_equal(w1, w2)
+
+    # The refreshed cache carries the new stamp: the next load is served
+    # torch-free without another conversion (mtime of the npz advanced, the
+    # checkpoint's did not -- only the stamp equality makes this work).
+    from poserisk_release_tpu.models import convert as model_convert
+
+    stamp = model_convert.cached_source_stamp(npz)
+    assert stamp is not None
+    np.testing.assert_array_equal(
+        stamp, model_convert.source_stamp(ckpt_path))
+    v3 = load_spin_variables(cfg)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.asarray(v3["params"]["fc1"]["kernel"])), w2)

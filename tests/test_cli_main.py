@@ -202,3 +202,68 @@ def test_input_videos_rename_collision_with_unique_stem(tmp_path):
     assert len(set(subdirs)) == len(subdirs) == 3
     # The well-behaved entries keep their documented names.
     assert "demo_mov" in subdirs and "demo_mp4" in subdirs
+
+
+def test_cli_no_visualize_is_a_real_off_switch(monkeypatch, tmp_path):
+    """The preserved reference quirk type=bool makes '--visualize False'
+    parse as True; --no_visualize is the documented real off-switch for
+    both the batch Predictor and the streaming path (where rendering
+    forces a full-clip decode)."""
+    import poserisk_release_tpu.cli as cli_mod
+
+    captured = {}
+
+    class FakePredictor:
+        def __init__(self, cfg=None, **kwargs):
+            captured["kwargs"] = kwargs
+
+        def __call__(self, *a, **k):
+            captured["called"] = True
+
+        timings = {}
+
+    monkeypatch.setattr("poserisk_release_tpu.pipeline.Predictor",
+                        FakePredictor)
+    # The quirk itself: '--visualize False' still means True.
+    rc = cli_mod.main(["--cpu", "--input", "x.mp4", "--output",
+                       str(tmp_path), "--num_devices", "1",
+                       "--visualize", "False"])
+    assert rc == 0 and captured["kwargs"]["visualize"] is True
+    # The off-switch wins regardless of --visualize.
+    rc = cli_mod.main(["--cpu", "--input", "x.mp4", "--output",
+                       str(tmp_path), "--num_devices", "1",
+                       "--visualize", "True", "--no_visualize"])
+    assert rc == 0 and captured["kwargs"]["visualize"] is False
+
+    # Streaming: --no_visualize means no video_output reaches the scorer.
+    stream_calls = {}
+
+    class FakeScorer:
+        def __init__(self, **kwargs):
+            pass
+
+        def __call__(self, video, add_info, video_output=None,
+                     video_types=""):
+            stream_calls["video_output"] = video_output
+            return object()
+
+        def write_outputs(self, result, out, score_type=""):
+            return {}
+
+        detector = None
+        estimator = None
+
+    monkeypatch.setattr("poserisk_release_tpu.streaming.StreamingScorer",
+                        FakeScorer)
+    monkeypatch.setattr("poserisk_release_tpu.pipeline.apply_explicit_calibration",
+                        lambda *a, **k: None)
+    monkeypatch.setattr("poserisk_release_tpu.pipeline.load_add_info",
+                        lambda *a, **k: {})
+    monkeypatch.setattr("poserisk_release_tpu.pipeline.build_detector",
+                        lambda cfg: None)
+    monkeypatch.setattr("poserisk_release_tpu.outputs.stats.print_result_summary",
+                        lambda *a, **k: None)
+    rc = cli_mod.main(["--cpu", "--streaming", "--input", "x.mp4",
+                       "--output", str(tmp_path), "--num_devices", "1",
+                       "--no_visualize"])
+    assert rc == 0 and stream_calls["video_output"] is None

@@ -553,3 +553,49 @@ def test_score_all_videos_frame_exact_vs_batch_multi_person(
                 osp.join(batch_out, f"person_{bpid}", f"{title}_video.mp4"))
             assert s.shape == b.shape, (title, spid)
             np.testing.assert_array_equal(s, b, err_msg=f"{title}/{spid}")
+
+
+def test_unrenderable_video_types_raise_before_decoding(tmp_path, long_clip):
+    """video_output with a video_types string matching neither family used
+    to decode the whole clip for nothing (and, in score_all, leave empty
+    person_<id>/ directories); now it raises up front."""
+    scorer = StreamingScorer(detector=StubDetector(), window=16)
+    with pytest.raises(ValueError, match="neither REBA nor RULA"):
+        scorer(long_clip, INFO, video_output=str(tmp_path / "x"),
+               video_types="NONSENSE")
+    with pytest.raises(ValueError, match="neither REBA nor RULA"):
+        scorer.score_all(long_clip, INFO, video_output=str(tmp_path / "y"),
+                         video_types="NONSENSE")
+
+
+def test_render_writers_closed_on_mid_clip_exception(tmp_path, long_clip,
+                                                     monkeypatch):
+    """An exception mid-clip (decode failure, scoring error, rotation
+    validation assert) must still release the cv2.VideoWriter handles --
+    they used to leak (unreleased/corrupt mp4s) on any non-happy path."""
+    from poserisk_release_tpu.outputs.render import ResultVideoWriter
+
+    closed = []
+    orig_close = ResultVideoWriter.close
+
+    def spy_close(self):
+        closed.append(self)
+        orig_close(self)
+
+    monkeypatch.setattr(ResultVideoWriter, "close", spy_close)
+
+    scorer = StreamingScorer(detector=StubDetector(), window=16)
+    orig = scorer._score_window
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # first window scores, writers exist by then
+            raise RuntimeError("scoring failed mid-clip")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(scorer, "_score_window", flaky)
+    with pytest.raises(RuntimeError, match="mid-clip"):
+        scorer(long_clip, INFO, video_output=str(tmp_path / "leak"),
+               video_types="REBA")
+    assert len(closed) == 1  # the REBA writer was released despite the error
