@@ -50,11 +50,20 @@ def frame_scores_chunked(
     mix of clip/window lengths reuses at most ~6 compiled shapes per scorer
     for the lifetime of the process.
 
-    The float32 cast is bit-identical to the previous direct call:
-    jnp.asarray performs the same f64 -> f32 rounding under JAX's default
-    x64-disabled semantics.
+    Dtype policy: the engine scores at the INPUT's precision. The reference
+    evaluates its rule chains on float64 euler angles (numpy scalars from
+    cv2.Rodrigues, reba.py:50-392), and the thresholds are integers, so an
+    angle within f32-rounding distance of a threshold (e.g. 110 - 1e-6,
+    which rounds to exactly 110.0 in f32) flips a branch if the engine
+    downcasts -- caught by tests/test_reference_differential.py's epsilon
+    band. Under production x64-disabled JAX, jnp.asarray performs the
+    f64 -> f32 rounding regardless (and the pipeline's own euler input is
+    already f32 off the device), so this preserves the production graphs
+    bit-identically while x64 hosts get the reference's f64 semantics.
     """
-    poses = np.asarray(poses, np.float32)
+    poses = np.asarray(poses)
+    if not (poses.dtype == np.float64 and jax.config.jax_enable_x64):
+        poses = np.asarray(poses, np.float32)
     n_frames = poses.shape[0]
     info_dev = jnp.asarray(info_packed)
     chunk = score_chunk_size(n_frames)
