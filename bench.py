@@ -83,6 +83,13 @@ BENCH_POSE_STRIDE = int(_os.environ.get("BENCH_POSE_STRIDE", "8"))
 WARMUP_STEPS = 2
 MEASURE_STEPS = 24
 FRAME_HW = (450, 800)  # reference ingest cap (funcs_utils.py:26-31)
+# The strides are an approximation policy (interpolated boxes, slerp'd
+# rotations), not the reference contract (detect+pose EVERY frame,
+# lib/core/base.py:211-240). So the artifact carries BOTH: the relaxed
+# headline in "value" and a strides-1/1 measurement from the same process
+# (same dtype/int8/fused config, warm compile cache) in "strict_fps" /
+# "strict_vs_baseline". BENCH_STRICT=0 skips the second measurement.
+BENCH_STRICT = _os.environ.get("BENCH_STRICT", "1") == "1"
 
 
 def main() -> None:
@@ -127,14 +134,17 @@ def main() -> None:
         quant_backbone = jax.device_put(
             quantize_spin_backbone(estimator.variables, calib_crops)
         )
-    step = jax.jit(
-        make_full_frame_step(cfg.SPIN.ief_iters, estimator.parents,
-                             compute_dtype=compute_dtype,
-                             quant_backbone=quant_backbone,
-                             fused_resample=BENCH_FUSED,
-                             det_stride=BENCH_DET_STRIDE,
-                             pose_stride=BENCH_POSE_STRIDE)
-    )
+    def build_step(det_stride: int, pose_stride: int):
+        return jax.jit(
+            make_full_frame_step(cfg.SPIN.ief_iters, estimator.parents,
+                                 compute_dtype=compute_dtype,
+                                 quant_backbone=quant_backbone,
+                                 fused_resample=BENCH_FUSED,
+                                 det_stride=det_stride,
+                                 pose_stride=pose_stride)
+        )
+
+    step = build_step(BENCH_DET_STRIDE, BENCH_POSE_STRIDE)
 
     # Frames are generated ON DEVICE: the remote-TPU relay in this environment
     # moves bulk data at ~4 MB/s, and uploading 140 MB of frames would swamp
@@ -178,49 +188,64 @@ def main() -> None:
         reba, rula, det_best = out
         return float(jnp.sum(reba) + jnp.sum(rula) + jnp.sum(det_best))
 
-    def run_once():
-        return step(
-            yolo_params, spin_variables, estimator.smpl_params,
-            frames, bboxes, info_reba, info_rula,
+    def measure_fps(step) -> float:
+        def run_once():
+            return step(
+                yolo_params, spin_variables, estimator.smpl_params,
+                frames, bboxes, info_reba, info_rula,
+            )
+
+        for _ in range(WARMUP_STEPS):
+            sync(run_once())
+
+        def measure_pass() -> float:
+            t0 = time.perf_counter()
+            outs = [run_once() for _ in range(MEASURE_STEPS)]
+            # One device-side accumulation over every step's outputs, then a
+            # single 4-byte readback: the float() can't resolve until all
+            # steps finished.
+            acc = jnp.float32(0)
+            for reba, rula, det_best in outs:
+                acc = acc + jnp.sum(reba) + jnp.sum(det_best)
+            float(acc)
+            return time.perf_counter() - t0
+
+        # Best of two passes: the remote relay occasionally stalls a whole
+        # pass (observed 6x outliers from transient contention); the faster
+        # pass is the one that reflects the chip.
+        elapsed = min(measure_pass(), measure_pass())
+        return (MEASURE_STEPS * BATCH) / elapsed
+
+    fps = measure_fps(step)
+    record = {
+        "metric": "e2e_device_pipeline_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": (
+            "frames/sec/chip (detector+crop+SPIN+angles+joints+REBA+RULA, "
+            f"{BENCH_DTYPE}{', int8 detector' if BENCH_INT8 else ''}"
+            f"{', int8 SPIN' if BENCH_SPIN_INT8 else ''}, rect canvas"
+            f"{', fused resample' if BENCH_FUSED else ''}"
+            f"{f', det stride {BENCH_DET_STRIDE}' if BENCH_DET_STRIDE > 1 else ''}"
+            f"{f', pose stride {BENCH_POSE_STRIDE}' if BENCH_POSE_STRIDE > 1 else ''})"
+        ),
+        "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
+    }
+    if (BENCH_DET_STRIDE, BENCH_POSE_STRIDE) == (1, 1):
+        # The headline IS the strict reference contract already.
+        strict_fps = fps
+    elif BENCH_STRICT:
+        strict_fps = measure_fps(build_step(1, 1))
+    else:
+        strict_fps = None
+    if strict_fps is not None:
+        record["strict_fps"] = round(strict_fps, 2)
+        record["strict_vs_baseline"] = round(strict_fps / REFERENCE_FPS_ESTIMATE, 2)
+        record["strict_unit"] = (
+            "same config at det/pose stride 1 (the reference's detect+pose "
+            "EVERY frame contract, lib/core/base.py:211-240); the headline "
+            "strides are an approximation policy on top"
         )
-
-    for _ in range(WARMUP_STEPS):
-        sync(run_once())
-
-    def measure_pass() -> float:
-        t0 = time.perf_counter()
-        outs = [run_once() for _ in range(MEASURE_STEPS)]
-        # One device-side accumulation over every step's outputs, then a
-        # single 4-byte readback: the float() can't resolve until all steps
-        # finished.
-        acc = jnp.float32(0)
-        for reba, rula, det_best in outs:
-            acc = acc + jnp.sum(reba) + jnp.sum(det_best)
-        float(acc)
-        return time.perf_counter() - t0
-
-    # Best of two passes: the remote relay occasionally stalls a whole pass
-    # (observed 6x outliers from transient contention); the faster pass is
-    # the one that reflects the chip.
-    elapsed = min(measure_pass(), measure_pass())
-    fps = (MEASURE_STEPS * BATCH) / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_device_pipeline_fps_per_chip",
-                "value": round(fps, 2),
-                "unit": (
-                    "frames/sec/chip (detector+crop+SPIN+angles+joints+REBA+RULA, "
-                    f"{BENCH_DTYPE}{', int8 detector' if BENCH_INT8 else ''}"
-                    f"{', int8 SPIN' if BENCH_SPIN_INT8 else ''}, rect canvas"
-                    f"{', fused resample' if BENCH_FUSED else ''}"
-                    f"{f', det stride {BENCH_DET_STRIDE}' if BENCH_DET_STRIDE > 1 else ''}"
-                    f"{f', pose stride {BENCH_POSE_STRIDE}' if BENCH_POSE_STRIDE > 1 else ''})"
-                ),
-                "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
-            }
-        )
-    )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
