@@ -6,6 +6,8 @@ import pytest
 from poserisk_release_tpu.cli import build_parser
 from poserisk_release_tpu.outputs.stats import format_result_txt, post_process_scores
 
+pytestmark = pytest.mark.smoke  # fast tier: no big model compiles
+
 
 class TestCLI:
     def test_reference_flags_and_defaults(self):

@@ -7,6 +7,7 @@ pose strings ({:.3f} triples), and score rows, independently recomputed in
 the test from the raw pose values.
 """
 
+import pytest
 import csv
 import os.path as osp
 
@@ -20,6 +21,8 @@ from poserisk_release_tpu.outputs.writers import (
 )
 from poserisk_release_tpu.scoring.reba import REBAScorer
 from poserisk_release_tpu.scoring.rula import RULAScorer
+
+pytestmark = pytest.mark.smoke  # fast tier: no big model compiles
 
 INFO = {
     "REBA": {

@@ -5,6 +5,8 @@ import pytest
 
 from poserisk_release_tpu.io import images as imutils
 
+pytestmark = pytest.mark.smoke  # fast tier: no big model compiles
+
 
 @pytest.fixture()
 def jpg(tmp_path, rng):

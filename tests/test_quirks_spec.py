@@ -5,10 +5,13 @@ documents each quirk as an explicit, individually-failing assertion so a
 regression names the exact quirk it broke.
 """
 
+import pytest
 import numpy as np
 
 from poserisk_release_tpu.scoring.reba import REBAScorer
 from poserisk_release_tpu.scoring.rula import RULAScorer
+
+pytestmark = pytest.mark.smoke  # fast tier: no big model compiles
 
 REBA_INFO = {"REBA": {
     "Legs_bilateral_weight_bearing/walking": 0, "Sitting": 0, "Load/Force Score": 0,

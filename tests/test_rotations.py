@@ -8,6 +8,8 @@ import jax.numpy as jnp
 from poserisk_release_tpu.ops import rotations as R
 from tests.oracles import reference_geometry as oracle
 
+pytestmark = pytest.mark.smoke  # fast tier: no big model compiles
+
 
 def _random_axis_angles(rng, n, max_angle=np.pi - 0.05):
     axes = rng.normal(size=(n, 3))

@@ -1,5 +1,6 @@
 """Feature sampling vs torch grid_sample; converter module-prefix stripping."""
 
+import pytest
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -8,6 +9,8 @@ import jax.numpy as jnp
 
 from poserisk_release_tpu.models.convert import spin_state_dict_to_flax
 from poserisk_release_tpu.ops.sampling import count_parameters, sample_image_feature
+
+pytestmark = pytest.mark.smoke  # fast tier: no big model compiles
 
 
 def test_matches_torch_grid_sample(rng):

@@ -7,6 +7,8 @@ from poserisk_release_tpu.scoring.reba import REBAScorer
 from poserisk_release_tpu.scoring.rula import RULAScorer
 from tests.oracles import reference_scoring as oracle
 
+pytestmark = pytest.mark.smoke  # fast tier: no big model compiles
+
 # Angle values straddling every threshold in both rule sets.
 BOUNDARY_VALUES = np.array(
     [

@@ -21,6 +21,8 @@ from poserisk_release_tpu.scoring.rula import RULAScorer
 from poserisk_release_tpu.scoring.rula import pack_info as rula_pack_info
 from poserisk_release_tpu.scoring.rula import rula_frame_scores
 
+pytestmark = pytest.mark.smoke  # fast tier: no big model compiles
+
 REBA_INFO = {"REBA": {
     "Legs_bilateral_weight_bearing/walking": 1, "Sitting": 0,
     "Load/Force Score": 1, "Arm_supported_leaning_L": 0,
