@@ -27,7 +27,12 @@ Two target-selection modes:
     largest-box identity as soon as one is seen and follow it. No min-frame
     filter and no whole-video mean-area comparison, so on multi-person clips
     it can score a different person than the reference semantics; use it for
-    live feeds where a second decode pass is impossible.
+    live feeds where a second decode pass is impossible. Under
+    detection_stride > 1 skipped frames wait in a bounded ring (one window
+    of pixels) and are scored with boxes interpolated between the
+    surrounding detections -- the same gap rule as the two-pass/batch modes
+    (tracking.mpt.interpolate_track_gaps), so every frame between the
+    target's first and last detection is scored.
 
 Pipeline per window: decode -> [detect+track] -> crop -> fused pose+score
 step -> accumulate per-frame scores/stats. The final aggregation matches
@@ -514,6 +519,10 @@ class StreamingScorer:
     # -- single-pass online mode ------------------------------------------
     def _run_online(self, video_path: str, add_info: Dict,
                     max_frames: Optional[int]) -> StreamResult:
+        from poserisk_release_tpu.tracking.mpt import (
+            squared_cxcywh,
+            strided_local_indices,
+        )
         from poserisk_release_tpu.tracking.sort import Sort
 
         stride = int(self.cfg.DETECTOR.detection_stride)
@@ -523,6 +532,37 @@ class StreamingScorer:
         reba, rula = self._scorers()
         # First-window int8 calibration, same lifecycle as _track_pass.
         needs_cal = getattr(self.detector, "needs_calibration", False)
+
+        # Detection-stride backfill state (stride > 1 only): frames since
+        # the last scored target detection wait in a bounded ring; when the
+        # NEXT detection of the same identity arrives their boxes are
+        # linearly interpolated between the surrounding detections -- the
+        # same per-column cxcywh rule as interpolate_track_gaps, so online
+        # scores every frame just like the two-pass/batch modes instead of
+        # silently dropping (stride-1)/stride of them. Bounds/limits:
+        #  * the ring holds at most one window of pixels (peak memory stays
+        #    O(window)); an occlusion gap longer than that loses its oldest
+        #    frames (the two-pass mode, with complete tracks, has no such
+        #    cap -- the price of single-pass bounded memory);
+        #  * no extrapolation: frames before the first or after the last
+        #    target detection are unscored (interpolate_track_gaps rule);
+        #  * on a target-identity switch the pending gap is dropped, not
+        #    scored: blending boxes of two different people is meaningless.
+        pending: List[Tuple[int, np.ndarray]] = []  # (global_idx, rgb)
+        last_det: Optional[Tuple[int, np.ndarray]] = None  # (idx, cxcywh f64)
+
+        def follow_target(tracks: np.ndarray):
+            """Largest-box lock-on; returns (row, switched)."""
+            nonlocal target_id
+            if tracks.shape[0] == 0:
+                return None, False
+            switched = False
+            if target_id is None or not np.any(tracks[:, 4] == target_id):
+                areas = (tracks[:, 2] - tracks[:, 0]) * (tracks[:, 3] - tracks[:, 1])
+                new_id = int(tracks[int(np.argmax(areas)), 4])
+                switched = target_id is not None
+                target_id = new_id
+            return tracks[tracks[:, 4] == target_id][0], switched
 
         for item in _window_stream(video_path, self.window, max_frames,
                                    self.cfg.DATASET.decode_workers):
@@ -537,42 +577,77 @@ class StreamingScorer:
                 self.detector.calibrate(frames)
                 needs_cal = False
 
-            # Online mode keeps no pixels to back-fill, so under a detection
-            # stride it detects AND scores only the strided subsample (the
-            # two-pass/batch modes interpolate boxes and score every frame).
-            # Frame selection goes through the one shared stride-phase rule.
-            from poserisk_release_tpu.tracking.mpt import strided_local_indices
+            if stride == 1:
+                # Every frame is a detection step: no backfill, no pixel
+                # copies -- score straight off the window. Occlusion gaps
+                # stay unscored, exactly like the two-pass mode at stride 1
+                # (interpolate_track_gaps only runs under a stride there).
+                detections = self._detect(frames)
+                track_local: List[int] = []
+                track_boxes: List[np.ndarray] = []
+                for local_idx, dets in enumerate(detections):
+                    tracks = sort.update(
+                        np.asarray(dets, np.float64).reshape(-1, 5))
+                    row, _switched = follow_target(tracks)
+                    if row is None:
+                        continue
+                    track_boxes.append(
+                        squared_cxcywh(row[0], row[1], row[2], row[3])
+                        .astype(np.float32))
+                    track_local.append(local_idx)
+                if track_local:
+                    self._score_window(
+                        frames, np.asarray(track_local),
+                        np.stack(track_boxes), int(start_idx), add_info,
+                        reba, rula, result,
+                    )
+                continue
 
-            sel = strided_local_indices(start_idx, len(frames), stride)
-            if not sel:
-                detections = []
-            else:
-                # stride 1 selects every frame: skip the fancy-index copy.
-                detections = self._detect(
-                    frames if stride == 1 else frames[sel])
-            track_local: List[int] = []
-            track_boxes: List[np.ndarray] = []
-            for local_idx, dets in zip(sel, detections):
-                tracks = sort.update(np.asarray(dets, np.float64).reshape(-1, 5))
-                if tracks.shape[0] == 0:
-                    continue
-                # Lock onto the largest-box identity seen first; follow it.
-                if target_id is None or not np.any(tracks[:, 4] == target_id):
-                    areas = (tracks[:, 2] - tracks[:, 0]) * (tracks[:, 3] - tracks[:, 1])
-                    target_id = int(tracks[int(np.argmax(areas)), 4])
-                row = tracks[tracks[:, 4] == target_id][0]
-                from poserisk_release_tpu.tracking.mpt import squared_cxcywh
-
-                track_boxes.append(
-                    squared_cxcywh(row[0], row[1], row[2], row[3])
-                    .astype(np.float32)
-                )
-                track_local.append(local_idx)
-
-            if track_local:
+            # stride > 1: detect the strided subsample (shared phase rule),
+            # walk ALL frames in order, backfilling gaps at each detection.
+            det_local = strided_local_indices(start_idx, len(frames), stride)
+            det_map = dict(zip(
+                det_local,
+                self._detect(frames[det_local]) if det_local else []))
+            buf_px: List[np.ndarray] = []
+            buf_boxes: List[np.ndarray] = []
+            buf_ids: List[int] = []
+            for local in range(len(frames)):
+                gidx = start_idx + local
+                if local in det_map:
+                    tracks = sort.update(
+                        np.asarray(det_map[local], np.float64).reshape(-1, 5))
+                    row, switched = follow_target(tracks)
+                    if row is not None:
+                        box = squared_cxcywh(row[0], row[1], row[2], row[3])
+                        if last_det is not None and pending and not switched:
+                            g0, b0 = last_det
+                            for pg, prgb in pending:
+                                t = (pg - g0) / (gidx - g0)
+                                buf_px.append(prgb)
+                                buf_boxes.append(b0 + (box - b0) * t)
+                                buf_ids.append(pg)
+                        pending.clear()
+                        buf_px.append(frames[local])
+                        buf_boxes.append(box)
+                        buf_ids.append(gidx)
+                        last_det = (gidx, box)
+                        continue
+                # Skipped frame, or a detection step without the target:
+                # wait for the next target detection to interpolate.
+                pending.append((gidx, frames[local]))
+                if len(pending) > self.window:
+                    pending.pop(0)
+            if buf_px:
+                # Boxes stay the tracker's native float64 all the way to
+                # _score_window (which casts to f32 at the same point the
+                # two-pass mode does) -- an early astype would quantize at
+                # a different spot than the batch/two-pass flows.
                 self._score_window(
-                    frames, np.asarray(track_local), np.stack(track_boxes),
-                    int(start_idx), add_info, reba, rula, result,
+                    np.stack(buf_px), np.arange(len(buf_px)),
+                    np.stack(buf_boxes), 0, add_info,
+                    reba, rula, result,
+                    orig_local_ids=np.asarray(buf_ids),
                 )
         if not result.frames:
             # Same contract as the two-pass mode and the batch Predictor.

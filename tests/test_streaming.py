@@ -599,3 +599,116 @@ def test_render_writers_closed_on_mid_clip_exception(tmp_path, long_clip,
         scorer(long_clip, INFO, video_output=str(tmp_path / "leak"),
                video_types="REBA")
     assert len(closed) == 1  # the REBA writer was released despite the error
+
+
+# -- online-mode detection-stride backfill --------------------------------
+
+
+def _strided_dets(n_frames: int, stride: int, missing=()):
+    """Per-STRIDED-frame detection lists (frames 0, stride, 2*stride, ...)
+    with a box that moves every frame; steps whose GLOBAL index is in
+    `missing` return no detections (simulated occlusion)."""
+    return [
+        [] if g in missing else [[20.0 + g, 15.0, 70.0 + g, 105.0, 0.9]]
+        for g in range(0, n_frames, stride)
+    ]
+
+
+def _capture_score_boxes(scorer):
+    """Shadow _score_window on the instance to record the exact
+    (global_frame -> bbox) pairs each flush feeds the pose path."""
+    orig = scorer._score_window
+    seen = {}
+
+    def spy(frames, local_ids, boxes, start_idx, *args, **kwargs):
+        ids = kwargs.get("orig_local_ids")
+        ids = local_ids if ids is None else ids
+        for gid, box in zip(np.asarray(ids) + start_idx, np.asarray(boxes)):
+            seen[int(gid)] = np.asarray(box, np.float64)
+        return orig(frames, local_ids, boxes, start_idx, *args, **kwargs)
+
+    scorer._score_window = spy
+    return seen
+
+
+def test_online_stride_backfills_every_frame(long_clip):
+    """Under detection_stride > 1 the online mode must score EVERY frame
+    between the target's first and last detection (boxes interpolated
+    between surrounding detections), matching the two-pass mode -- it used
+    to silently drop (stride-1)/stride of the frames."""
+    cfg = default_config().replace(DETECTOR={"detection_stride": 4})
+    online = StreamingScorer(
+        cfg=cfg, detector=_ScriptedStreamDetector(_strided_dets(40, 4)),
+        window=16, selection="online")
+    two = StreamingScorer(
+        cfg=cfg, detector=_ScriptedStreamDetector(_strided_dets(40, 4)),
+        window=16)
+    online_boxes = _capture_score_boxes(online)
+    two_boxes = _capture_score_boxes(two)
+    r_online = online(long_clip, INFO)
+    r_two = two(long_clip, INFO)
+
+    # detections at 0,4,...,36: every interior frame is backfilled
+    assert r_online.frames == list(range(37))
+    assert r_online.frames == r_two.frames
+    assert r_online.reba_scores == r_two.reba_scores
+    assert r_online.rula_scores == r_two.rula_scores
+    # and the interpolated boxes are numerically the two-pass gap rule
+    assert sorted(online_boxes) == sorted(two_boxes)
+    for gid in two_boxes:
+        np.testing.assert_allclose(online_boxes[gid], two_boxes[gid],
+                                   rtol=0, atol=1e-9)
+
+
+def test_online_stride_occlusion_gap_matches_two_pass(long_clip):
+    """A missed detection step (occlusion) inside the stride pattern: both
+    modes see the same SORT output stream, so the online backfill must
+    interpolate exactly the frames the two-pass mode does."""
+    cfg = default_config().replace(DETECTOR={"detection_stride": 4})
+    dets = _strided_dets(40, 4, missing={16})
+    online = StreamingScorer(
+        cfg=cfg, detector=_ScriptedStreamDetector(list(dets)), window=16,
+        selection="online")
+    two = StreamingScorer(
+        cfg=cfg, detector=_ScriptedStreamDetector(list(dets)), window=16)
+    r_online = online(long_clip, INFO)
+    r_two = two(long_clip, INFO)
+    assert r_online.frames == r_two.frames
+    assert r_online.reba_scores == r_two.reba_scores
+    assert r_online.rula_scores == r_two.rula_scores
+
+
+def test_online_stride_ring_is_bounded(long_clip):
+    """A gap longer than one window of pixels loses its OLDEST frames (the
+    documented price of single-pass bounded memory) but still scores the
+    most recent `window` of them with interpolated boxes."""
+    cfg = default_config().replace(DETECTOR={"detection_stride": 4})
+    # miss the step at frame 16; SORT's min_hits=3 means outputs resume at
+    # frame 28, so the pending gap 13..27 (15 frames) exceeds window=4 and
+    # keeps only its newest 4 entries (24..27).
+    dets = _strided_dets(40, 4, missing={16})
+    online = StreamingScorer(
+        cfg=cfg, detector=_ScriptedStreamDetector(dets), window=4,
+        selection="online")
+    r = online(long_clip, INFO)
+    assert r.frames == list(range(13)) + list(range(24, 37))
+
+
+def test_online_stride_target_switch_drops_gap(long_clip):
+    """When the followed identity dies and a NEW person becomes the target,
+    the pending gap is dropped -- interpolating between two different
+    people's boxes would be meaningless."""
+    cfg = default_config().replace(DETECTOR={"detection_stride": 4})
+    dets = []
+    for g in range(0, 40, 4):
+        if g <= 12:   # person A, left side
+            dets.append([[20.0, 15.0, 70.0, 105.0, 0.9]])
+        elif g >= 16:  # person B, right side (A never reappears)
+            dets.append([[100.0, 15.0, 150.0, 105.0, 0.9]])
+    online = StreamingScorer(
+        cfg=cfg, detector=_ScriptedStreamDetector(dets), window=16,
+        selection="online")
+    r = online(long_clip, INFO)
+    # A output at 0..12 (backfilled); B's track outputs start at 28
+    # (min_hits=3); the 13..27 gap spans the switch and must be unscored.
+    assert r.frames == list(range(13)) + list(range(28, 37))
