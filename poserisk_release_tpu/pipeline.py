@@ -310,16 +310,23 @@ class PoseEstimator:
             chunk,
         )
 
-    def _run_chunked(self, num_items: int, host_chunk, step_fn, chunk: int = 0):
+    def production_chunk(self, chunk: int = 0) -> int:
+        """THE chunk-size rule of the chunked execution paths: the requested
+        (or configured frames_per_step * n_dev) chunk rounded up so it stays
+        shardable AND, under a pose stride, keeps the anchor phase aligned
+        across chunks with the anchor batch itself shardable (the step's
+        crops input has chunk/stride rows): a multiple of
+        n_dev * pose_stride. Public so the streaming scorer can accumulate
+        a track into EXACTLY this structure (same boundaries, same anchor
+        phase) and stay bit-identical to the batch path at pose_stride > 1."""
         n_dev = 1 if self.mesh is None else self.mesh.devices.size
         if chunk <= 0:
             chunk = self.cfg.PARALLEL.frames_per_step * n_dev
-        # The chunk must stay shardable AND, under a pose stride, keep the
-        # anchor phase aligned across chunks with the anchor batch itself
-        # shardable (the step's crops input has chunk/stride rows): round to
-        # a multiple of n_dev * pose_stride.
         q = n_dev * self._pose_stride
-        chunk = ((chunk + q - 1) // q) * q
+        return ((chunk + q - 1) // q) * q
+
+    def _run_chunked(self, num_items: int, host_chunk, step_fn, chunk: int = 0):
+        chunk = self.production_chunk(chunk)
 
         def upload(start: int):
             parts = host_chunk(start, chunk)

@@ -15,14 +15,12 @@ Two target-selection modes:
     then the reference's filter + max-mean-area selection runs over the
     complete tracks (/root/reference/lib/core/base.py:53-74,
     funcs_utils.py:55-64) exactly as the whole-clip Predictor does; pass 2
-    re-decodes and crops/scores only the selected person. At pose_stride 1
-    scores are IDENTICAL to the batch Predictor on any clip, including
-    multi-person contention (tests/test_streaming.py). Under pose_stride > 1
-    the slerp anchor phase restarts at each WINDOW's first selected frame
-    while the batch path restarts it at each 64-frame chunk of the whole
-    selected track, so interpolated frames fall in the documented
-    chunk-boundary deviation class (docs/PARITY.md #5b); anchor frames and
-    static clips remain exact in both.
+    re-decodes and crops/scores only the selected person. Scores are
+    IDENTICAL to the batch Predictor on any clip, including multi-person
+    contention and pose_stride > 1 (tests/test_streaming.py): under a pose
+    stride the track accumulates into the batch path's own chunk structure
+    (_TrackChunkScorer), so the slerp anchor phase is keyed to the selected
+    track's frame index, not the window.
   * ``selection="online"`` -- single pass, lowest latency: lock onto the
     largest-box identity as soon as one is seen and follow it. No min-frame
     filter and no whole-video mean-area comparison, so on multi-person clips
@@ -178,6 +176,99 @@ def _window_stream(video_path: str, window: int, max_frames: Optional[int],
         thread.join(timeout=5)
 
 
+class _TrackChunkScorer:
+    """Accumulates ONE selected track across decode windows and scores it
+    in EXACTLY the batch Predictor's chunk structure.
+
+    At pose_stride > 1 the batch path slices SPIN anchors per
+    production_chunk()-sized chunk of the selected track
+    (pipeline.PoseEstimator._run_chunked), so anchor phase and chunk
+    boundaries are a function of the track's own frame index. Scoring
+    window-by-window restarts that phase at every window (the former
+    PARITY #5b streaming qualifier); instead this helper buffers the
+    anchor frames (1/stride of the pixels, O(chunk) memory) until a full
+    chunk of track frames has streamed past, then replays the batch call:
+    run_from_frames on a virtual track whose ids repeat each anchor
+    stride times -- the strided slicing inside _run_chunked then selects
+    exactly the buffered anchors, with the batch path's padding and
+    trimming. Scores are bit-identical to the whole-clip Predictor
+    (tests/test_streaming.py::test_two_pass_pose_stride_bit_exact_vs_batch).
+    """
+
+    def __init__(self, scorer: "StreamingScorer", add_info: Dict,
+                 reba, rula, result: StreamResult):
+        self.est = scorer.estimator
+        self.validate = scorer.validate_rotations
+        self.stride = self.est._pose_stride
+        self.chunk = self.est.production_chunk()
+        self.add_info, self.reba, self.rula = add_info, reba, rula
+        self.result = result
+        self._pos = 0  # track position within the current chunk
+        self._anchor_px: List[np.ndarray] = []
+        self._anchor_boxes: List[np.ndarray] = []
+        self._ids: List[int] = []
+        self._calib_px: List[np.ndarray] = []
+        self._calib_boxes: List[np.ndarray] = []
+
+    def add(self, frames, local_ids: np.ndarray, boxes: np.ndarray,
+            start_idx: int) -> None:
+        for i, box in zip(np.asarray(local_ids), np.asarray(boxes)):
+            if self.est._spin_int8 and len(self._calib_px) < 8:
+                self._calib_px.append(np.asarray(frames[i]))
+                self._calib_boxes.append(box)
+            if self._pos % self.stride == 0:
+                self._anchor_px.append(np.asarray(frames[i]))
+                self._anchor_boxes.append(box)
+            self._ids.append(int(start_idx + i))
+            self._pos += 1
+            if self._pos == self.chunk:
+                self.flush()
+
+    def flush(self) -> None:
+        if self._pos == 0:
+            return
+        if (self.est._spin_int8 and self.est._quant_backbone is None
+                and self._calib_px):
+            # Same calibration source as the batch run_from_frames call:
+            # crops of the first (up to) 8 frames of the SELECTED TRACK --
+            # not the first 8 anchors, which at stride > 1 would be
+            # different pixels than the batch path calibrated on.
+            import jax.numpy as jnp
+
+            from poserisk_release_tpu.ops.crop import crop_batch
+
+            calib = crop_batch(
+                jnp.asarray(np.stack(self._calib_px)),
+                jnp.asarray(np.stack(self._calib_boxes).astype(np.float32)),
+                scale=float(self.est.cfg.DATASET.bbox_scale),
+                out_size=int(self.est.cfg.MODEL.input_shape[0]))
+            self.est._ensure_spin_quantized(calib)
+        n = self._pos
+        # Virtual track: id j//stride at position j, so the strided slice
+        # inside _run_chunked reads the buffered anchors 0..n_anchors-1 in
+        # order; boxes repeat so the same slice reads the anchors' boxes.
+        ids = np.repeat(np.arange(len(self._anchor_px)), self.stride)[:n]
+        boxes = np.repeat(np.stack(self._anchor_boxes), self.stride,
+                          axis=0)[:n]
+        euler, joint_cam, aa = self.est.run_from_frames(
+            np.stack(self._anchor_px), ids, boxes, chunk=self.chunk)
+        if self.validate:
+            from poserisk_release_tpu.pipeline import (
+                validate_rotation_roundtrip,
+            )
+
+            validate_rotation_roundtrip(aa)
+        for r in self.reba(euler, joint_cam, self.add_info):
+            self.result.reba_scores.append(r["score"])
+            self.result.reba_logs.append(r["log_score"])
+        for r in self.rula(euler, joint_cam, self.add_info):
+            self.result.rula_scores.append(r["score"])
+            self.result.rula_logs.append(r["log_score"])
+        self.result.frames.extend(self._ids)
+        self._pos = 0
+        self._anchor_px, self._anchor_boxes, self._ids = [], [], []
+
+
 class StreamingScorer:
     """Window-at-a-time scoring with persistent tracking state.
 
@@ -315,6 +406,40 @@ class StreamingScorer:
             raise ValueError(
                 f"video_types {video_types!r} selects neither REBA nor RULA;"
                 " nothing to render")
+        if self.estimator._pose_stride > 1:
+            # Chunk-aligned scoring per track (batch-identical anchor
+            # phase; see _TrackChunkScorer). Each track buffers its own
+            # anchor pixels, so the shared union upload below doesn't
+            # apply -- at stride S only 1/S of each track's frames is
+            # uploaded at all. Rendering runs as its own decode pass from
+            # the complete results (stop_at here is still the scoring
+            # stop: the last selected frame).
+            accs = {pid: _TrackChunkScorer(self, add_info, reba, rula,
+                                           results[pid]) for pid in tracks}
+            for item in _window_stream(video_path, self.window, stop_at,
+                                       self.cfg.DATASET.decode_workers):
+                if item[0] != "window":
+                    continue
+                _, start_idx, frames = item
+                for pid, (fr, bx) in tracks.items():
+                    mask = (fr >= start_idx) & (fr < start_idx + len(frames))
+                    if mask.any():
+                        accs[pid].add(frames, fr[mask] - start_idx,
+                                      bx[mask], int(start_idx))
+            for acc in accs.values():
+                acc.flush()
+            if video_output is not None:
+                import os
+
+                entries = []
+                for pid, (fr, bx) in tracks.items():
+                    person_out = os.path.join(video_output, f"person_{pid}")
+                    os.makedirs(person_out, exist_ok=True)
+                    entries.append((results[pid], fr, bx, person_out))
+                self._render_pass(video_path, max_frames, video_output,
+                                  render_plan, fps, entries)
+            return results
+
         writers: Dict[int, list] = {}
         if video_output is not None:
             stop_at = max_frames  # rendering draws the whole clip
@@ -466,7 +591,6 @@ class StreamingScorer:
             )
             if title in wanted
         ]
-        writers: list = []
         if video_output is not None:
             if not render_plan:
                 # Same guard as score_all: an unrenderable video_types would
@@ -474,10 +598,40 @@ class StreamingScorer:
                 raise ValueError(
                     f"video_types {video_types!r} selects neither REBA nor"
                     " RULA; nothing to render")
-            stop_at = max_frames
             import os
 
             os.makedirs(video_output, exist_ok=True)
+
+        if self.estimator._pose_stride > 1:
+            # Chunk-aligned scoring: the track accumulates into EXACTLY the
+            # batch Predictor's chunk structure, so the slerp anchor phase
+            # is keyed to the selected track's own frame index -- scores
+            # are bit-identical to the whole-clip path at any stride.
+            # Rendering needs the scores at write time, which here lag the
+            # windows by up to a chunk, so it runs as its OWN decode pass
+            # after scoring completes (still one window of pixels at a
+            # time; the render path always decodes the full clip anyway).
+            acc = _TrackChunkScorer(self, add_info, reba, rula, result)
+            for item in _window_stream(video_path, self.window, stop_at,
+                                       self.cfg.DATASET.decode_workers):
+                if item[0] != "window":
+                    continue
+                _, start_idx, frames = item
+                mask = ((sel_frames >= start_idx)
+                        & (sel_frames < start_idx + len(frames)))
+                if mask.any():
+                    acc.add(frames, sel_frames[mask] - start_idx,
+                            bboxes[mask], int(start_idx))
+            acc.flush()
+            if video_output is not None:
+                self._render_pass(video_path, max_frames, video_output,
+                                  render_plan, fps,
+                                  [(result, sel_frames, bboxes)])
+            return result
+
+        writers: list = []
+        if video_output is not None:
+            stop_at = max_frames  # rendering draws the whole clip
         try:
             for item in _window_stream(video_path, self.window, stop_at,
                                        self.cfg.DATASET.decode_workers):
@@ -515,6 +669,42 @@ class StreamingScorer:
             for writer in writers:
                 writer.close()
         return result
+
+    def _render_pass(self, video_path: str, max_frames: Optional[int],
+                     video_output: str, render_plan, fps: float,
+                     tracks_to_render) -> None:
+        """Render annotated videos from COMPLETE results in a decode pass
+        of their own (used when scoring couldn't render in-line, i.e. the
+        chunk-aligned pose-stride path). tracks_to_render: list of
+        (result, track_frames, track_bboxes[, output_dir]) -- one entry
+        per rendered person; output_dir defaults to video_output."""
+        from poserisk_release_tpu.outputs.render import ResultVideoWriter
+
+        writers: list = []  # (writer, result, s_attr, l_attr)
+        try:
+            for item in _window_stream(video_path, self.window, max_frames,
+                                       self.cfg.DATASET.decode_workers):
+                if item[0] != "window":
+                    continue
+                _, start_idx, frames = item
+                if not writers:
+                    for entry in tracks_to_render:
+                        result, tr_frames, tr_boxes = entry[:3]
+                        out_dir = entry[3] if len(entry) > 3 else video_output
+                        for title, scorer, s_attr, l_attr in render_plan:
+                            writers.append((
+                                ResultVideoWriter(out_dir, title, fps,
+                                                  frames.shape[1:3],
+                                                  scorer.eval_items,
+                                                  tr_frames, tr_boxes),
+                                result, s_attr, l_attr))
+                for writer, result, s_attr, l_attr in writers:
+                    writer.write_window(frames, int(start_idx),
+                                        getattr(result, s_attr),
+                                        getattr(result, l_attr))
+        finally:
+            for writer, _result, _s, _l in writers:
+                writer.close()
 
     # -- single-pass online mode ------------------------------------------
     def _run_online(self, video_path: str, add_info: Dict,

@@ -293,9 +293,9 @@ class TestPoseEstimatorStride:
 class TestStreamingWithPoseStride:
     def test_streaming_scorer_runs_and_covers_every_frame(self, tmp_path):
         """The streaming scorer inherits pose_stride through PoseEstimator;
-        each window is its own chunk (anchor phase restarts per window --
-        the PARITY.md #5b chunk-boundary class), and every tracked frame
-        still gets a score."""
+        the track accumulates into the batch chunk structure (streaming.
+        _TrackChunkScorer -- bit-exact equality is proven in
+        tests/test_streaming.py), and every tracked frame gets a score."""
         import cv2
 
         from poserisk_release_tpu.config import default_config

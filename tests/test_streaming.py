@@ -712,3 +712,102 @@ def test_online_stride_target_switch_drops_gap(long_clip):
     # A output at 0..12 (backfilled); B's track outputs start at 28
     # (min_hits=3); the 13..27 gap spans the switch and must be unscored.
     assert r.frames == list(range(13)) + list(range(28, 37))
+
+
+# -- pose-stride anchor-phase unification (streaming == batch) ------------
+
+
+def _batch_track_oracle(clip, cfg, detector, window=16):
+    """The batch Predictor's production semantics on `clip`: whole-clip
+    pixels through run_from_frames' own chunking on the selected track.
+    Tracking reuses the SHARED _track_pass so both sides see the same
+    SORT stream; only the POSE/SCORE stage differs from streaming."""
+    from poserisk_release_tpu.io.video import read_video
+    from poserisk_release_tpu.tracking.mpt import filter_and_select_target
+
+    oracle = StreamingScorer(cfg=cfg, detector=detector, window=window)
+    tracking, total, _fps = oracle._track_pass(clip, None)
+    bboxes, sel = filter_and_select_target(
+        tracking, total, cfg.DATASET.min_frame_ratio)
+    clip_frames = read_video(clip).frames
+    euler, jc, _aa = oracle.estimator.run_from_frames(
+        clip_frames, np.asarray(sel), bboxes)
+    reba, rula = oracle._scorers()
+    return {
+        "frames": [int(f) for f in np.asarray(sel)],
+        "reba": [r["score"] for r in reba(euler, jc, INFO)],
+        "reba_logs": [r["log_score"] for r in reba(euler, jc, INFO)],
+        "rula": [r["score"] for r in rula(euler, jc, INFO)],
+    }
+
+
+@pytest.mark.parametrize("window", [4, 16])
+def test_two_pass_pose_stride_bit_exact_vs_batch(long_clip, window):
+    """At pose_stride > 1 streaming must equal the batch path bit-exactly
+    on a MOVING clip: the track accumulates into the batch chunk structure
+    (_TrackChunkScorer), so anchors, interpolation groups, and padding all
+    land identically -- whether a chunk completes inside one window
+    (window=16 > chunk=8) or spans windows (window=4 < chunk=8)."""
+    cfg = default_config().replace(PARALLEL={"frames_per_step": 8},
+                                   SPIN={"pose_stride": 4})
+    res = StreamingScorer(cfg=cfg, detector=StubDetector(),
+                          window=window)(long_clip, INFO)
+    want = _batch_track_oracle(long_clip, cfg, StubDetector(), window)
+    assert res.frames == want["frames"]
+    assert res.reba_scores == want["reba"]
+    assert res.reba_logs == want["reba_logs"]  # angle strings: bit-level
+    assert res.rula_scores == want["rula"]
+
+
+def test_two_pass_pose_stride_render_does_not_perturb_scores(
+        tmp_path, long_clip):
+    """Under a pose stride the renderer runs as its own decode pass from
+    the complete result; it must produce the videos without changing a
+    single score vs the no-render run."""
+    cfg = default_config().replace(PARALLEL={"frames_per_step": 8},
+                                   SPIN={"pose_stride": 4})
+    plain = StreamingScorer(cfg=cfg, detector=StubDetector(),
+                            window=16)(long_clip, INFO)
+    out = tmp_path / "vid"
+    rendered = StreamingScorer(cfg=cfg, detector=StubDetector(), window=16)(
+        long_clip, INFO, video_output=str(out), video_types="REBA")
+    assert rendered.reba_scores == plain.reba_scores
+    assert rendered.frames == plain.frames
+    reba_mp4 = out / "REBA_video.mp4"
+    assert reba_mp4.exists() and reba_mp4.stat().st_size > 0
+    assert not (out / "RULA_video.mp4").exists()  # video_types filter
+
+
+def test_score_all_pose_stride_bit_exact_vs_batch(two_person_clip):
+    """Multi-person streaming at pose_stride > 1: every surviving track's
+    scores equal the batch path run on that track."""
+    from poserisk_release_tpu.io.video import read_video
+    from poserisk_release_tpu.tracking.mpt import surviving_tracks
+
+    cfg = default_config().replace(PARALLEL={"frames_per_step": 8},
+                                   SPIN={"pose_stride": 4})
+    results = StreamingScorer(
+        cfg=cfg, detector=_ScriptedStreamDetector(_two_survivor_dets()),
+        window=16,
+    ).score_all(two_person_clip, INFO)
+    assert len(results) == 2
+
+    oracle = StreamingScorer(
+        cfg=cfg, detector=_ScriptedStreamDetector(_two_survivor_dets()),
+        window=16)
+    tracking, total, _fps = oracle._track_pass(two_person_clip, None)
+    survivors = surviving_tracks(tracking, total,
+                                 cfg.DATASET.min_frame_ratio)
+    clip_frames = read_video(two_person_clip).frames
+    reba, rula = oracle._scorers()
+    # SORT's id counter is global across instances; discovery order is the
+    # stable key (same convention as test_score_all_matches_batch_...).
+    for spid, opid in zip(sorted(results), sorted(survivors)):
+        tr = survivors[opid]
+        euler, jc, _aa = oracle.estimator.run_from_frames(
+            clip_frames, np.asarray(tr["frames"]), np.asarray(tr["bbox"]))
+        assert results[spid].frames == [int(f) for f in tr["frames"]]
+        assert results[spid].reba_scores == [
+            r["score"] for r in reba(euler, jc, INFO)]
+        assert results[spid].rula_scores == [
+            r["score"] for r in rula(euler, jc, INFO)]
