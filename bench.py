@@ -141,7 +141,8 @@ def main() -> None:
                                  quant_backbone=quant_backbone,
                                  fused_resample=BENCH_FUSED,
                                  det_stride=det_stride,
-                                 pose_stride=pose_stride)
+                                 pose_stride=pose_stride,
+                                 stem_s2d=cfg.SPIN.stem_s2d)
         )
 
     step = build_step(BENCH_DET_STRIDE, BENCH_POSE_STRIDE)

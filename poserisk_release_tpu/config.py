@@ -85,6 +85,14 @@ class SpinConfig:
     # and the last N-1 frames of each processing chunk hold their anchor
     # pose instead of interpolating into the next chunk.
     pose_stride: int = 1
+    # Space-to-depth stem layout (models/resnet.StemConv): the SAME 7x7/s2
+    # stem convolution computed as s2d(2) + 4x4/s1 over exactly rearranged
+    # weights -- 12 input channels per MXU pass instead of 3. Same outputs
+    # to accumulation rounding (tests/test_spin.py: 2e-5 f32, inside the
+    # 2e-4 torch-parity band); measured 1.03x on the product pose step
+    # (tools/exp_spin_early.py, docs/PERF.md round 4). Applies to the
+    # float/bf16 tower; the int8 backbone keeps its own raw-weight stem.
+    stem_s2d: bool = True
 
     def __post_init__(self) -> None:
         if self.pose_stride < 1:

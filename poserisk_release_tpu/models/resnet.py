@@ -16,8 +16,60 @@ from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
 BN_EPS = 1e-5
+
+
+class StemConv(nn.Module):
+    """The 7x7/stride-2 stem conv, with an optional space-to-depth layout.
+
+    The parameter tree is IDENTICAL either way (the 7x7 HWIO kernel under
+    <name>/kernel, converter-compatible with torchvision's conv1); `s2d`
+    only changes how the SAME convolution is computed:
+
+      * s2d=False: plain 7x7/s2/pad3 conv -- 3 input channels, which the
+        MXU pads to its lane width, and a 49-tap spatial loop.
+      * s2d=True: space-to-depth(2) first (224x224x3 -> 112x112x12), then
+        a stride-1 4x4 conv whose kernel is an exact rearrangement of the
+        7x7 weights (each tap (m, dr) reads full-res row 2m+dr-1; taps
+        falling outside the 7x7 support are zero). 4x more input channels
+        per MXU pass and 16 taps instead of 49 over a quarter the spatial
+        positions -- the standard TPU ResNet stem transformation.
+
+    Outputs are the same convolution evaluated in a different loop order:
+    equal up to accumulation rounding (tests/test_spin.py pins the bound).
+    """
+
+    features: int = 64
+    dtype: jnp.dtype = jnp.float32
+    s2d: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, cin, self.features))
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        if not self.s2d:
+            return lax.conv_general_dilated(
+                x, kernel, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn)
+        B, H, W, _ = x.shape
+        y = x.reshape(B, H // 2, 2, W // 2, 2, cin)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * cin)
+        # Embed the 7x7 kernel at offset (1, 1) of an 8x8 grid: half-res
+        # tap (m, dr) covers full-res offset 2m+dr-4 in [-4, 3], and the
+        # needed [-3, 3] support sits at grid rows 1..7 (row 0 is the
+        # zero-weight -4 tap).
+        k8 = jnp.zeros((8, 8, cin, self.features), kernel.dtype)
+        k8 = k8.at[1:8, 1:8].set(kernel)
+        k4 = k8.reshape(4, 2, 4, 2, cin, self.features)
+        k4 = k4.transpose(0, 2, 1, 3, 4, 5)
+        k4 = k4.reshape(4, 4, 4 * cin, self.features)
+        return lax.conv_general_dilated(
+            y, k4, (1, 1), ((2, 1), (2, 1)), dimension_numbers=dn)
 
 
 class Bottleneck(nn.Module):
@@ -63,21 +115,23 @@ class ResNet50(nn.Module):
 
     layers: Sequence[int] = (3, 4, 6, 3)
     dtype: jnp.dtype = jnp.float32
+    # Space-to-depth stem (StemConv.s2d): same weights, same outputs up to
+    # accumulation rounding, better MXU mapping. Off by default; the TPU
+    # fast path flips it per the measured in-situ A/B (docs/PERF.md).
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-            use_bias=False, dtype=self.dtype, name="conv1",
-        )(x)
+        x = StemConv(64, dtype=self.dtype, s2d=self.stem_s2d,
+                     name="conv1")(x)
         x = nn.BatchNorm(use_running_average=True, epsilon=BN_EPS, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
-        # torch MaxPool2d(3, stride=2, padding=1) pads with -inf-equivalent
-        # (implicit minimum); replicate with explicit -inf padding.
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                    constant_values=jnp.finfo(self.dtype).min)
-        x = nn.max_pool(x, window_shape=(3, 3), strides=(2, 2), padding="VALID")
+        # torch MaxPool2d(3, stride=2, padding=1): implicit -inf padding.
+        # Expressed as reduce_window padding (init is -inf), so no padded
+        # copy of the 112x112x64 tensor is ever materialised.
+        x = nn.max_pool(x, window_shape=(3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
 
         planes = (64, 128, 256, 512)
         for stage, (n_blocks, p) in enumerate(zip(self.layers, planes), start=1):

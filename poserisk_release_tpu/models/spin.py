@@ -68,6 +68,9 @@ class HMR(nn.Module):
     # pass (jax.checkpoint via nn.remat) -- trades ~1/3 more FLOPs for the
     # activation memory of 53 conv layers; the training-step default.
     remat: bool = False
+    # Space-to-depth stem layout (models/resnet.StemConv): same weights
+    # and outputs, different conv loop order for the MXU.
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(
@@ -75,7 +78,8 @@ class HMR(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         B = x.shape[0]
         backbone_cls = nn.remat(ResNet50) if self.remat else ResNet50
-        xf = backbone_cls(dtype=self.dtype, name="backbone")(x)
+        xf = backbone_cls(dtype=self.dtype, stem_s2d=self.stem_s2d,
+                          name="backbone")(x)
 
         init_pose = self.param("init_pose", nn.initializers.zeros, (1, NPOSE))
         init_shape = self.param("init_shape", nn.initializers.zeros, (1, 10))

@@ -136,8 +136,10 @@ class PoseEstimator:
         # every Nth tracked frame; skipped frames slerp between anchors on
         # device. 1 (default) is the reference's pose-every-frame contract.
         self._pose_stride = int(cfg.SPIN.pose_stride)
+        self._stem_s2d = bool(cfg.SPIN.stem_s2d)
         self._pose_core = make_pose_core(cfg.SPIN.ief_iters, self.parents, dtype,
-                                         pose_stride=self._pose_stride)
+                                         pose_stride=self._pose_stride,
+                                         stem_s2d=self._stem_s2d)
         self.variables = variables if variables is not None else self._load_variables(cfg)
         # Keep the f32 tree for PTQ folding (BN stats fold in f32 even when
         # the live variables are bf16-stored) -- only while int8 needs it;
@@ -191,6 +193,7 @@ class PoseEstimator:
         self._pose_core = make_pose_core(
             self.cfg.SPIN.ief_iters, self.parents, self._dtype,
             quant_backbone=quant, pose_stride=self._pose_stride,
+            stem_s2d=self._stem_s2d,
         )
         self._step = jax.jit(self._pose_step)
         self._step_frames = jax.jit(self._pose_step_from_frames)
@@ -217,7 +220,7 @@ class PoseEstimator:
         self._quant_backbone = None
         self._pose_core = make_pose_core(
             self.cfg.SPIN.ief_iters, self.parents, self._dtype,
-            pose_stride=self._pose_stride)
+            pose_stride=self._pose_stride, stem_s2d=self._stem_s2d)
         self._step = jax.jit(self._pose_step)
         self._step_frames = jax.jit(self._pose_step_from_frames)
 

@@ -26,7 +26,8 @@ ROOT_POSE = (3.14, 0.0, 0.0)
 
 
 def make_pose_core(n_iter: int, parents: Tuple[int, ...], compute_dtype=jnp.float32,
-                   quant_backbone: Dict | None = None, pose_stride: int = 1):
+                   quant_backbone: Dict | None = None, pose_stride: int = 1,
+                   stem_s2d: bool = False):
     """THE pose step shared by the product pipeline and the fused bench graph
     (one definition so the subtle ordering can't desynchronise): SPIN forward
     -> Euler from the ORIGINAL rotmats -> axis-angle with the root forced to
@@ -53,7 +54,10 @@ def make_pose_core(n_iter: int, parents: Tuple[int, ...], compute_dtype=jnp.floa
     """
     if pose_stride < 1:
         raise ValueError(f"pose_stride must be >= 1, got {pose_stride}")
-    model = HMR(n_iter=n_iter, dtype=compute_dtype)
+    # stem_s2d: space-to-depth stem layout (models/resnet.StemConv) --
+    # same weights/outputs, measured A/B in docs/PERF.md round 4. Applies
+    # to the float/bf16 tower; the int8 path keeps its own raw-weight stem.
+    model = HMR(n_iter=n_iter, dtype=compute_dtype, stem_s2d=stem_s2d)
 
     def spin_forward(spin_variables, crops):
         if quant_backbone is not None:
@@ -92,7 +96,7 @@ def make_pose_core(n_iter: int, parents: Tuple[int, ...], compute_dtype=jnp.floa
 def make_pose_and_score_step(n_iter: int, parents: Tuple[int, ...],
                              compute_dtype=jnp.float32,
                              quant_backbone: Dict | None = None,
-                             pose_stride: int = 1):
+                             pose_stride: int = 1, stem_s2d: bool = False):
     """Returns step(spin_variables, smpl_params, crops, info_reba, info_rula)
     -> (reba_scores, rula_scores, euler_deg, joint_cam_mm). Jittable; the
     crops batch axis is the sharding axis. compute_dtype=bfloat16 selects the
@@ -101,7 +105,7 @@ def make_pose_and_score_step(n_iter: int, parents: Tuple[int, ...],
     crops.shape[0] * pose_stride frames (see make_pose_core)."""
 
     core = make_pose_core(n_iter, parents, compute_dtype, quant_backbone,
-                          pose_stride=pose_stride)
+                          pose_stride=pose_stride, stem_s2d=stem_s2d)
 
     def step(spin_variables, smpl_params, crops, info_reba, info_rula):
         euler, joint_cam, _aa = core(spin_variables, smpl_params, crops)
@@ -119,7 +123,8 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
                          fused_resample: bool = False,
                          det_stride: int = 1,
                          pose_stride: int = 1,
-                         fused_interpret: bool = False):
+                         fused_interpret: bool = False,
+                         stem_s2d: bool = False):
     """Full per-frame device path including the detector forward.
 
     step(yolo_params, spin_variables, smpl_params, frames_u8, bboxes,
@@ -167,7 +172,8 @@ def make_full_frame_step(n_iter: int, parents: Tuple[int, ...],
     # is shape-polymorphic)
     letterbox = letterbox_device_rect if rect else letterbox_device
     pose_step = make_pose_and_score_step(n_iter, parents, compute_dtype,
-                                         quant_backbone, pose_stride=pose_stride)
+                                         quant_backbone, pose_stride=pose_stride,
+                                         stem_s2d=stem_s2d)
 
     def step(yolo_p, spin_variables, smpl_params, frames, bboxes, info_reba, info_rula):
         if pose_stride > 1 and frames.shape[0] % pose_stride:

@@ -84,3 +84,47 @@ def test_converter_ignores_unknown_keys(torch_model):
     variables = spin_state_dict_to_flax(state)
     assert "smpl" not in variables["params"]
     assert "fc" not in variables["params"]
+
+
+class TestStemS2D:
+    """Space-to-depth stem (models/resnet.StemConv s2d=True): the SAME 7x7
+    stride-2 convolution computed as s2d(2) + 4x4/s1 over exactly
+    rearranged weights -- adopted-or-not per the in-situ A/B in
+    docs/PERF.md; either way the layouts must agree to accumulation
+    rounding on the same parameters."""
+
+    def test_stem_conv_layouts_agree(self, rng):
+        from poserisk_release_tpu.models.resnet import StemConv
+
+        x = jnp.asarray(rng.uniform(0, 1, (2, 224, 224, 3)).astype(np.float32))
+        plain = StemConv(64, s2d=False)
+        variables = plain.init(jax.random.PRNGKey(2), x)
+        y0 = plain.apply(variables, x)
+        y1 = StemConv(64, s2d=True).apply(variables, x)
+        assert y0.shape == y1.shape == (2, 112, 112, 64)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-5)
+
+    def test_stem_matches_torch_conv(self, torch_model, flax_variables, rng):
+        """Both layouts against the torch conv1 oracle directly."""
+        from poserisk_release_tpu.models.resnet import StemConv
+
+        imgs = rng.uniform(0, 1, (2, 224, 224, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = (
+                torch_model.conv1(
+                    torch.from_numpy(np.transpose(imgs, (0, 3, 1, 2))))
+                .permute(0, 2, 3, 1).numpy())
+        stem_vars = {"params": flax_variables["params"]["backbone"]["conv1"]}
+        for s2d in (False, True):
+            got = StemConv(64, s2d=s2d).apply(stem_vars, jnp.asarray(imgs))
+            np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+    def test_hmr_s2d_same_scores(self, flax_variables, rng):
+        """Through the whole regressor: the rot6d state and the integer
+        scores downstream must not move beyond conv-rounding noise."""
+        imgs = jnp.asarray(rng.uniform(0, 1, (2, 224, 224, 3)).astype(np.float32))
+        r0, s0, c0 = HMR(n_iter=3).apply(flax_variables, imgs)
+        r1, s1, c1 = HMR(n_iter=3, stem_s2d=True).apply(flax_variables, imgs)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=1e-4)
