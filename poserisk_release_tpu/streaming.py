@@ -176,6 +176,53 @@ def _window_stream(video_path: str, window: int, max_frames: Optional[int],
         thread.join(timeout=5)
 
 
+class _SpinCalibrator:
+    """Shared int8-PTQ calibration source for chunk-aligned streaming.
+
+    The batch path calibrates the SPIN backbone on the first (up to) 8
+    frames of the FIRST scored track (run_from_frames crops
+    frame_ids[:8]); in --multi_person that is the first surviving track
+    in discovery order. Chunk-aligned streaming flushes tracks in
+    chunk-fill order, which for multiple tracks can differ from that --
+    so the calibration pixels are gathered HERE, from the designated
+    owner track in window order, and every accumulator's flush routes
+    through ensure() before touching the estimator. Pixels are copied
+    (a view would pin its whole decode window)."""
+
+    def __init__(self, est):
+        self.est = est
+        self._px: List[np.ndarray] = []
+        self._boxes: List[np.ndarray] = []
+
+    @property
+    def gathering(self) -> bool:
+        return (self.est._spin_int8 and self.est._quant_backbone is None
+                and len(self._px) < 8)
+
+    def gather(self, frames, local_ids, boxes) -> None:
+        for i, box in zip(np.asarray(local_ids), np.asarray(boxes)):
+            if len(self._px) >= 8:
+                return
+            self._px.append(np.array(frames[i], copy=True))
+            self._boxes.append(np.asarray(box))
+
+    def ensure(self) -> None:
+        if (not self.est._spin_int8 or self.est._quant_backbone is not None
+                or not self._px):
+            return
+        import jax.numpy as jnp
+
+        from poserisk_release_tpu.ops.crop import crop_batch
+
+        calib = crop_batch(
+            jnp.asarray(np.stack(self._px)),
+            jnp.asarray(np.stack(self._boxes).astype(np.float32)),
+            scale=float(self.est.cfg.DATASET.bbox_scale),
+            out_size=int(self.est.cfg.MODEL.input_shape[0]))
+        self.est._ensure_spin_quantized(calib)
+        self._px, self._boxes = [], []
+
+
 class _TrackChunkScorer:
     """Accumulates ONE selected track across decode windows and scores it
     in EXACTLY the batch Predictor's chunk structure.
@@ -186,38 +233,37 @@ class _TrackChunkScorer:
     boundaries are a function of the track's own frame index. Scoring
     window-by-window restarts that phase at every window (the former
     PARITY #5b streaming qualifier); instead this helper buffers the
-    anchor frames (1/stride of the pixels, O(chunk) memory) until a full
-    chunk of track frames has streamed past, then replays the batch call:
-    run_from_frames on a virtual track whose ids repeat each anchor
-    stride times -- the strided slicing inside _run_chunked then selects
-    exactly the buffered anchors, with the batch path's padding and
-    trimming. Scores are bit-identical to the whole-clip Predictor
-    (tests/test_streaming.py::test_two_pass_pose_stride_bit_exact_vs_batch).
+    anchor frames (1/stride of the pixels, O(chunk) memory -- each anchor
+    is COPIED out of its decode window, since holding views would pin
+    every window the chunk spans) until a full chunk of track frames has
+    streamed past, then replays the batch call: run_from_frames on a
+    virtual track whose ids repeat each anchor stride times -- the
+    strided slicing inside _run_chunked then selects exactly the buffered
+    anchors, with the batch path's padding and trimming. Scores are
+    bit-identical to the whole-clip Predictor (tests/test_streaming.py::
+    test_two_pass_pose_stride_bit_exact_vs_batch).
     """
 
     def __init__(self, scorer: "StreamingScorer", add_info: Dict,
-                 reba, rula, result: StreamResult):
+                 reba, rula, result: StreamResult,
+                 calibrator: _SpinCalibrator):
         self.est = scorer.estimator
         self.validate = scorer.validate_rotations
         self.stride = self.est._pose_stride
         self.chunk = self.est.production_chunk()
         self.add_info, self.reba, self.rula = add_info, reba, rula
         self.result = result
+        self.calibrator = calibrator
         self._pos = 0  # track position within the current chunk
         self._anchor_px: List[np.ndarray] = []
         self._anchor_boxes: List[np.ndarray] = []
         self._ids: List[int] = []
-        self._calib_px: List[np.ndarray] = []
-        self._calib_boxes: List[np.ndarray] = []
 
     def add(self, frames, local_ids: np.ndarray, boxes: np.ndarray,
             start_idx: int) -> None:
         for i, box in zip(np.asarray(local_ids), np.asarray(boxes)):
-            if self.est._spin_int8 and len(self._calib_px) < 8:
-                self._calib_px.append(np.asarray(frames[i]))
-                self._calib_boxes.append(box)
             if self._pos % self.stride == 0:
-                self._anchor_px.append(np.asarray(frames[i]))
+                self._anchor_px.append(np.array(frames[i], copy=True))
                 self._anchor_boxes.append(box)
             self._ids.append(int(start_idx + i))
             self._pos += 1
@@ -227,22 +273,7 @@ class _TrackChunkScorer:
     def flush(self) -> None:
         if self._pos == 0:
             return
-        if (self.est._spin_int8 and self.est._quant_backbone is None
-                and self._calib_px):
-            # Same calibration source as the batch run_from_frames call:
-            # crops of the first (up to) 8 frames of the SELECTED TRACK --
-            # not the first 8 anchors, which at stride > 1 would be
-            # different pixels than the batch path calibrated on.
-            import jax.numpy as jnp
-
-            from poserisk_release_tpu.ops.crop import crop_batch
-
-            calib = crop_batch(
-                jnp.asarray(np.stack(self._calib_px)),
-                jnp.asarray(np.stack(self._calib_boxes).astype(np.float32)),
-                scale=float(self.est.cfg.DATASET.bbox_scale),
-                out_size=int(self.est.cfg.MODEL.input_shape[0]))
-            self.est._ensure_spin_quantized(calib)
+        self.calibrator.ensure()
         n = self._pos
         # Virtual track: id j//stride at position j, so the strided slice
         # inside _run_chunked reads the buffered anchors 0..n_anchors-1 in
@@ -391,21 +422,8 @@ class StreamingScorer:
         stop_at = max(int(fr.max()) for fr, _ in tracks.values()) + 1
         if max_frames is not None:
             stop_at = min(stop_at, max_frames)
-        render_plan = [
-            (title, scorer, scores_attr, logs_attr)
-            for title, scorer, scores_attr, logs_attr in (
-                ("REBA", reba, "reba_scores", "reba_logs"),
-                ("RULA", rula, "rula_scores", "rula_logs"),
-            )
-            if title in video_types.replace(" ", "").upper().split(",")
-        ]
-        if video_output is not None and not render_plan:
-            # A video_types string matching neither family would otherwise
-            # decode the WHOLE clip for nothing and leave empty person_<id>/
-            # directories with no videos in them.
-            raise ValueError(
-                f"video_types {video_types!r} selects neither REBA nor RULA;"
-                " nothing to render")
+        render_plan, video_output = self._build_render_plan(
+            reba, rula, video_types, video_output)
         if self.estimator._pose_stride > 1:
             # Chunk-aligned scoring per track (batch-identical anchor
             # phase; see _TrackChunkScorer). Each track buffers its own
@@ -414,8 +432,15 @@ class StreamingScorer:
             # uploaded at all. Rendering runs as its own decode pass from
             # the complete results (stop_at here is still the scoring
             # stop: the last selected frame).
+            # int8 calibration pixels come from the FIRST surviving track
+            # in discovery order -- the track whose first run_from_frames
+            # call calibrates the batch --multi_person path -- regardless
+            # of which track's chunk happens to fill (and flush) first.
+            cal = _SpinCalibrator(self.estimator)
+            owner = next(iter(tracks))
             accs = {pid: _TrackChunkScorer(self, add_info, reba, rula,
-                                           results[pid]) for pid in tracks}
+                                           results[pid], cal)
+                    for pid in tracks}
             for item in _window_stream(video_path, self.window, stop_at,
                                        self.cfg.DATASET.decode_workers):
                 if item[0] != "window":
@@ -424,8 +449,11 @@ class StreamingScorer:
                 for pid, (fr, bx) in tracks.items():
                     mask = (fr >= start_idx) & (fr < start_idx + len(frames))
                     if mask.any():
-                        accs[pid].add(frames, fr[mask] - start_idx,
-                                      bx[mask], int(start_idx))
+                        ids = fr[mask] - start_idx
+                        if pid == owner and cal.gathering:
+                            cal.gather(frames, ids, bx[mask])
+                        accs[pid].add(frames, ids, bx[mask],
+                                      int(start_idx))
             for acc in accs.values():
                 acc.flush()
             if video_output is not None:
@@ -582,22 +610,9 @@ class StreamingScorer:
         stop_at = int(sel_frames.max()) + 1
         if max_frames is not None:
             stop_at = min(stop_at, max_frames)
-        wanted = video_types.replace(" ", "").upper().split(",")
-        render_plan = [
-            (title, scorer, scores_attr, logs_attr)
-            for title, scorer, scores_attr, logs_attr in (
-                ("REBA", reba, "reba_scores", "reba_logs"),
-                ("RULA", rula, "rula_scores", "rula_logs"),
-            )
-            if title in wanted
-        ]
+        render_plan, video_output = self._build_render_plan(
+            reba, rula, video_types, video_output)
         if video_output is not None:
-            if not render_plan:
-                # Same guard as score_all: an unrenderable video_types would
-                # decode the whole clip for nothing.
-                raise ValueError(
-                    f"video_types {video_types!r} selects neither REBA nor"
-                    " RULA; nothing to render")
             import os
 
             os.makedirs(video_output, exist_ok=True)
@@ -611,7 +626,8 @@ class StreamingScorer:
             # windows by up to a chunk, so it runs as its OWN decode pass
             # after scoring completes (still one window of pixels at a
             # time; the render path always decodes the full clip anyway).
-            acc = _TrackChunkScorer(self, add_info, reba, rula, result)
+            cal = _SpinCalibrator(self.estimator)
+            acc = _TrackChunkScorer(self, add_info, reba, rula, result, cal)
             for item in _window_stream(video_path, self.window, stop_at,
                                        self.cfg.DATASET.decode_workers):
                 if item[0] != "window":
@@ -620,8 +636,10 @@ class StreamingScorer:
                 mask = ((sel_frames >= start_idx)
                         & (sel_frames < start_idx + len(frames)))
                 if mask.any():
-                    acc.add(frames, sel_frames[mask] - start_idx,
-                            bboxes[mask], int(start_idx))
+                    ids = sel_frames[mask] - start_idx
+                    if cal.gathering:
+                        cal.gather(frames, ids, bboxes[mask])
+                    acc.add(frames, ids, bboxes[mask], int(start_idx))
             acc.flush()
             if video_output is not None:
                 self._render_pass(video_path, max_frames, video_output,
@@ -669,6 +687,33 @@ class StreamingScorer:
             for writer in writers:
                 writer.close()
         return result
+
+    def _build_render_plan(self, reba, rula, video_types: str,
+                           video_output: Optional[str]):
+        """(render_plan, video_output): the (title, scorer, scores_attr,
+        logs_attr) rows video_types selects -- THE one selection rule for
+        both streaming modes. When video_output is set but NO family
+        matches, rendering is skipped with a warning and video_output
+        comes back None (no full-clip decode, no empty person dirs): the
+        batch Predictor completes silently on an unmatched score_type, so
+        the streaming extension must not abort the run either."""
+        wanted = video_types.replace(" ", "").upper().split(",")
+        plan = [
+            (title, scorer, scores_attr, logs_attr)
+            for title, scorer, scores_attr, logs_attr in (
+                ("REBA", reba, "reba_scores", "reba_logs"),
+                ("RULA", rula, "rula_scores", "rula_logs"),
+            )
+            if title in wanted
+        ]
+        if video_output is not None and not plan:
+            import warnings
+
+            warnings.warn(
+                f"video_types {video_types!r} selects neither REBA nor "
+                "RULA; skipping video rendering", stacklevel=3)
+            video_output = None
+        return plan, video_output
 
     def _render_pass(self, video_path: str, max_frames: Optional[int],
                      video_output: str, render_plan, fps: float,
@@ -825,6 +870,10 @@ class StreamingScorer:
                         continue
                 # Skipped frame, or a detection step without the target:
                 # wait for the next target detection to interpolate.
+                # (Entries are VIEWS into the decode window; they are
+                # consecutive frames, so at most ~2 window buffers stay
+                # referenced -- the decode lookahead's own order. Copying
+                # here would tax every skipped frame for no bound change.)
                 pending.append((gidx, frames[local]))
                 if len(pending) > self.window:
                     pending.pop(0)

@@ -555,17 +555,23 @@ def test_score_all_videos_frame_exact_vs_batch_multi_person(
             np.testing.assert_array_equal(s, b, err_msg=f"{title}/{spid}")
 
 
-def test_unrenderable_video_types_raise_before_decoding(tmp_path, long_clip):
+def test_unrenderable_video_types_warn_and_skip_rendering(tmp_path, long_clip):
     """video_output with a video_types string matching neither family used
     to decode the whole clip for nothing (and, in score_all, leave empty
-    person_<id>/ directories); now it raises up front."""
+    person_<id>/ directories). It must not abort the run either -- the
+    batch Predictor completes silently on an unmatched score_type -- so
+    rendering is skipped with a warning and scoring proceeds."""
     scorer = StreamingScorer(detector=StubDetector(), window=16)
-    with pytest.raises(ValueError, match="neither REBA nor RULA"):
-        scorer(long_clip, INFO, video_output=str(tmp_path / "x"),
-               video_types="NONSENSE")
-    with pytest.raises(ValueError, match="neither REBA nor RULA"):
-        scorer.score_all(long_clip, INFO, video_output=str(tmp_path / "y"),
-                         video_types="NONSENSE")
+    with pytest.warns(UserWarning, match="neither REBA nor RULA"):
+        res = scorer(long_clip, INFO, video_output=str(tmp_path / "x"),
+                     video_types="NONSENSE")
+    assert len(res.reba_scores) == 40  # scoring unaffected
+    assert not (tmp_path / "x").exists()  # no dir, no videos, no full decode
+    with pytest.warns(UserWarning, match="neither REBA nor RULA"):
+        results = scorer.score_all(long_clip, INFO,
+                                   video_output=str(tmp_path / "y"),
+                                   video_types="NONSENSE")
+    assert results and not (tmp_path / "y").exists()
 
 
 def test_render_writers_closed_on_mid_clip_exception(tmp_path, long_clip,
@@ -811,3 +817,24 @@ def test_score_all_pose_stride_bit_exact_vs_batch(two_person_clip):
             r["score"] for r in reba(euler, jc, INFO)]
         assert results[spid].rula_scores == [
             r["score"] for r in rula(euler, jc, INFO)]
+
+
+def test_track_chunk_scorer_copies_anchor_pixels():
+    """The chunk accumulator must COPY anchor pixels out of the decode
+    window: a view would pin every window the chunk spans (stride x the
+    documented memory bound) until the flush."""
+    from poserisk_release_tpu.streaming import (
+        StreamResult,
+        _SpinCalibrator,
+        _TrackChunkScorer,
+    )
+
+    cfg = default_config().replace(SPIN={"pose_stride": 2})
+    scorer = StreamingScorer(cfg=cfg, detector=StubDetector(), window=8)
+    reba, rula = scorer._scorers()
+    acc = _TrackChunkScorer(scorer, INFO, reba, rula, StreamResult(),
+                            _SpinCalibrator(scorer.estimator))
+    window = np.zeros((8, 32, 32, 3), np.uint8)
+    acc.add(window, np.arange(4), np.zeros((4, 4), np.float64), 0)
+    assert acc._anchor_px and all(
+        not np.shares_memory(a, window) for a in acc._anchor_px)
