@@ -20,8 +20,27 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the big ResNet-50 graphs dominate suite time;
-# caching executables across runs cuts repeat suite time by minutes.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+# caching executables across runs cuts repeat suite time by minutes. The
+# directory is keyed by the host's CPU feature set: XLA:CPU AOT executables
+# compiled on a previous host generation still LOAD here (with a
+# machine-feature-mismatch warning), and the foreign codegen can shift float
+# rounding (flipping threshold-adjacent scores) or even SIGILL -- observed
+# when this image migrated hosts between rounds.
+import hashlib  # noqa: E402
+
+_cpu_flags = ""
+try:
+    with open("/proc/cpuinfo") as _f:
+        for _line in _f:
+            if _line.startswith("flags"):
+                _cpu_flags = _line
+                break
+except OSError:
+    pass
+_cache_dir = os.path.join(
+    os.path.dirname(__file__),
+    ".jax_cache-" + hashlib.sha1(_cpu_flags.encode()).hexdigest()[:8],
+)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
