@@ -1,0 +1,351 @@
+"""Differential tests wave 3: the literal `lib/core/base.py`.
+
+VERDICT r3 classed `base.py` as unreachable ("needs the MPT package").
+It is reachable: every unsatisfiable import is either an external package
+the reference never ships (`multi_person_tracker`, and a `models` module
+that exists in NO form in the release tree -- the SPIN model file was never
+published) or already solved by the wave-1/2 machinery (torchvision /
+easydict shims, reference lib dirs on sys.path). With import-name-only
+shims for those two, the literal `Predictor` / `DataProcessing` classes
+load, and their model-free methods run as in-process oracles via
+`__new__` + attribute injection (the same trick wave 1 uses for
+SMPL_Layer):
+
+  post_processing      (base.py:242-271)  stats 5-tuple + score plot png
+  save_csv_pose_log    (base.py:329-349)  byte-diffed vs outputs/writers
+  save_csv             (base.py:351-397)  both CSVs byte-diffed
+  DataProcessing.__call__ (base.py:47-74) ingest + min-frame filter +
+                                          target selection (tracker injected)
+  vis_3d_pose          (vis_utils.py:181-236) debug 3-D skeleton png
+
+Two reference defects this suite pins by EXECUTION (both previously only
+asserted in docstrings):
+  * visualize_result (base.py:284-327) allocates a float64 canvas and
+    cv2 5.0 (this image) asserts CV_8U in putText -- the literal method
+    cannot run here, which is exactly the dtype deviation
+    tests/oracles/reference_render.py documents.
+  * visualize_joint_cam (base.py:399-420) reads an undefined `timestamp`
+    -- the literal method dies with NameError on any input, which is why
+    outputs/render.render_joint_cam_video is a "working rebuild".
+
+The reference tree is read-only spec input; nothing here mutates it.
+"""
+
+import os.path as osp
+import sys
+import types
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from tests.test_reference_differential import _load_reference_module
+from tests.test_reference_differential_wave2 import (
+    REFERENCE_ROOT,
+    _install_easydict_shim,
+    _install_torchvision_shim,
+    _synthetic_mp4,
+)
+
+pytestmark = [
+    pytest.mark.smoke,
+    pytest.mark.skipif(
+        not osp.isdir(osp.join(REFERENCE_ROOT, "lib")),
+        reason="reference tree not present",
+    ),
+]
+
+
+def _install_import_name_shims():
+    """Names base.py imports that exist nowhere (not in the release, not in
+    this image): `multi_person_tracker` (external pip package) and `models`
+    (the SPIN network module the release never shipped -- its data symlink
+    is equally broken). The shims provide ONLY the imported attribute names;
+    no shimmed symbol is ever called by the methods under test."""
+    if "multi_person_tracker" not in sys.modules:
+        mpt = types.ModuleType("multi_person_tracker")
+        mpt_data = types.ModuleType("multi_person_tracker.data")
+        mpt.MPT = type("MPT", (), {})
+        mpt_data.video_to_images = None
+        mpt.data = mpt_data
+        sys.modules["multi_person_tracker"] = mpt
+        sys.modules["multi_person_tracker.data"] = mpt_data
+    if "models" not in sys.modules:
+        models = types.ModuleType("models")
+        models.hmr = None
+        sys.modules["models"] = models
+
+
+@pytest.fixture(scope="module")
+def ref_base():
+    _install_torchvision_shim()
+    _install_easydict_shim()
+    _install_import_name_shims()
+    import matplotlib
+
+    matplotlib.use("Agg")
+    for rel in ("lib", "lib/utils", "data", "lib/smplpytorch"):
+        p = osp.join(REFERENCE_ROOT, rel)
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    return _load_reference_module("base", "lib/core/base.py")
+
+
+@pytest.fixture(scope="module")
+def ref_vis(ref_base):
+    """The vis_utils module AS base.py imported it (same sys.modules entry
+    its `from vis_utils import ...` resolved to)."""
+    import vis_utils
+
+    return vis_utils
+
+
+def _new_predictor(ref_base, **attrs):
+    pred = ref_base.Predictor.__new__(ref_base.Predictor)
+    for k, v in attrs.items():
+        setattr(pred, k, v)
+    return pred
+
+
+# --------------------------------------------------------------------------
+# post_processing: stats 5-tuple + score plot
+# --------------------------------------------------------------------------
+def test_post_processing_literal(rng, ref_base, tmp_path):
+    import matplotlib.pyplot as plt
+
+    from poserisk_release_tpu.outputs.stats import post_process_scores
+
+    pred = _new_predictor(ref_base)
+    joint_names = ["neck", "trunk", "leg", "upper_arm", "lower_arm", "wrist"]
+    for case, scores in [
+        ("ints", rng.randint(1, 13, size=40)),
+        ("ties", np.array([3, 3, 7, 7, 7, 2, 11, 3, 3, 5])),
+    ]:
+        results = [
+            {"score": int(s), "log_score": [f"{j}:{int(s)}" for j in joint_names]}
+            for s in scores
+        ]
+        frames = np.sort(rng.choice(np.arange(100), size=len(scores), replace=False))
+        timestamp = (0, frames, 100)
+
+        ref_dir = tmp_path / f"ref_{case}"
+        got_dir = tmp_path / f"got_{case}"
+        ref_dir.mkdir()
+        got_dir.mkdir()
+
+        plt.close("all")
+        want = pred.post_processing(results, joint_names, timestamp,
+                                    str(ref_dir), title="REBA")
+        plt.close("all")
+        got = post_process_scores(results, timestamp, str(got_dir), "REBA")
+
+        assert got[0] == want[0], case  # (avg, top50, top10, max, mode)
+        np.testing.assert_array_equal(got[1], want[1])
+        assert [list(x) for x in got[2]] == [list(x) for x in want[2]]
+        with open(ref_dir / "REBA_score.png", "rb") as f:
+            want_png = f.read()
+        with open(got_dir / "REBA_score.png", "rb") as f:
+            got_png = f.read()
+        assert got_png == want_png, case
+
+
+# --------------------------------------------------------------------------
+# CSV writers: byte parity with the literal methods
+# --------------------------------------------------------------------------
+JOINTS_UPPER = [
+    "PELVIS", "L_HIP", "R_HIP", "TORSO", "L_KNEE", "R_KNEE", "SPINE",
+    "L_ANKLE", "R_ANKLE", "CHEST", "L_TOE", "R_TOE", "NECK", "L_THORAX",
+    "R_THORAX", "HEAD", "L_SHOULDER", "R_SHOULDER", "L_ELBOW", "R_ELBOW",
+    "L_WRIST", "R_WRIST", "L_HAND", "R_HAND",
+]
+
+
+def _read(path):
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def test_save_csv_pose_log_literal(rng, ref_base, tmp_path):
+    from poserisk_release_tpu.outputs.writers import (
+        pose_to_str,
+        save_csv_pose_log,
+    )
+
+    n = 12
+    poses = rng.randn(n, 24, 3)
+    pose_str = pose_to_str(poses)
+    frames = np.sort(rng.choice(np.arange(30), size=n, replace=False))
+    timestamp = (0, frames, 30)
+    debug_joints = ["Neck", "L_Hip", "R_Wrist"]
+
+    pred = _new_predictor(
+        ref_base,
+        debug_joints=debug_joints,
+        smpl_model=SimpleNamespace(joints_name_upper=JOINTS_UPPER),
+    )
+    ref_dir = tmp_path / "ref"
+    got_dir = tmp_path / "got"
+    ref_dir.mkdir()
+    got_dir.mkdir()
+    pred.save_csv_pose_log(pose_str, timestamp, str(ref_dir))
+    save_csv_pose_log(pose_str, timestamp, debug_joints, JOINTS_UPPER,
+                      str(got_dir))
+    assert _read(got_dir / "pose_log.csv") == _read(ref_dir / "pose_log.csv")
+
+
+def test_save_csv_literal(rng, ref_base, tmp_path):
+    from poserisk_release_tpu.outputs.writers import (
+        save_eval_pose_log_csv,
+        save_score_log_csv,
+    )
+
+    n = 15
+    joint_names = ["neck", "trunk", "leg", "upper_arm", "lower_arm", "wrist"]
+    frames = np.sort(rng.choice(np.arange(40), size=n, replace=False))
+    timestamp = (0, frames, 40)
+    scores = rng.randint(1, 8, size=n)
+    logs = np.array([
+        [f"{rng.randint(1, 5)}, {rng.randint(1, 5)}" for _ in joint_names]
+        for _ in range(n)
+    ])
+    pose_logs = [
+        {"neck_angle": f"{rng.uniform(-30, 30):.2f}",
+         "trunk_angle": f"{rng.uniform(-10, 60):.2f}"}
+        for _ in range(n)
+    ]
+
+    pred = _new_predictor(ref_base)
+    ref_dir = tmp_path / "ref"
+    got_dir = tmp_path / "got"
+    ref_dir.mkdir()
+    got_dir.mkdir()
+    pred.save_csv(None, timestamp, scores, joint_names, logs, pose_logs,
+                  str(ref_dir), title="RULA")
+    save_score_log_csv(timestamp, scores, joint_names, logs, str(got_dir), "RULA")
+    save_eval_pose_log_csv(timestamp, pose_logs, str(got_dir), "RULA")
+    for name in ("RULA_score_log.csv", "RULA_eval_pose_log.csv"):
+        assert _read(got_dir / name) == _read(ref_dir / name), name
+
+
+# --------------------------------------------------------------------------
+# DataProcessing.__call__: ingest + min-frame filter + target selection
+# --------------------------------------------------------------------------
+def _track(rng, n_frames, area_scale):
+    return {
+        "bbox": rng.uniform(10, 100, size=(n_frames, 4)) * area_scale,
+        "frames": np.arange(n_frames),
+    }
+
+
+@pytest.mark.parametrize("survivors", ["some", "none"])
+def test_data_processing_call_literal(rng, ref_base, tmp_path, survivors):
+    from poserisk_release_tpu.io.video import read_video
+    from poserisk_release_tpu.tracking.mpt import filter_and_select_target
+
+    video = str(tmp_path / "clip.mp4")
+    # h > 450 so the literal get_images takes a resize branch: on videos
+    # that trigger NEITHER branch it crashes (see
+    # test_get_images_literal_crashes_without_resize below)
+    _synthetic_mp4(video, w=320, h=480, n=9)
+
+    if survivors == "some":
+        # 9 frames * 0.33 = 2.97 -> tracks with >= 3 frames survive
+        tracking = {4: _track(rng, 8, 1.0), 7: _track(rng, 5, 3.0),
+                    9: _track(rng, 2, 9.0)}
+    else:
+        # nobody reaches the bar -> the literal keep-all fallback
+        tracking = {2: _track(rng, 1, 1.0), 5: _track(rng, 2, 5.0)}
+
+    dp = ref_base.DataProcessing.__new__(ref_base.DataProcessing)
+    dp.tracker = lambda image_path: {
+        k: {kk: vv.copy() for kk, vv in v.items()} for k, v in tracking.items()
+    }
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    image_path, file_num, fps, want_bbox, want_frames = dp(video, str(out_dir))
+
+    clip = read_video(video)
+    assert clip.num_frames == file_num
+    assert clip.fps == pytest.approx(fps)
+    got_bbox, got_frames = filter_and_select_target(tracking, file_num)
+    np.testing.assert_array_equal(got_bbox, want_bbox)
+    np.testing.assert_array_equal(got_frames, want_frames)
+
+
+def test_get_images_literal_crashes_without_resize(ref_base, tmp_path):
+    """Reference defect discovered by this suite: get_images keeps the
+    FLOAT width/height from cap.get when neither resize branch triggers
+    (funcs_utils.py:23-31 only int()-casts inside the branches), and
+    cv2.resize rejects a float dsize -- the literal ingest crashes on any
+    video already within 800x450. The product int-casts up front
+    (io/video._open_video) and resizes to the identical size, which is the
+    only behaviour a non-crashing rebuild can have there."""
+    import cv2
+
+    import funcs_utils
+
+    from poserisk_release_tpu.io.video import read_video
+
+    video = str(tmp_path / "small.mp4")
+    _synthetic_mp4(video, w=320, h=240, n=3)
+    with pytest.raises(cv2.error, match="dsize"):
+        funcs_utils.get_images(video, str(tmp_path / "frames"))
+
+    clip = read_video(video)  # the rebuild ingests it
+    assert clip.frames.shape == (3, 240, 320, 3)
+
+
+# --------------------------------------------------------------------------
+# vis_3d_pose: debug 3-D skeleton figure
+# --------------------------------------------------------------------------
+def test_vis_3d_pose_literal(rng, ref_vis, tmp_path):
+    from poserisk_release_tpu.outputs.render import vis_3d_pose
+
+    skeleton = ((0, 1), (1, 4), (4, 7), (0, 2), (2, 5), (5, 8), (0, 3),
+                (3, 6), (6, 9), (9, 12), (12, 15), (9, 13), (13, 16),
+                (16, 18), (18, 20), (20, 22), (9, 14), (14, 17), (17, 19),
+                (19, 21), (21, 23))
+    kps = rng.uniform(-600, 600, size=(24, 3))
+    ref_path = str(tmp_path / "ref.png")
+    got_path = str(tmp_path / "got.png")
+    ref_vis.vis_3d_pose(kps, skeleton, "smpl", ref_path, frame=17)
+    vis_3d_pose(kps, skeleton, got_path, frame=17)
+    assert _read(got_path) == _read(ref_path)
+
+
+# --------------------------------------------------------------------------
+# Executed evidence for the two documented reference defects
+# --------------------------------------------------------------------------
+def test_visualize_result_literal_rejected_by_cv2(rng, ref_base, tmp_path):
+    """The literal renderer allocates np.zeros((h, w, 3)) float64
+    (base.py:305) and putText in cv2 5.0 asserts CV_8U: the reference's own
+    visualize_result cannot run on this image. This pins the dtype
+    deviation documented in tests/oracles/reference_render.py (which, like
+    the product renderer, draws on uint8)."""
+    import cv2
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    img = rng.randint(0, 256, size=(90, 160, 3), dtype=np.uint8)
+    cv2.imwrite(str(frames_dir / "000000000.jpg"), img)
+
+    pred = _new_predictor(ref_base)
+    with pytest.raises(cv2.error, match="CV_8U"):
+        pred.visualize_result(
+            str(frames_dir), np.array([[80.0, 45.0, 40.0, 60.0]]),
+            (0, np.array([0]), 1), 20.0, (1.0, 1.0, 1.0, 1.0, 1),
+            np.array([3]), ["neck"], np.array([["3"]]), None, str(tmp_path),
+        )
+
+
+def test_visualize_joint_cam_literal_is_broken(rng, ref_base, tmp_path):
+    """base.py:405 iterates `timestamp[1]` but `timestamp` is neither a
+    parameter nor a module global -- the literal method dies with NameError
+    on ANY input. outputs/render.render_joint_cam_video is the working
+    rebuild (same figures, same j//2*2 snap, same mp4)."""
+    pred = _new_predictor(
+        ref_base, smpl_model=SimpleNamespace(skeleton=((0, 1),))
+    )
+    joint_cam = rng.uniform(-500, 500, size=(4, 24, 3))
+    with pytest.raises(NameError, match="timestamp"):
+        pred.visualize_joint_cam(joint_cam, 0, str(tmp_path))

@@ -94,10 +94,14 @@ def _install_torchvision_shim():
 
     tv = types.ModuleType("torchvision")
     tf = types.ModuleType("torchvision.transforms")
+    tff = types.ModuleType("torchvision.transforms.functional")
     tf.Compose, tf.ToTensor, tf.Normalize = Compose, ToTensor, Normalize
+    tff.to_tensor = ToTensor()  # functional form (demo_dataset.py:23)
+    tf.functional = tff
     tv.transforms = tf
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.transforms"] = tf
+    sys.modules["torchvision.transforms.functional"] = tff
 
 
 def _install_easydict_shim():
