@@ -296,6 +296,69 @@ def test_get_images_literal_crashes_without_resize(ref_base, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# CropDataset: the literal crop-dataset mechanics (data/demo_dataset.py)
+# --------------------------------------------------------------------------
+def test_crop_dataset_literal(rng, ref_base, tmp_path):
+    """The demo path Predictor.__call__ actually builds (base.py:116-123:
+    bboxes given, joints2d=None, scale=cfg.DATASET.bbox_scale) AND the
+    joints2d branch (demo_dataset.py:46-53: raw bbox params re-scaled to
+    150/size square boxes, time_pt frame slicing)."""
+    import cv2
+
+    import demo_dataset  # as base.py imported it (sys.path via ref_base)
+
+    from poserisk_release_tpu.io.images import get_single_image_crop_demo
+    from poserisk_release_tpu.io.keypoints import bboxes_from_joints2d
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    imgs = rng.randint(0, 256, size=(6, 120, 160, 3)).astype(np.uint8)
+    for i, img in enumerate(imgs):
+        cv2.imwrite(str(frames_dir / "{0:09d}.jpg".format(i)), img)
+    rgb = [
+        cv2.cvtColor(cv2.imread(str(frames_dir / "{0:09d}.jpg".format(i))),
+                     cv2.COLOR_BGR2RGB)
+        for i in range(6)
+    ]
+
+    # production path: explicit bboxes, joints2d=None
+    frames = np.array([1, 2, 4, 5])
+    bboxes = np.stack([
+        rng.uniform(50, 110, size=4), rng.uniform(40, 80, size=4),
+        rng.uniform(30, 70, size=4), rng.uniform(40, 90, size=4),
+    ]).T
+    ds = demo_dataset.CropDataset(str(frames_dir), frames, bboxes=bboxes,
+                                  joints2d=None, scale=1.2)
+    assert len(ds) == len(frames)
+    for idx in range(len(ds)):
+        want = ds[idx].numpy()  # CHW [0,1]
+        got, _, _ = get_single_image_crop_demo(
+            rgb[frames[idx]], bboxes[idx], None, scale=1.2, crop_size=224
+        )
+        diff = np.abs(got - want.transpose(1, 2, 0))
+        assert diff.max() < 0.045 and diff.mean() < 0.004, idx
+
+    # joints2d branch: leading invisible frame exercises the time_pt slice
+    j2d = rng.uniform(20, 140, size=(6, 25, 3))
+    j2d[:, :, 2] = rng.uniform(0.5, 1.0, size=(6, 25))
+    j2d[0, :, 2] = 0.0  # below vis_thresh everywhere -> time_pt1 > 0
+    ds2 = demo_dataset.CropDataset(str(frames_dir), np.arange(6),
+                                   joints2d=j2d.copy(), scale=1.2)
+    want_bb, t0, t1 = bboxes_from_joints2d(j2d)
+    np.testing.assert_allclose(ds2.bboxes, want_bb, rtol=1e-6)
+    np.testing.assert_array_equal(ds2.frames, np.arange(6)[t0:t1])
+    assert len(ds2) == t1 - t0
+    want_img, want_kp = ds2[0]
+    got_img, _, got_kp = get_single_image_crop_demo(
+        rgb[t0], want_bb[0], j2d[t0].copy(), scale=1.2, crop_size=224
+    )
+    diff = np.abs(got_img - want_img.numpy().transpose(1, 2, 0))
+    assert diff.max() < 0.045 and diff.mean() < 0.004
+    np.testing.assert_allclose(got_kp[:, :2], want_kp[:, :2],
+                               rtol=3e-6, atol=2e-3)
+
+
+# --------------------------------------------------------------------------
 # vis_3d_pose: debug 3-D skeleton figure
 # --------------------------------------------------------------------------
 def test_vis_3d_pose_literal(rng, ref_vis, tmp_path):
