@@ -359,6 +359,93 @@ def test_crop_dataset_literal(rng, ref_base, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# Dataset mixers: MultipleDatasets + FeatureDataset windows
+# --------------------------------------------------------------------------
+class _ScriptedRng:
+    """Deterministic stand-in for both random-draw APIs the two
+    implementations use: the literal module's random.randint(a, b)
+    (INCLUSIVE b) and the product rng's randint(low, high) (EXCLUSIVE
+    high). Each call pops the same scripted value, so identical draw
+    sequences drive both sides."""
+
+    def __init__(self, values):
+        self.values = list(values)
+
+    def randint(self, a, b):  # literal: inclusive; product: exclusive high
+        return self.values.pop(0)
+
+
+def test_multiple_datasets_literal(rng, ref_base):
+    import multiple_datasets  # as base.py imported it
+
+    from poserisk_release_tpu.train.datasets import MultipleDatasets
+
+    dbs = [list(range(0, 5)), list(range(100, 103)), list(range(200, 208))]
+
+    # deterministic branch: make_same_len=False walks the cumsum
+    ref_ds = multiple_datasets.MultipleDatasets(dbs, make_same_len=False)
+    got_ds = MultipleDatasets(dbs, make_same_len=False)
+    assert len(got_ds) == len(ref_ds) == 16
+    assert [got_ds[i] for i in range(16)] == [ref_ds[i] for i in range(16)]
+
+    # sampling branch: script the SAME draw sequence through both sides
+    ref_ds = multiple_datasets.MultipleDatasets(dbs, make_same_len=True)
+    got_ds = MultipleDatasets(dbs, make_same_len=True)
+    assert len(got_ds) == len(ref_ds) == 24
+    draws = [int(rng.randint(0, 3)) for _ in range(200)]
+    extra = [int(rng.randint(0, 3)) for _ in range(200)]  # tail re-draws
+    script = []
+    for d, e in zip(draws, extra):
+        script.extend([d, e])  # at most 2 draws per item
+    ref_script = _ScriptedRng(script)
+    got_script = _ScriptedRng(list(script))
+    ref_random = multiple_datasets.random
+    multiple_datasets.random = ref_script
+    try:
+        got_ds._rng = got_script
+        want = [ref_ds[i] for i in range(24)]
+        # consume the same number of draws the literal consumed
+        got_script.values = script[: len(script) - len(ref_script.values)]
+        got = [got_ds[i] for i in range(24)]
+    finally:
+        multiple_datasets.random = ref_random
+    assert got == want
+    # both sides drew the same number of scripted values
+    assert len(got_script.values) == 0
+
+
+def test_feature_dataset_windows_literal(ref_base, tmp_path):
+    import torch
+
+    import demo_dataset
+
+    from poserisk_release_tpu.train.datasets import (
+        gather_window,
+        sequence_windows,
+    )
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    n = 23
+    for i in range(n):
+        (frames_dir / "{0:09d}.jpg".format(i)).touch()  # listing only
+
+    for seq_len in (16, 8):
+        ds = demo_dataset.FeatureDataset(str(frames_dir), np.arange(n),
+                                         seq_len=seq_len)
+        want_windows = [list(w) for w in ds.seq_list]
+        got_windows = [list(w) for w in sequence_windows(n, seq_len)]
+        assert got_windows == want_windows, seq_len
+
+        feats = np.arange(n * 4, dtype=np.float32).reshape(n, 4)
+        ds.feature_list = torch.from_numpy(feats)
+        for idx in range(len(ds)):
+            want = ds[idx].numpy()
+            got = gather_window(feats, got_windows[idx], seq_len)
+            np.testing.assert_array_equal(got, want, err_msg=f"{seq_len}:{idx}")
+
+
+# --------------------------------------------------------------------------
 # vis_3d_pose: debug 3-D skeleton figure
 # --------------------------------------------------------------------------
 def test_vis_3d_pose_literal(rng, ref_vis, tmp_path):
