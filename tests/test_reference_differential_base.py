@@ -359,6 +359,66 @@ def test_crop_dataset_literal(rng, ref_base, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# Training losses: the literal lib/core/loss.py
+# --------------------------------------------------------------------------
+def test_losses_literal(rng, ref_base, monkeypatch):
+    """All four literal loss modules vs train/losses. loss.py hard-codes
+    .cuda() placement (loss.py:45, 66, 96); a no-op Tensor.cuda patch is
+    device placement only -- every arithmetic op runs literally. The
+    Laplacian diff uses the full synthetic SMPL topology (6890 verts, all
+    covered), so the dense 6890x6890 reference matrix and the product's
+    neighbour-table formulation are compared on the real mesh size.
+    Residual not exercised: an isolated vertex (degree 0) -- the reference's
+    1e-8-guarded zero row vs the product's x_i residual -- unreachable on
+    any SMPL topology."""
+    import importlib
+
+    import torch
+
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    ref_loss = importlib.import_module("core.loss")
+
+    from poserisk_release_tpu.body.smpl import synthetic_smpl_arrays
+    from poserisk_release_tpu.train import losses as L
+
+    faces = np.asarray(synthetic_smpl_arrays()["faces"], np.int64)
+    B, V = 2, 6890
+    out = rng.randn(B, V, 3).astype(np.float32)
+    gt = out + 0.05 * rng.randn(B, V, 3).astype(np.float32)
+    valid = (rng.uniform(size=(B, V, 1)) > 0.3).astype(np.float32)
+    t = lambda x: torch.from_numpy(x)
+
+    # CoordLoss, both validity modes
+    want = ref_loss.CoordLoss(has_valid=True)(t(out), t(gt), t(valid)).item()
+    got = float(L.coord_loss(out, gt, valid))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    want = ref_loss.CoordLoss(has_valid=False)(t(out), t(gt), None).item()
+    np.testing.assert_allclose(float(L.coord_loss(out, gt)), want, rtol=1e-6)
+
+    # LaplacianLoss: dense 6890^2 matrix vs neighbour table, both reductions
+    lap_ref = ref_loss.LaplacianLoss(faces, average=False)
+    table, mask, _deg = L.build_laplacian_neighbors(faces, V)
+    want = lap_ref(t(out)).item()
+    got = float(L.laplacian_loss(out, table, mask, average=False))
+    np.testing.assert_allclose(got, want, rtol=2e-4)  # f32 dense-matmul class
+    lap_avg = ref_loss.LaplacianLoss(faces, average=True)
+    np.testing.assert_allclose(
+        float(L.laplacian_loss(out, table, mask, average=True)),
+        lap_avg(t(out)).item(), rtol=2e-4)
+
+    # NormalVectorLoss / EdgeLengthLoss
+    want = ref_loss.NormalVectorLoss(faces)(t(out), t(gt)).item()
+    got = float(L.normal_vector_loss(out, gt, faces))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    want = ref_loss.EdgeLengthLoss(faces)(t(out), t(gt)).item()
+    got = float(L.edge_length_loss(out, gt, faces))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # get_loss tuple shape: (coord, normal, edge, coord, coord)
+    assert len(ref_loss.get_loss(faces)) == len(L.get_loss(faces)) == 5
+
+
+# --------------------------------------------------------------------------
 # Dataset mixers: MultipleDatasets + FeatureDataset windows
 # --------------------------------------------------------------------------
 class _ScriptedRng:
