@@ -84,25 +84,44 @@ class TrainState:
         optimizer = get_optimizer(optimizer_name, lr)
         params = dict(estimator.variables["params"])
         batch_stats = dict(estimator.variables.get("batch_stats", {}))
-        opt_state = optimizer.init(params)
         step = make_train_step(cfg.SPIN.ief_iters, estimator.parents, optimizer,
                                remat=remat)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             replicated = NamedSharding(mesh, P())
-            sharded = NamedSharding(mesh, P("data"))
+            data_axis = "data" if "data" in mesh.axis_names else None
+            sharded = NamedSharding(mesh, P(data_axis))
+            if "model" in mesh.axis_names:
+                # dp x tp: Megatron-style parameter sharding over the
+                # 'model' axis (parallel/spmd.py); the gradient pytree
+                # inherits the specs, and optax mu/nu inherit them too
+                # because optimizer.init runs AFTER placement
+                # (jnp.zeros_like preserves sharding).
+                from poserisk_release_tpu.parallel.spmd import (
+                    shard_tree, spin_tp_specs)
+
+                variables = {"params": params, "batch_stats": batch_stats}
+                specs = spin_tp_specs(variables)
+                placed = shard_tree(mesh, variables, specs)
+                params, batch_stats = placed["params"], placed["batch_stats"]
+                named = jax.tree_util.tree_map(
+                    lambda s: NamedSharding(mesh, s), specs)
+                param_sh, stats_sh = named["params"], named["batch_stats"]
+            else:
+                params = jax.device_put(params, replicated)
+                batch_stats = jax.device_put(batch_stats, replicated)
+                param_sh = stats_sh = replicated
+            opt_state = optimizer.init(params)
             step = jax.jit(
                 step,
-                in_shardings=(replicated, replicated, replicated, replicated,
+                in_shardings=(param_sh, stats_sh, None, replicated,
                               sharded, sharded, None),
             )
-            params = jax.device_put(params, replicated)
-            batch_stats = jax.device_put(batch_stats, replicated)
-            opt_state = jax.device_put(opt_state, replicated)
             smpl = jax.device_put(estimator.smpl_params, replicated)
         else:
             step = jax.jit(step)
+            opt_state = optimizer.init(params)
             smpl = estimator.smpl_params
         return cls(params=params, batch_stats=batch_stats, opt_state=opt_state,
                    smpl_params=smpl, _step=step)
