@@ -61,7 +61,12 @@ def final_scores_stats(scores) -> Tuple[float, float, float, float, int]:
     score_avg = round(float(scores.mean()), 3)
     score50 = round(float(scores[: len(scores) // 2].mean()), 3)
     score10 = round(float(scores[: len(scores) // 10].mean()), 3)
-    score_max = round(float(scores.max()), 3)
+    # Dtype-preserving like the reference (base.py:269): REBA/RULA frame
+    # scores are integers, so the literal `round(scores.max(), 3)` is an
+    # int and the txt prints "MAX Score: 12", not "12.0" -- a float() cast
+    # here changed that surface (caught by the executed-oracle e2e diff,
+    # tests/test_reference_differential_predictor.py).
+    score_max = round(scores.max(), 3)
     score_mode = mode(scores).mode.item()
     return (score_avg, score50, score10, score_max, score_mode)
 
@@ -113,6 +118,8 @@ def finite_or_none(value):
     """NaN/inf -> None so the machine-readable JSON summaries stay strictly
     parseable (the parity txt/stdout surfaces keep the reference's NaN for
     <10-frame clips -- stats.py top-10% mean of an empty slice)."""
+    if isinstance(value, np.generic):
+        value = value.item()  # np.int64 max would not json.dump
     try:
         v = float(value)
     except (TypeError, ValueError):

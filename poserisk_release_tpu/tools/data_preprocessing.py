@@ -5,7 +5,18 @@ a `videos/` tree, track every person, keep tracks of at least MIN_SEC
 seconds, slice them into fixed-length chunks, crop each chunk to 224x224 on
 device, and write per-person jpg folders (under `images/`) and mp4 clips
 (under `processed_videos/`) -- same output naming scheme, no per-frame jpg
-round trip on the input side.
+round trip on the input side (pass jpeg_ingest=True for the reference's
+disk-JPEG pixel statistics, like DatasetConfig.jpeg_ingest).
+
+Documented deviations from the literal tool (each pinned by execution in
+tests/test_reference_differential_predictor.py):
+  * the reference processes `sorted(dirs)[4:]` (data_preprocessing.py:33),
+    silently skipping the first four source directories -- a leftover
+    resume offset from its authors' run; this rebuild processes every dir;
+  * the reference writes ROUNDED float pixels to the jpgs but TRUNCATED
+    (np.uint8) pixels to the mp4s of the same crops
+    (data_preprocessing.py:113-124); this rebuild writes one uint8 array to
+    both surfaces.
 
 Usage:
     python -m poserisk_release_tpu.tools.data_preprocessing --src data/NRF/videos/train
@@ -27,13 +38,14 @@ CROP_BATCH = 256
 
 
 def process_video(
-    file_name: str, img_dir: str, processed_dir: str, tracker, crop_size: int = 224
+    file_name: str, img_dir: str, processed_dir: str, tracker,
+    crop_size: int = 224, jpeg_ingest: bool = False
 ) -> List[str]:
     """Track + chunk + crop one video. Returns the written mp4 paths."""
     import cv2
     import jax.numpy as jnp
 
-    from poserisk_release_tpu.io.video import VideoClip
+    from poserisk_release_tpu.io.video import VideoClip, jpeg_roundtrip
     from poserisk_release_tpu.ops.crop import crop_batch
 
     save_dir = osp.splitext(osp.basename(file_name))[0]
@@ -50,6 +62,10 @@ def process_video(
     if not frames:
         return []
     clip = VideoClip(frames=np.stack(frames), fps=float(fps))
+    if jpeg_ingest:
+        # Reference pixel statistics: its tracker AND crops read the frames
+        # back from a '%09d.jpg' tmp tree (data_preprocessing.py:59-66).
+        clip = jpeg_roundtrip(clip)
 
     tracking_results = tracker(clip.frames)
 
@@ -100,7 +116,7 @@ def process_video(
     return written
 
 
-def main(src_dir: str, tracker=None) -> List[str]:
+def main(src_dir: str, tracker=None, jpeg_ingest: bool = False) -> List[str]:
     from poserisk_release_tpu.config import default_config
     from poserisk_release_tpu.models.detector import StubDetector, YoloDetector
     from poserisk_release_tpu.tracking.mpt import MultiPersonTracker
@@ -129,7 +145,8 @@ def main(src_dir: str, tracker=None) -> List[str]:
         for file_name in file_names:
             if not osp.isfile(file_name):
                 continue
-            written += process_video(file_name, img_dir, processed_dir, tracker)
+            written += process_video(file_name, img_dir, processed_dir, tracker,
+                                     jpeg_ingest=jpeg_ingest)
     return written
 
 

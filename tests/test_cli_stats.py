@@ -72,6 +72,26 @@ class TestStats:
         )
         assert osp.isfile(osp.join(str(tmp_path), "REBA_score.png"))
 
+    def test_max_score_keeps_int_dtype(self, tmp_path):
+        """base.py:269 rounds the max WITHOUT a float cast, and REBA/RULA
+        frame scores are integers -- so the reference txt prints
+        'MAX Score: 12', never '12.0'. Caught live by the executed-oracle
+        e2e diff (test_reference_differential_predictor.py); the json
+        summary stays serializable (np scalar -> native in finite_or_none)."""
+        import json
+
+        from poserisk_release_tpu.outputs.stats import (
+            final_scores_stats,
+            scores_summary_block,
+        )
+
+        final = final_scores_stats([2, 3, 4, 4])
+        assert f"{final[3]}" == "4"
+        body = format_result_txt(final, 1, "ok", trailing_space=False)
+        assert "\nMAX Score: 4 \n" in body
+        block = scores_summary_block({"REBA": (final, 1, "ok")})
+        assert json.loads(json.dumps(block))["REBA"]["max"] == 4
+
     def test_result_txt_whitespace_parity(self):
         body = format_result_txt((1.0, 2.0, 3.0, 4.0, 5), 2, "Low risk.", trailing_space=True)
         # 1 space after the %10 value + the f-string continuation's 20 spaces
