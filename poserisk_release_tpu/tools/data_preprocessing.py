@@ -154,9 +154,12 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser(description="Build per-person crop datasets")
     parser.add_argument("--src", type=str, required=True, help="videos/ source dir")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument("--jpeg_ingest", action="store_true",
+                        help="round-trip frames through JPEG before tracking/"
+                             "cropping (the reference's tmp-jpg pixel statistics)")
     args = parser.parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    main(args.src)
+    main(args.src, jpeg_ingest=args.jpeg_ingest)
