@@ -1,0 +1,346 @@
+"""Low-latency serving runtime: request-batched pose + ergonomic scoring.
+
+The reference is a batch CLI (`main/run.py`: one video in, result files out);
+it has no online-serving story. This module is the TPU-native deployment
+surface for the same per-frame capability — score individual
+(frame, tracked bbox) requests arriving concurrently from many clients —
+built the way TPU serving systems are:
+
+  * **static shapes, bucketed batching**: XLA compiles one graph per batch
+    bucket (e.g. 1/4/16/64); a request batch is padded up to the smallest
+    bucket that fits, so NO request sequence can trigger a recompile after
+    warm-up. Padding rows are edge-repeats of the last request and their
+    results are dropped.
+  * **deadline micro-batching**: a dispatcher thread drains the request
+    queue, waiting at most ``max_delay_ms`` after the first request (or
+    until the largest bucket fills) before launching — the standard
+    latency/throughput dial. Per-step device latency of this exact graph
+    was measured at 2.96 ms (batch 1) to 6.17 ms (batch 8) on a v5e chip
+    (docs/PERF.md "serving" table), so single-digit-ms deadlines keep the
+    MXU fed without visibly moving tail latency.
+  * **one fused graph per request**: crop + SPIN + rotation conversions +
+    SMPL joints + REBA/RULA scoring execute as a single jit step
+    (throughput.make_pose_and_score_step over the shared make_pose_core),
+    uint8 frames up, scores/angles down — the same single-upload contract
+    as the batch Predictor's production path (pipeline.run_from_frames).
+
+Scope: pose scoring only. Detection/tracking are per-STREAM stateful (a
+SORT filter per camera), not per-request — a deployment runs the existing
+StreamingScorer per stream, or its own tracker, and feeds the tracked
+boxes here. ``pose_stride`` must be 1: requests are independent frames, so
+anchor interpolation between unrelated requests would be meaningless.
+
+Numerics: bucket padding edge-repeats the last request — the same padding
+rule as pipeline._run_chunked — and padded rows are dropped, so a request's
+result is the product path's result at that batch shape. Across DIFFERENT
+bucket shapes, per-sample angles sit in the same XLA reduction-order class
+as the batch pipeline across chunk sizes (~1e-4 deg; scores themselves
+only move if an angle sits within that epsilon of an integer-degree rule
+threshold). tests/test_serving.py pins both statements.
+
+>>> with PoseScoringServer(frame_hw=(450, 800)) as server:
+...     res = server.score(frame_u8, np.array([400., 225., 220., 220.]))
+...     res.reba, res.rula, res.euler_deg.shape
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from poserisk_release_tpu.config import Config, default_config
+
+
+@dataclass(frozen=True)
+class ScoredPose:
+    """One request's result: final scores + the angle/joint surfaces the
+    reference's debug dumps expose per frame."""
+
+    reba: int
+    rula: int
+    euler_deg: np.ndarray  # (24, 3) XYZ Euler, degrees
+    joint_cam_mm: np.ndarray  # (24, 3) root-centered joints, mm
+
+
+@dataclass(frozen=True)
+class _Request:
+    frame: np.ndarray
+    bbox: np.ndarray
+    future: Future
+    t_submit: float
+
+
+class PoseScoringServer:
+    """Request-batching scoring server over one warm PoseEstimator.
+
+    Parameters
+    ----------
+    cfg, fast, spin_int8, gender:
+        Same contracts as pipeline.PoseEstimator (bf16 backbone under
+        ``fast``; int8-PTQ SPIN calibrated on the first real batch under
+        ``spin_int8`` — the server rebuilds its bucket graphs once, right
+        after calibration).
+    add_info:
+        The reference's additional-information dict (load_add_info format);
+        defaults to the packaged default_information.json. Fixed per server
+        — per-request info would put host branching back on the hot path;
+        run one server per info profile instead.
+    batch_sizes:
+        The bucket ladder. Compile count == len(batch_sizes) (once per
+        process thanks to the persistent cache).
+    max_delay_ms:
+        How long the dispatcher waits after the FIRST queued request for
+        more to coalesce. 0 serves strictly one-batch-per-poll.
+    frame_hw:
+        Fixed (height, width) of every request frame — the static-shape
+        serving contract (a stray resolution would otherwise silently
+        compile a new graph mid-traffic). Defaults to the reference's
+        ingest cap, (450, 800) (funcs_utils.py:26-31).
+    warm:
+        Compile + run every bucket at construction so the first real
+        request never pays a compile.
+    """
+
+    def __init__(
+        self,
+        cfg: Config | None = None,
+        add_info: Optional[Dict] = None,
+        batch_sizes: Sequence[int] = (1, 4, 16, 64),
+        max_delay_ms: float = 3.0,
+        frame_hw: Tuple[int, int] = (450, 800),
+        fast: bool = False,
+        spin_int8: bool = False,
+        gender: str = "neutral",
+        warm: bool = True,
+    ):
+        import jax.numpy as jnp
+
+        from poserisk_release_tpu.body.smpl import SMPLFamily
+        from poserisk_release_tpu.pipeline import PoseEstimator
+        from poserisk_release_tpu.throughput import default_packed_infos
+
+        if not batch_sizes or list(batch_sizes) != sorted(set(batch_sizes)):
+            raise ValueError(f"batch_sizes must be unique ascending, got {batch_sizes!r}")
+        self.cfg = cfg or default_config()
+        if int(self.cfg.SPIN.pose_stride) != 1:
+            raise ValueError(
+                "serving requires SPIN.pose_stride == 1: requests are "
+                "independent frames, there are no neighbours to slerp")
+        self.batch_sizes = tuple(int(b) for b in batch_sizes)
+        self.max_delay_s = float(max_delay_ms) / 1e3
+        self.frame_hw = (int(frame_hw[0]), int(frame_hw[1]))
+        self.estimator = PoseEstimator(
+            self.cfg, SMPLFamily(self.cfg.SPIN.smpl_model_dir),
+            fast=fast, spin_int8=spin_int8, gender=gender)
+        if add_info is None:
+            info_reba, info_rula = default_packed_infos()
+        else:
+            from poserisk_release_tpu.scoring import reba as reba_mod
+            from poserisk_release_tpu.scoring import rula as rula_mod
+
+            info_reba = reba_mod.pack_info(add_info)
+            info_rula = rula_mod.pack_info(add_info)
+        self._info_reba = jnp.asarray(info_reba)
+        self._info_rula = jnp.asarray(info_rula)
+        self._steps = self._build_steps()
+
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._closed = threading.Event()
+        self._lock = threading.Lock()
+        # Bounded metric windows: a server handles unbounded request counts,
+        # so percentiles/fills are over the most recent window while the
+        # totals stay exact counters.
+        from collections import deque
+
+        self._latencies: "deque[float]" = deque(maxlen=4096)
+        self._batch_fills: "deque[Tuple[int, int]]" = deque(maxlen=4096)
+        self._n_requests = 0
+        self._n_batches = 0
+
+        if warm:
+            self._warmup()
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        daemon=True, name="poserisk-serving")
+        self._thread.start()
+
+    # -- graph construction -------------------------------------------------
+    def _build_steps(self) -> Dict[int, object]:
+        """One jitted fused step per bucket, bound to the estimator's
+        CURRENT pose core (rebuilt after int8 calibration swaps the core)."""
+        import jax
+
+        from poserisk_release_tpu.ops.crop import crop_batch
+        from poserisk_release_tpu.scoring.reba import reba_frame_scores
+        from poserisk_release_tpu.scoring.rula import rula_frame_scores
+
+        core = self.estimator._pose_core
+        scale = float(self.cfg.DATASET.bbox_scale)
+        out_size = int(self.cfg.MODEL.input_shape[0])
+
+        def step(variables, smpl_params, frames_u8, bboxes, info_reba, info_rula):
+            crops = crop_batch(frames_u8, bboxes, scale=scale, out_size=out_size)
+            euler, joint_cam, _aa = core(variables, smpl_params, crops)
+            reba = reba_frame_scores(euler, info_reba)["score"]
+            rula = rula_frame_scores(euler, info_rula)["score"]
+            return reba, rula, euler, joint_cam
+
+        # One jit per bucket: jax.jit caches by (fn, shapes); distinct
+        # wrappers keep the cache entries alive across core rebuilds' GC.
+        return {b: jax.jit(step) for b in self.batch_sizes}
+
+    def _warmup(self) -> None:
+        frames = np.zeros((1, *self.frame_hw, 3), np.uint8)
+        boxes = np.asarray(
+            [[self.frame_hw[1] / 2, self.frame_hw[0] / 2, 32.0, 32.0]],
+            np.float32)
+        for b in self.batch_sizes:
+            self._run_bucket(np.repeat(frames, b, 0), np.repeat(boxes, b, 0))
+
+    def _run_bucket(self, frames: np.ndarray, bboxes: np.ndarray):
+        import jax
+
+        if self.estimator.spin_needs_calibration:
+            # Same implicit first-batch lifecycle as run_from_frames; the
+            # quantized core replaces the f32 one, so the bucket graphs are
+            # rebuilt around it exactly once.
+            from poserisk_release_tpu.ops.crop import crop_batch
+
+            self.estimator._ensure_spin_quantized(crop_batch(
+                frames[:8], bboxes[:8],
+                scale=float(self.cfg.DATASET.bbox_scale),
+                out_size=int(self.cfg.MODEL.input_shape[0])))
+            self._steps = self._build_steps()
+        reba, rula, euler, joint_cam = self._steps[frames.shape[0]](
+            self.estimator.variables, self.estimator.smpl_params,
+            frames, bboxes, self._info_reba, self._info_rula)
+        return jax.device_get((reba, rula, euler, joint_cam))
+
+    # -- request path --------------------------------------------------------
+    def submit(self, frame: np.ndarray, bbox: np.ndarray) -> "Future[ScoredPose]":
+        """Enqueue one request; returns a Future resolving to ScoredPose.
+
+        frame: (H, W, 3) uint8 RGB matching frame_hw. bbox: (4,) squared
+        cxcywh in frame pixels (tracking.mpt.squared_cxcywh convention —
+        what SORT/MPT hand the crop stage)."""
+        if self._closed.is_set():
+            raise RuntimeError("server is closed")
+        frame = np.asarray(frame)
+        if frame.shape != (*self.frame_hw, 3):
+            raise ValueError(
+                f"frame shape {frame.shape} != serving contract "
+                f"{(*self.frame_hw, 3)}; fix the ingest or start the server "
+                f"with frame_hw={frame.shape[:2]}")
+        if frame.dtype != np.uint8:
+            raise ValueError(f"frame dtype {frame.dtype} != uint8")
+        bbox = np.asarray(bbox, np.float32).reshape(4)
+        fut: Future = Future()
+        self._queue.put(_Request(frame, bbox, fut, time.perf_counter()))
+        return fut
+
+    def score(self, frame: np.ndarray, bbox: np.ndarray,
+              timeout: Optional[float] = None) -> ScoredPose:
+        """Blocking submit()."""
+        return self.submit(frame, bbox).result(timeout)
+
+    # -- dispatcher -----------------------------------------------------------
+    def _collect_batch(self) -> List[_Request]:
+        """Block for the first request, then coalesce until the deadline or
+        the largest bucket fills."""
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        batch = [first]
+        cap = self.batch_sizes[-1]
+        deadline = time.perf_counter() + self.max_delay_s
+        while len(batch) < cap:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _dispatch_loop(self) -> None:
+        while not self._closed.is_set():
+            batch = self._collect_batch()
+            if not batch:
+                continue
+            try:
+                n = len(batch)
+                bucket = next(b for b in self.batch_sizes if b >= n)
+                frames = np.stack([r.frame for r in batch]
+                                  + [batch[-1].frame] * (bucket - n))
+                boxes = np.stack([r.bbox for r in batch]
+                                 + [batch[-1].bbox] * (bucket - n))
+                reba, rula, euler, joint_cam = self._run_bucket(frames, boxes)
+                now = time.perf_counter()
+                with self._lock:
+                    self._n_requests += n
+                    self._n_batches += 1
+                    self._batch_fills.append((n, bucket))
+                    self._latencies.extend(now - r.t_submit for r in batch)
+                for i, r in enumerate(batch):
+                    r.future.set_result(ScoredPose(
+                        int(reba[i]), int(rula[i]),
+                        np.asarray(euler[i]), np.asarray(joint_cam[i])))
+            except StopIteration:
+                err = RuntimeError(
+                    f"batch of {len(batch)} exceeds the largest bucket "
+                    f"{self.batch_sizes[-1]}")  # unreachable: capped above
+                for r in batch:
+                    r.future.set_exception(err)
+            except Exception as exc:  # surface device/jit failures per request
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(exc)
+
+    # -- lifecycle / metrics ---------------------------------------------------
+    def stats(self) -> Dict:
+        """Serving counters: exact request/batch totals, plus per-batch
+        (n_real, bucket) fills and submit->result latency percentiles
+        (seconds) over the most recent 4096-entry window."""
+        with self._lock:
+            lats = np.asarray(self._latencies)
+            fills = list(self._batch_fills)
+        out: Dict = {
+            "requests": int(self._n_requests),
+            "batches": int(self._n_batches),
+            "queue_depth": self._queue.qsize(),
+            "batch_fill": fills,
+        }
+        if len(lats):
+            out.update(
+                latency_p50=float(np.percentile(lats, 50)),
+                latency_p95=float(np.percentile(lats, 95)),
+                latency_p99=float(np.percentile(lats, 99)),
+            )
+        return out
+
+    def close(self, timeout: float = 10.0) -> None:
+        """Stop the dispatcher; pending futures fail with RuntimeError."""
+        if self._closed.is_set():
+            return
+        self._closed.set()
+        self._thread.join(timeout)
+        while True:
+            try:
+                r = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not r.future.done():
+                r.future.set_exception(RuntimeError("server closed"))
+
+    def __enter__(self) -> "PoseScoringServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
