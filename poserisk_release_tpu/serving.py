@@ -105,6 +105,13 @@ class PoseScoringServer:
     warm:
         Compile + run every bucket at construction so the first real
         request never pays a compile.
+    calibration_crops:
+        Representative person crops ((N, S, S, 3) float [0,1]) for the
+        ``spin_int8`` activation scales, applied BEFORE warm-up so the
+        warmed bucket graphs are the quantized ones. Without it the first
+        REAL batch calibrates (and rebuilds/compiles the bucket graphs
+        once, mid-traffic). Warm-up itself NEVER calibrates — its all-zero
+        frames would silently pin degenerate scales.
     """
 
     def __init__(
@@ -118,6 +125,7 @@ class PoseScoringServer:
         spin_int8: bool = False,
         gender: str = "neutral",
         warm: bool = True,
+        calibration_crops: Optional[np.ndarray] = None,
     ):
         import jax.numpy as jnp
 
@@ -138,6 +146,8 @@ class PoseScoringServer:
         self.estimator = PoseEstimator(
             self.cfg, SMPLFamily(self.cfg.SPIN.smpl_model_dir),
             fast=fast, spin_int8=spin_int8, gender=gender)
+        if calibration_crops is not None:
+            self.estimator.calibrate_spin(calibration_crops)
         if add_info is None:
             info_reba, info_rula = default_packed_infos()
         else:
@@ -200,12 +210,16 @@ class PoseScoringServer:
             [[self.frame_hw[1] / 2, self.frame_hw[0] / 2, 32.0, 32.0]],
             np.float32)
         for b in self.batch_sizes:
-            self._run_bucket(np.repeat(frames, b, 0), np.repeat(boxes, b, 0))
+            # allow_calibration=False: warm-up frames are zeros, and int8
+            # scales pinned on black frames would be degenerate.
+            self._run_bucket(np.repeat(frames, b, 0), np.repeat(boxes, b, 0),
+                             allow_calibration=False)
 
-    def _run_bucket(self, frames: np.ndarray, bboxes: np.ndarray):
+    def _run_bucket(self, frames: np.ndarray, bboxes: np.ndarray,
+                    allow_calibration: bool = True):
         import jax
 
-        if self.estimator.spin_needs_calibration:
+        if allow_calibration and self.estimator.spin_needs_calibration:
             # Same implicit first-batch lifecycle as run_from_frames; the
             # quantized core replaces the f32 one, so the bucket graphs are
             # rebuilt around it exactly once.

@@ -141,6 +141,41 @@ def test_latency_metrics_populated(server):
     assert stats["latency_p99"] >= stats["latency_p50"]
 
 
+def test_spin_int8_warmup_never_calibrates_on_zeros():
+    """Warm-up frames are black; letting them pin the int8 activation
+    scales would silently degrade every later request. Calibration must
+    wait for the first REAL batch (or explicit calibration_crops)."""
+    srv = PoseScoringServer(cfg=_cfg(), batch_sizes=(1,), frame_hw=HW,
+                            warm=True, spin_int8=True)
+    try:
+        assert srv.estimator.spin_needs_calibration  # zeros did NOT calibrate
+        frames, boxes = _requests(1, seed=3)
+        res = srv.score(frames[0], boxes[0], timeout=180)
+        assert not srv.estimator.spin_needs_calibration  # real batch did
+        assert isinstance(res, ScoredPose)
+        # The rebuilt (quantized) bucket graphs keep serving consistently.
+        again = srv.score(frames[0], boxes[0], timeout=180)
+        assert (again.reba, again.rula) == (res.reba, res.rula)
+    finally:
+        srv.close()
+
+
+def test_spin_int8_explicit_calibration_crops():
+    frames, boxes = _requests(1, seed=4)
+    rng = np.random.default_rng(5)
+    calib = rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    srv = PoseScoringServer(cfg=_cfg(), batch_sizes=(1,), frame_hw=HW,
+                            warm=False, spin_int8=True,
+                            calibration_crops=calib)
+    try:
+        # Scales came from the provided crops, before any request.
+        assert not srv.estimator.spin_needs_calibration
+        res = srv.score(frames[0], boxes[0], timeout=180)
+        assert isinstance(res, ScoredPose)
+    finally:
+        srv.close()
+
+
 def test_closed_server_rejects_and_close_is_idempotent():
     srv = PoseScoringServer(cfg=_cfg(), batch_sizes=(1,), frame_hw=HW,
                             warm=False)
