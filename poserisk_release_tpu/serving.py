@@ -48,7 +48,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -255,6 +255,15 @@ class PoseScoringServer:
         bbox = np.asarray(bbox, np.float32).reshape(4)
         fut: Future = Future()
         self._queue.put(_Request(frame, bbox, fut, time.perf_counter()))
+        if self._closed.is_set() and not fut.done():
+            # close() can win the race between the entry check above and the
+            # put: its drain pass has already run, so nothing will ever pull
+            # this request off the queue. Never leave an unresolvable future
+            # (a score() caller with no timeout would block forever).
+            try:
+                fut.set_exception(RuntimeError("server is closed"))
+            except InvalidStateError:
+                pass  # the dispatcher's final batch resolved it concurrently
         return fut
 
     def score(self, frame: np.ndarray, bbox: np.ndarray,

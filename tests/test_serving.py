@@ -184,3 +184,23 @@ def test_closed_server_rejects_and_close_is_idempotent():
     frames, boxes = _requests(1)
     with pytest.raises(RuntimeError, match="closed"):
         srv.submit(frames[0], boxes[0])
+
+
+def test_submit_racing_close_never_leaves_a_hung_future():
+    """If close() runs between submit()'s entry check and its queue put, the
+    request lands in a queue close() has already drained -- nothing would
+    ever resolve the future, and a score() caller with no timeout would
+    block forever. submit() must fail the future itself in that case."""
+    srv = PoseScoringServer(cfg=_cfg(), batch_sizes=(1,), frame_hw=HW,
+                            warm=False)
+    frames, boxes = _requests(1)
+    real_put = srv._queue.put
+
+    def close_then_put(item):  # deterministic worst-case interleaving
+        srv.close()
+        real_put(item)
+
+    srv._queue.put = close_then_put
+    fut = srv.submit(frames[0], boxes[0])
+    with pytest.raises(RuntimeError, match="closed"):
+        fut.result(timeout=10)
