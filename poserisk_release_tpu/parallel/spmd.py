@@ -76,8 +76,8 @@ def _tp_leaf_spec(path: tuple, leaf, model_axis: str) -> P:
 def spin_tp_specs(variables: Dict, model_axis: str = MODEL_AXIS) -> Dict:
     """PartitionSpec tree for HMR variables ({'params': ..., 'batch_stats': ...}).
 
-    Requires every backbone channel count (min 64, the stem) to divide the
-    model-axis size; valid for model axes up to 64 wide."""
+    Requires the model-axis size to divide every backbone channel count
+    (the smallest is the stem's 64), so model axes up to 64 wide are valid."""
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: _tp_leaf_spec(path, leaf, model_axis), variables
     )
