@@ -312,9 +312,14 @@ class PoseScoringServer:
                     self._batch_fills.append((n, bucket))
                     self._latencies.extend(now - r.t_submit for r in batch)
                 for i, r in enumerate(batch):
-                    r.future.set_result(ScoredPose(
-                        int(reba[i]), int(rula[i]),
-                        np.asarray(euler[i]), np.asarray(joint_cam[i])))
+                    # submit() may have already failed this future if close()
+                    # raced its queue put; an unguarded set_result would raise
+                    # InvalidStateError and the handler below would poison the
+                    # REST of the batch's successfully computed results.
+                    if not r.future.done():
+                        r.future.set_result(ScoredPose(
+                            int(reba[i]), int(rula[i]),
+                            np.asarray(euler[i]), np.asarray(joint_cam[i])))
             except StopIteration:
                 err = RuntimeError(
                     f"batch of {len(batch)} exceeds the largest bucket "

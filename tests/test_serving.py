@@ -186,6 +186,38 @@ def test_closed_server_rejects_and_close_is_idempotent():
         srv.submit(frames[0], boxes[0])
 
 
+def test_prefailed_future_does_not_poison_its_batch():
+    """The close()/submit() race can leave one request's future already
+    failed by the time the dispatcher delivers its batch. set_result on that
+    done future would raise InvalidStateError, and the generic exception
+    handler would then discard the OTHER requests' successfully computed
+    results. The dispatcher must skip done futures instead."""
+    srv = PoseScoringServer(cfg=_cfg(), batch_sizes=(4,), frame_hw=HW,
+                            warm=True, max_delay_ms=0.0)
+    # Park the construction-time dispatcher so both requests land in the
+    # queue BEFORE any batch is collected (deterministic same-batch setup).
+    srv._closed.set()
+    srv._thread.join(timeout=10)
+    srv._closed.clear()
+
+    frames, boxes = _requests(2, seed=6)
+    fut_raced = srv.submit(frames[0], boxes[0])
+    fut_ok = srv.submit(frames[1], boxes[1])
+    fut_raced.set_exception(RuntimeError("raced with close"))
+
+    t = threading.Thread(target=srv._dispatch_loop, daemon=True)
+    t.start()
+    try:
+        res = fut_ok.result(timeout=180)  # must NOT inherit InvalidStateError
+        assert isinstance(res, ScoredPose)
+        with pytest.raises(RuntimeError, match="raced"):
+            fut_raced.result(timeout=10)
+    finally:
+        srv._closed.set()
+        t.join(timeout=10)
+        srv.close()
+
+
 def test_submit_racing_close_never_leaves_a_hung_future():
     """If close() runs between submit()'s entry check and its queue put, the
     request lands in a queue close() has already drained -- nothing would
