@@ -90,6 +90,13 @@ FRAME_HW = (450, 800)  # reference ingest cap (funcs_utils.py:26-31)
 # (same dtype/int8/fused config, warm compile cache) in "strict_fps" /
 # "strict_vs_baseline". BENCH_STRICT=0 skips the second measurement.
 BENCH_STRICT = _os.environ.get("BENCH_STRICT", "1") == "1"
+# Measurement passes per configuration. docs/PERF.md round 4 measured ~8%
+# day-to-day relay drift -- larger than most config deltas -- so a single
+# best-of-two point misleads cross-round diffs. The artifact carries every
+# pass plus a variance_band = (max-min)/median for the headline AND the
+# strict config; absolute cross-round comparisons are only meaningful when
+# the delta exceeds the band (same-process A/Bs remain the claim currency).
+BENCH_PASSES = max(2, int(_os.environ.get("BENCH_PASSES", "3")))
 
 
 def main() -> None:
@@ -189,7 +196,7 @@ def main() -> None:
         reba, rula, det_best = out
         return float(jnp.sum(reba) + jnp.sum(rula) + jnp.sum(det_best))
 
-    def measure_fps(step) -> float:
+    def measure_fps(step) -> list:
         def run_once():
             return step(
                 yolo_params, spin_variables, estimator.smpl_params,
@@ -211,16 +218,28 @@ def main() -> None:
             float(acc)
             return time.perf_counter() - t0
 
-        # Best of two passes: the remote relay occasionally stalls a whole
-        # pass (observed 6x outliers from transient contention); the faster
-        # pass is the one that reflects the chip.
-        elapsed = min(measure_pass(), measure_pass())
-        return (MEASURE_STEPS * BATCH) / elapsed
+        # The remote relay occasionally stalls a whole pass (observed 6x
+        # outliers from transient contention); the fastest pass is the one
+        # that reflects the chip, the full ascending list is the honesty.
+        return sorted((MEASURE_STEPS * BATCH) / measure_pass()
+                      for _ in range(BENCH_PASSES))
 
-    fps = measure_fps(step)
+    def band_fields(passes, prefix: str = "") -> dict:
+        import statistics
+
+        med = statistics.median(passes)
+        return {
+            f"{prefix}fps_passes": [round(p, 1) for p in passes],
+            f"{prefix}fps_median": round(med, 2),
+            f"{prefix}variance_band": round((passes[-1] - passes[0]) / med, 4),
+        }
+
+    passes = measure_fps(step)
+    fps = passes[-1]
     record = {
         "metric": "e2e_device_pipeline_fps_per_chip",
         "value": round(fps, 2),
+        **band_fields(passes),
         "unit": (
             "frames/sec/chip (detector+crop+SPIN+angles+joints+REBA+RULA, "
             f"{BENCH_DTYPE}{', int8 detector' if BENCH_INT8 else ''}"
@@ -233,14 +252,16 @@ def main() -> None:
     }
     if (BENCH_DET_STRIDE, BENCH_POSE_STRIDE) == (1, 1):
         # The headline IS the strict reference contract already.
-        strict_fps = fps
+        strict_passes = passes
     elif BENCH_STRICT:
-        strict_fps = measure_fps(build_step(1, 1))
+        strict_passes = measure_fps(build_step(1, 1))
     else:
-        strict_fps = None
-    if strict_fps is not None:
+        strict_passes = None
+    if strict_passes is not None:
+        strict_fps = strict_passes[-1]
         record["strict_fps"] = round(strict_fps, 2)
         record["strict_vs_baseline"] = round(strict_fps / REFERENCE_FPS_ESTIMATE, 2)
+        record.update(band_fields(strict_passes, prefix="strict_"))
         record["strict_unit"] = (
             "same config at det/pose stride 1 (the reference's detect+pose "
             "EVERY frame contract, lib/core/base.py:211-240); the headline "

@@ -88,7 +88,36 @@ def build_parser() -> argparse.ArgumentParser:
                         help="host-side euler round-trip guard mirroring the "
                              "reference's coord_utils assert")
     parser.add_argument("--num_devices", type=int, default=0,
-                        help="devices in the data mesh (0 = all visible)")
+                        help="devices in the data mesh (0 = all visible; "
+                             "with model-parallel axes set, 0 = all devices "
+                             "left over after those axes)")
+    parser.add_argument("--tp", type=int, default=1, metavar="N",
+                        help="tensor parallelism: Megatron-shard the SPIN "
+                             "parameter tree over an N-wide 'model' mesh "
+                             "axis (PARALLEL.model)")
+    parser.add_argument("--sp", type=int, default=1, metavar="N",
+                        help="spatial partitioning: shard the crop HEIGHT "
+                             "axis over an N-wide 'spatial' mesh axis; XLA "
+                             "inserts the conv halo exchanges "
+                             "(PARALLEL.spatial)")
+    parser.add_argument("--pp", type=int, default=1, metavar="N",
+                        help="pipeline parallelism: GPipe-schedule the SPIN "
+                             "forward over an N-stage parameter-balanced "
+                             "block split, each device holding only its "
+                             "stage's parameters (PARALLEL.stage; see also "
+                             "--pp_microbatches)")
+    parser.add_argument("--pp_microbatches", type=int, default=4,
+                        help="microbatches per chunk under --pp "
+                             "(PARALLEL.stage_microbatches)")
+    parser.add_argument("--ep", type=int, default=1, metavar="N",
+                        help="expert parallelism: shard the gendered SMPL "
+                             "tables one-per-device-row with dense-dispatch "
+                             "routing (PARALLEL.expert, >= 3); pairs with "
+                             "--person_genders")
+    parser.add_argument("--person_genders", type=str, default="",
+                        help="per-track SMPL genders for --multi_person, "
+                             "e.g. '1:male,3:female' (person ids from the "
+                             "tracker; unlisted tracks use --gender)")
     parser.add_argument("--streaming", action="store_true",
                         help="bounded-memory long-video mode: two-pass "
                              "reference-consistent target selection, peak "
@@ -108,6 +137,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+
+
+def parse_person_genders(spec: str) -> dict:
+    """'1:male,3:female' -> {1: 'male', 3: 'female'} (Predictor validates
+    the gender names)."""
+    out = {}
+    for item in filter(None, (s.strip() for s in spec.split(","))):
+        pid, sep, gender = item.partition(":")
+        if not sep or not pid.strip().isdigit() or not gender.strip():
+            raise ValueError(
+                f"--person_genders entry {item!r} is not '<id>:<gender>'")
+        out[int(pid)] = gender.strip()
+    return out
 
 
 def input_videos(path: str):
@@ -192,9 +234,15 @@ def run_streaming(args, cfg) -> int:
         if getattr(args, flag):
             print(f"[streaming] --{flag} is ignored in streaming mode "
                   "(use the batch path for stage timings / debug dumps)")
-    n_devices = args.num_devices or len(jax.devices())
-    mesh = make_mesh(n_devices) if n_devices > 1 else None
-    print("Work on devices: ", jax.devices()[: n_devices or None])
+    from poserisk_release_tpu.parallel.spmd import model_axes_from_config
+
+    if model_axes_from_config(cfg.PARALLEL):
+        mesh = None  # PoseEstimator builds the N-D mesh from cfg.PARALLEL
+        print("Work on devices: ", jax.devices())
+    else:
+        n_devices = args.num_devices or len(jax.devices())
+        mesh = make_mesh(n_devices) if n_devices > 1 else None
+        print("Work on devices: ", jax.devices()[: n_devices or None])
     scorer = StreamingScorer(
         cfg=cfg,
         detector=build_detector(cfg),
@@ -282,13 +330,27 @@ def main(argv=None) -> int:
             "calibration_frames": args.calibration_frames,
             "recalibrate_per_video": args.recalibrate_per_video,
         })
+    par_axes = {"model": args.tp, "spatial": args.sp, "stage": args.pp,
+                "expert": args.ep}
+    par_axes = {k: v for k, v in par_axes.items() if v != 1}
+    if par_axes:
+        if args.pp != 1:
+            par_axes["stage_microbatches"] = args.pp_microbatches
+        # num_devices becomes the DATA axis size of the N-D mesh the
+        # PoseEstimator builds from config (parallel.spmd.mesh_from_config).
+        cfg = cfg.replace(PARALLEL={**par_axes,
+                                    "num_devices": args.num_devices})
 
     if args.streaming:
         return run_streaming(args, cfg)
 
-    n_devices = args.num_devices or len(jax.devices())
-    mesh = make_mesh(n_devices) if n_devices > 1 else None
-    print("Work on devices: ", jax.devices()[: n_devices or None])
+    if par_axes:
+        mesh = None  # the estimator builds the N-D mesh from cfg.PARALLEL
+        print("Work on devices: ", jax.devices())
+    else:
+        n_devices = args.num_devices or len(jax.devices())
+        mesh = make_mesh(n_devices) if n_devices > 1 else None
+        print("Work on devices: ", jax.devices()[: n_devices or None])
 
     predictor = Predictor(
         cfg=cfg,
@@ -300,6 +362,7 @@ def main(argv=None) -> int:
         mesh=mesh,
         gender=args.gender,
         multi_person=args.multi_person,
+        person_genders=parse_person_genders(args.person_genders),
         fast=args.fast,
         spin_int8=args.spin_int8,
         validate_rotations=args.validate_rotations,

@@ -178,13 +178,47 @@ class DetectorConfig:
 
 @dataclass(frozen=True)
 class ParallelConfig:
-    """TPU mesh layout. The frame axis of a clip is data-parallel over chips."""
+    """TPU mesh layout (SURVEY.md section 5.8). The frame axis of a clip is
+    data-parallel over chips; the remaining axes are the config-reachable
+    model-parallel extensions (parallel/{spmd,pipeline,expert}.py). Setting
+    any of them > 1 makes PoseEstimator build the N-D mesh itself
+    (parallel.spmd.mesh_from_config) and place parameters/inputs
+    accordingly -- no library plumbing needed; CLI flags --tp/--sp/--pp/--ep
+    map straight onto these fields."""
 
     data_axis: str = "data"
-    # 0 => use all visible devices.
+    # Data-axis size. 0 => all devices left over after the model axes.
     num_devices: int = 0
-    # On-device micro-batch of crops per step (frames per chip per step).
+    # On-device micro-batch of crops per step (frames per data shard per step).
     frames_per_step: int = 64
+    # Tensor parallelism (axis 'model'): Megatron-style sharding of the HMR
+    # parameter tree (parallel.spmd.spin_tp_specs). 1 = off.
+    model: int = 1
+    # Spatial partitioning (axis 'spatial'): the crop HEIGHT axis shards
+    # across chips; XLA inserts the conv halo exchanges. 1 = off.
+    spatial: int = 1
+    # Pipeline parallelism (axis 'stage'): the HMR forward as a GPipe
+    # schedule over a parameter-balanced block split, each device holding
+    # ONLY its stage's parameters (parallel.pipeline). 1 = off.
+    stage: int = 1
+    # Microbatches per chunk under pipeline parallelism (the bubble
+    # amortisation dial: S+M-1 ticks for M microbatches over S stages).
+    stage_microbatches: int = 4
+    # Expert parallelism (axis 'expert'): the gendered SMPL tables sharded
+    # one-expert-per-row with dense-dispatch routing (parallel.expert);
+    # pairs with per-track genders (--person_genders). 1 = off.
+    expert: int = 1
+
+    def __post_init__(self) -> None:
+        for name in ("model", "spatial", "stage", "expert",
+                     "stage_microbatches"):
+            if getattr(self, name) < 1:
+                raise ValueError(
+                    f"PARALLEL.{name} must be >= 1, got {getattr(self, name)}")
+        if self.expert > 1 and self.expert < 3:
+            raise ValueError(
+                "PARALLEL.expert must be >= 3 when enabled (one row per "
+                f"gendered SMPL model), got {self.expert}")
 
 
 @dataclass(frozen=True)

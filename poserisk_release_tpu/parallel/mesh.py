@@ -37,8 +37,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, x) -> Any:
-    return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+def shard_batch(mesh: Mesh, x, axis_name: str = DATA_AXIS) -> Any:
+    return jax.device_put(x, batch_sharding(mesh, np.ndim(x), axis_name))
 
 
 def replicate_tree(mesh: Mesh, tree) -> Any:

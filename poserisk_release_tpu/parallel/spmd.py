@@ -54,6 +54,39 @@ def make_axes_mesh(axes: Mapping[str, int]) -> Mesh:
     return Mesh(np.asarray(devices[:n]).reshape(sizes), tuple(axes.keys()))
 
 
+def model_axes_from_config(pcfg) -> Dict[str, int]:
+    """The configured model-parallel axes (size > 1) of a ParallelConfig,
+    in mesh order: stage outermost (its collective is one ppermute hop per
+    tick), then expert, model, spatial innermost (their per-layer
+    all-gathers/psums ride the fastest ICI links)."""
+    return {
+        name: int(size)
+        for name, size in (("stage", pcfg.stage), ("expert", pcfg.expert),
+                           (MODEL_AXIS, pcfg.model), (SPATIAL_AXIS, pcfg.spatial))
+        if int(size) > 1
+    }
+
+
+def mesh_from_config(pcfg) -> Optional[Mesh]:
+    """Build the N-D device mesh a ParallelConfig describes, or None when it
+    describes the single-device layout (no model axes, data axis <= 1).
+
+    The data axis is outermost; its size is PARALLEL.num_devices, or all
+    devices left over after the model axes when 0. This is THE config ->
+    mesh rule: PoseEstimator calls it so every parallel axis is reachable
+    from the config/CLI alone."""
+    axes = model_axes_from_config(pcfg)
+    n_model = int(np.prod(list(axes.values()))) if axes else 1
+    n_total = len(jax.devices())
+    if pcfg.num_devices and pcfg.num_devices > 0:
+        dp = int(pcfg.num_devices)
+    else:
+        dp = max(1, n_total // n_model)
+    if not axes and dp <= 1:
+        return None
+    return make_axes_mesh({pcfg.data_axis: dp, **axes})
+
+
 def _tp_leaf_spec(path: tuple, leaf, model_axis: str) -> P:
     """Megatron-style PartitionSpec for one HMR variables leaf (see module
     docstring for the scheme). `path` is the tree_map_with_path key path."""

@@ -121,25 +121,80 @@ class PoseEstimator:
         correction on the FIRST batch of crops this estimator processes
         (same implicit lifecycle as the int8 detector). Opt-in: with this
         image's random weights the induced angle drift is median ~0.17 deg
-        against integer-degree scoring thresholds (docs/PERF.md)."""
+        against integer-degree scoring thresholds (docs/PERF.md).
+
+        Parallel axes are CONFIG-driven (ParallelConfig): when any of
+        PARALLEL.{model,spatial,stage,expert} is > 1 and no mesh is passed,
+        the estimator builds the N-D mesh itself (spmd.mesh_from_config)
+        and places parameters/inputs accordingly -- Megatron tp sharding of
+        the HMR tree, crop-height spatial partitioning, a stage-sharded
+        GPipe pipeline (each device holds only its stage's parameters), and
+        gendered-SMPL expert routing. An explicitly passed 1-D data mesh
+        keeps the historical dp behaviour."""
+        from poserisk_release_tpu.parallel import spmd as pspmd
+
         self.cfg = cfg
         self._dtype = dtype = jnp.bfloat16 if fast else jnp.float32
+        pcfg = cfg.PARALLEL
+        if mesh is None and pspmd.model_axes_from_config(pcfg):
+            mesh = pspmd.mesh_from_config(pcfg)
         self.mesh = mesh
+        axis_names = () if mesh is None else mesh.axis_names
+        self._data_axis = pcfg.data_axis if pcfg.data_axis in axis_names else None
+        if mesh is not None and self._data_axis is None:
+            raise ValueError(
+                f"mesh axes {axis_names} lack the configured data axis "
+                f"{pcfg.data_axis!r}")
+        self._tp = pspmd.MODEL_AXIS in axis_names
+        self._sp = pspmd.SPATIAL_AXIS in axis_names
+        self._pp = "stage" in axis_names
+        self._ep = "expert" in axis_names
+        if self._pp and (self._tp or self._sp or self._ep):
+            raise ValueError(
+                "PARALLEL.stage (pipeline parallelism) cannot combine with "
+                "the model/spatial/expert axes in one mesh")
+        if spin_int8 and (self._tp or self._pp):
+            raise ValueError(
+                "spin_int8 cannot combine with model or stage parallelism: "
+                "the quantized backbone pytree has its own layout; pick one "
+                "of int8 / tp / pp for the backbone")
+
+        self._family = smpl_family
+        self.gender = gender
         neutral = smpl_family[gender]
-        self.smpl_params = smpl_params_to_jax(neutral)
         parents = np.asarray(neutral.kintree_parents).copy()
         parents[0] = 0
         self.parents = tuple(int(p) for p in parents)
-        from poserisk_release_tpu.throughput import make_pose_core
+
+        # --- SMPL parameter placement (expert-routed when ep is on) -------
+        expert_joints = None
+        if self._ep:
+            from poserisk_release_tpu.parallel.expert import (
+                GENDERS, make_expert_joints, stack_gender_experts)
+
+            # The gendered tables live sharded one-expert-per-device-row
+            # ONCE; switching tracks' genders only swaps a scalar id (no
+            # parameter re-upload, no recompile -- the productized form of
+            # the reference's resident layer dict, lib/utils/smpl.py).
+            stacked = dict(stack_gender_experts(smpl_family, mesh))
+            stacked["gender_id"] = jax.device_put(
+                jnp.asarray(GENDERS.index(gender), jnp.int32),
+                pmesh.replicated(mesh))
+            self.smpl_params = stacked
+            expert_joints = make_expert_joints(
+                mesh, self.parents, data_axis=self._data_axis)
+        else:
+            self.smpl_params = smpl_params_to_jax(neutral)
+            if mesh is not None:
+                self.smpl_params = pmesh.replicate_tree(mesh, self.smpl_params)
 
         # Pose-stride throughput mode (SpinConfig.pose_stride): SPIN runs on
         # every Nth tracked frame; skipped frames slerp between anchors on
         # device. 1 (default) is the reference's pose-every-frame contract.
         self._pose_stride = int(cfg.SPIN.pose_stride)
         self._stem_s2d = bool(cfg.SPIN.stem_s2d)
-        self._pose_core = make_pose_core(cfg.SPIN.ief_iters, self.parents, dtype,
-                                         pose_stride=self._pose_stride,
-                                         stem_s2d=self._stem_s2d)
+        self._expert_joints = expert_joints
+
         self.variables = variables if variables is not None else self._load_variables(cfg)
         # Keep the f32 tree for PTQ folding (BN stats fold in f32 even when
         # the live variables are bf16-stored) -- only while int8 needs it;
@@ -151,9 +206,37 @@ class PoseEstimator:
             from poserisk_release_tpu.models.spin import cast_backbone_params
 
             self.variables = cast_backbone_params(self.variables)
-        if mesh is not None:
+
+        # --- SPIN parameter placement -------------------------------------
+        self._spin_forward_override = None
+        if self._pp:
+            # Stage-sharded pipeline placement: split/flattening metadata
+            # come from the live tree once; self.variables becomes the
+            # (S, maxlen) P('stage') buffer -- each device row holds ONLY
+            # its stage's parameters (parallel.pipeline).
+            from poserisk_release_tpu.parallel.pipeline import (
+                balanced_split, place_stage_params, stage_param_entries)
+
+            self._pp_split = balanced_split(self.variables, mesh.shape["stage"])
+            self._pp_entries, self._pp_sizes = stage_param_entries(
+                self.variables, self._pp_split)
+            self.variables = place_stage_params(
+                mesh, self.variables, self._pp_split,
+                self._pp_entries, self._pp_sizes)
+            self._spin_forward_override = self._make_pp_spin_forward()
+        elif self._tp:
+            specs = pspmd.spin_tp_specs(self.variables)
+            self.variables = pspmd.shard_tree(mesh, self.variables, specs)
+        elif mesh is not None:
             self.variables = pmesh.replicate_tree(mesh, self.variables)
-            self.smpl_params = pmesh.replicate_tree(mesh, self.smpl_params)
+
+        from poserisk_release_tpu.throughput import make_pose_core
+
+        self._pose_core = make_pose_core(
+            cfg.SPIN.ief_iters, self.parents, dtype,
+            pose_stride=self._pose_stride, stem_s2d=self._stem_s2d,
+            spin_forward_override=self._spin_forward_override,
+            expert_joints=self._expert_joints)
         # fast mode on real TPU crops through the Pallas kernel (one VMEM
         # pass per frame, bf16 output -- same tolerance class as the bf16
         # backbone it feeds); the strict-parity f32 default and all CPU runs
@@ -163,6 +246,39 @@ class PoseEstimator:
         )
         self._step = jax.jit(self._pose_step)
         self._step_frames = jax.jit(self._pose_step_from_frames)
+
+    def _make_pp_spin_forward(self):
+        """Shape-polymorphic pipelined SPIN forward over the placed stage
+        buffer: one GPipe schedule per (anchor batch, resolution), cached --
+        trace-time construction, so every jit signature reuses its pipeline."""
+        from poserisk_release_tpu.parallel.pipeline import (
+            make_hmr_pipeline_from_entries)
+
+        mesh = self.mesh
+        data_axis = self._data_axis
+        n_data = int(mesh.shape[data_axis])
+        M = int(self.cfg.PARALLEL.stage_microbatches)
+        n_iter = int(self.cfg.SPIN.ief_iters)
+        pipes: Dict = {}
+
+        def pp_forward(buffer, crops):
+            B, hw = int(crops.shape[0]), int(crops.shape[1])
+            key = (B, hw)
+            if key not in pipes:
+                if B % (n_data * M):
+                    raise ValueError(
+                        f"pipeline parallelism needs the anchor batch ({B}) "
+                        f"divisible by data axis * stage_microbatches "
+                        f"({n_data} * {M}); production_chunk guarantees this "
+                        f"for the chunked paths")
+                pipes[key] = make_hmr_pipeline_from_entries(
+                    mesh, self._pp_entries, self._pp_split, hw=hw,
+                    microbatch=B // (n_data * M), n_microbatches=M,
+                    n_iter=n_iter, compute_dtype=self._dtype,
+                    stem_s2d=self._stem_s2d, data_axis=data_axis)
+            return pipes[key](buffer, crops)
+
+        return pp_forward
 
     def _load_variables(self, cfg: Config) -> Dict:
         return load_spin_variables(cfg)
@@ -193,7 +309,7 @@ class PoseEstimator:
         self._pose_core = make_pose_core(
             self.cfg.SPIN.ief_iters, self.parents, self._dtype,
             quant_backbone=quant, pose_stride=self._pose_stride,
-            stem_s2d=self._stem_s2d,
+            stem_s2d=self._stem_s2d, expert_joints=self._expert_joints,
         )
         self._step = jax.jit(self._pose_step)
         self._step_frames = jax.jit(self._pose_step_from_frames)
@@ -220,7 +336,8 @@ class PoseEstimator:
         self._quant_backbone = None
         self._pose_core = make_pose_core(
             self.cfg.SPIN.ief_iters, self.parents, self._dtype,
-            pose_stride=self._pose_stride, stem_s2d=self._stem_s2d)
+            pose_stride=self._pose_stride, stem_s2d=self._stem_s2d,
+            expert_joints=self._expert_joints)
         self._step = jax.jit(self._pose_step)
         self._step_frames = jax.jit(self._pose_step_from_frames)
 
@@ -237,10 +354,44 @@ class PoseEstimator:
     def spin_needs_calibration(self) -> bool:
         return self._spin_int8 and self._quant_backbone is None
 
+    def set_gender(self, gender: str) -> None:
+        """Switch the SMPL body model between tracks (per-person genders,
+        Predictor --person_genders). Under expert parallelism this swaps
+        only the routing scalar -- the gendered tables stay resident,
+        sharded one per expert row; otherwise the selected gender's tree is
+        re-placed (same shapes, so no recompile either way)."""
+        if gender == self.gender:
+            return
+        if self._ep:
+            from poserisk_release_tpu.parallel.expert import GENDERS
+
+            gid = GENDERS.index(gender)  # raises ValueError on unknown
+            self.smpl_params = dict(self.smpl_params)
+            self.smpl_params["gender_id"] = jax.device_put(
+                jnp.asarray(gid, jnp.int32), pmesh.replicated(self.mesh))
+        else:
+            params = smpl_params_to_jax(self._family[gender])
+            if self.mesh is not None:
+                params = pmesh.replicate_tree(self.mesh, params)
+            self.smpl_params = params
+        self.gender = gender
+
+    def _constrain_crops(self, crops):
+        """Spatial partitioning (PARALLEL.spatial): pin the crop HEIGHT axis
+        sharding mid-graph; XLA's SPMD partitioner inserts the conv halo
+        exchanges. No-op on non-spatial meshes."""
+        if self._sp:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            crops = jax.lax.with_sharding_constraint(
+                crops, NamedSharding(
+                    self.mesh, P(self._data_axis, "spatial", None, None)))
+        return crops
+
     def _pose_step(self, variables, smpl_params, crops):
         # Single source of truth for the ordering-sensitive pose math:
         # throughput.make_pose_core (shared with the fused bench graph).
-        return self._pose_core(variables, smpl_params, crops)
+        return self._pose_core(variables, smpl_params, self._constrain_crops(crops))
 
     def _pose_step_from_frames(self, variables, smpl_params, frames_u8, bboxes):
         # Crop fused into the pose graph: the host uploads raw uint8 frames
@@ -261,7 +412,7 @@ class PoseEstimator:
                 scale=float(self.cfg.DATASET.bbox_scale),
                 out_size=int(self.cfg.MODEL.input_shape[0]),
             )
-        return self._pose_core(variables, smpl_params, crops)
+        return self._pose_core(variables, smpl_params, self._constrain_crops(crops))
 
     def run(self, crops: np.ndarray, chunk: int = 0):
         """crops: (F, 224, 224, 3) float32 [0,1]. Chunked + padded execution.
@@ -315,17 +466,24 @@ class PoseEstimator:
 
     def production_chunk(self, chunk: int = 0) -> int:
         """THE chunk-size rule of the chunked execution paths: the requested
-        (or configured frames_per_step * n_dev) chunk rounded up so it stays
+        (or configured frames_per_step * n_data) chunk rounded up so it stays
         shardable AND, under a pose stride, keeps the anchor phase aligned
         across chunks with the anchor batch itself shardable (the step's
         crops input has chunk/stride rows): a multiple of
-        n_dev * pose_stride. Public so the streaming scorer can accumulate
-        a track into EXACTLY this structure (same boundaries, same anchor
-        phase) and stay bit-identical to the batch path at pose_stride > 1."""
-        n_dev = 1 if self.mesh is None else self.mesh.devices.size
+        n_data * pose_stride -- where n_data is the DATA axis size (frames
+        shard over data only; the model/spatial/stage/expert axes divide the
+        per-frame work instead). Under pipeline parallelism the quantum
+        additionally folds in stage_microbatches so every chunk's per-shard
+        anchor batch splits evenly into microbatches. Public so the
+        streaming scorer can accumulate a track into EXACTLY this structure
+        (same boundaries, same anchor phase) and stay bit-identical to the
+        batch path at pose_stride > 1."""
+        n_data = 1 if self.mesh is None else int(self.mesh.shape[self._data_axis])
         if chunk <= 0:
-            chunk = self.cfg.PARALLEL.frames_per_step * n_dev
-        q = n_dev * self._pose_stride
+            chunk = self.cfg.PARALLEL.frames_per_step * n_data
+        q = n_data * self._pose_stride
+        if self._pp:
+            q *= int(self.cfg.PARALLEL.stage_microbatches)
         return ((chunk + q - 1) // q) * q
 
     def _run_chunked(self, num_items: int, host_chunk, step_fn, chunk: int = 0):
@@ -348,7 +506,7 @@ class PoseEstimator:
                     part, chunk // self._pose_stride)
                 batch = jnp.asarray(padded)
                 if self.mesh is not None:
-                    batch = pmesh.shard_batch(self.mesh, batch)
+                    batch = pmesh.shard_batch(self.mesh, batch, self._data_axis)
                 batches.append(batch)
             return batches, n_valid
 
@@ -529,6 +687,7 @@ class Predictor:
         allow_synthetic_assets: bool = True,
         gender: str = "neutral",
         multi_person: bool = False,
+        person_genders: Optional[Dict] = None,
         fast: bool = False,
         spin_int8: bool = False,
         validate_rotations: bool = False,
@@ -537,7 +696,18 @@ class Predictor:
         self.smpl = SMPLFamily(self.cfg.SPIN.smpl_model_dir, allow_synthetic=allow_synthetic_assets)
         self.gender = gender
         self.multi_person = multi_person
-        self.lbs_neutral = LBS(self.smpl[gender])
+        # Per-track SMPL gender overrides for --multi_person ({person_id:
+        # gender}, falling back to `gender`). Pairs with PARALLEL.expert:
+        # under expert parallelism a gender switch between tracks swaps only
+        # a routing scalar (PoseEstimator.set_gender).
+        self.person_genders = {
+            int(pid): g for pid, g in (person_genders or {}).items()
+        }
+        for g in self.person_genders.values():
+            if g not in ("neutral", "male", "female"):
+                raise ValueError(f"Invalid gender: {g}")
+        self._lbs_cache: Dict[str, LBS] = {}
+        self.lbs_neutral = self._lbs(gender)
         self.pose_estimator = PoseEstimator(
             self.cfg, self.smpl, mesh=mesh, variables=spin_variables, gender=gender,
             fast=fast, spin_int8=spin_int8,
@@ -573,6 +743,13 @@ class Predictor:
         self.timings: Dict[str, float] = {}
 
     # ------------------------------------------------------------------
+    def _lbs(self, gender: str) -> LBS:
+        """Gender-keyed LBS cache for the debug mesh path (obj export uses
+        the CURRENT track's body model under --person_genders)."""
+        if gender not in self._lbs_cache:
+            self._lbs_cache[gender] = LBS(self.smpl[gender])
+        return self._lbs_cache[gender]
+
     def _apply_explicit_calibration(self) -> None:
         apply_explicit_calibration(self.cfg, self.tracker.detector,
                                    self.pose_estimator)
@@ -648,9 +825,14 @@ class Predictor:
             for pid, track in survivors.items():
                 person_out = osp.join(output_path, f"person_{pid}")
                 os.makedirs(person_out, exist_ok=True)
+                # Per-track SMPL gender: under PARALLEL.expert this flips a
+                # routing scalar; otherwise it re-places the gender's tree.
+                self.pose_estimator.set_gender(
+                    self.person_genders.get(int(pid), self.gender))
                 summaries[pid] = self._process_track(
                     clip, track["bbox"], track["frames"], info_path, person_out
                 )
+            self.pose_estimator.set_gender(self.gender)
             return summaries
 
         bboxes, frames = filter_and_select_target(
@@ -821,7 +1003,9 @@ class Predictor:
             )
         idx = int(hits[0])
         pose = axis_angles[idx].reshape(1, -1)
-        verts, _ = self.lbs_neutral(jnp.asarray(pose, jnp.float32))
+        # The CURRENT track's gender (person_genders switches it per track).
+        verts, _ = self._lbs(self.pose_estimator.gender)(
+            jnp.asarray(pose, jnp.float32))
         verts = np.asarray(verts, np.float32).reshape(-1, 3) * 1000
         save_obj(verts, self.smpl.face, osp.join(output_path, "smpl_model.obj"))
         vis_3d_pose(

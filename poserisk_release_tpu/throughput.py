@@ -27,7 +27,8 @@ ROOT_POSE = (3.14, 0.0, 0.0)
 
 def make_pose_core(n_iter: int, parents: Tuple[int, ...], compute_dtype=jnp.float32,
                    quant_backbone: Dict | None = None, pose_stride: int = 1,
-                   stem_s2d: bool = False):
+                   stem_s2d: bool = False, spin_forward_override=None,
+                   expert_joints=None):
     """THE pose step shared by the product pipeline and the fused bench graph
     (one definition so the subtle ordering can't desynchronise): SPIN forward
     -> Euler from the ORIGINAL rotmats -> axis-angle with the root forced to
@@ -48,18 +49,39 @@ def make_pose_core(n_iter: int, parents: Tuple[int, ...], compute_dtype=jnp.floa
     pose (the next anchor lives in the next chunk). Deviation bounds:
     docs/PARITY.md.
 
+    spin_forward_override: alternate fn(spin_variables, crops) ->
+    (rotmat, betas, cam) replacing the monolithic HMR.apply -- the
+    pipeline-parallel hook (parallel.pipeline builds a GPipe-scheduled
+    forward over the ``stage`` mesh axis whose spin_variables are the
+    stage-sharded parameter buffer, not the HMR tree). Mutually exclusive
+    with quant_backbone.
+
+    expert_joints: alternate joints computation for expert parallelism
+    (parallel.expert.make_expert_joints): when set, ``smpl_params`` is the
+    STACKED gendered tree plus a scalar int32 leaf ``gender_id`` selecting
+    this batch's expert, and joints come from the dense-dispatch routed
+    shard_map (numerics per expert are exactly joints_only_from_rotmats --
+    the same function the default path reduces to).
+
     Returns core(spin_variables, smpl_params, crops) ->
     (euler_deg (B, 24, 3), joint_cam_mm (B, 24, 3), aa_forced (B, 24, 3)),
     where B = crops.shape[0] * pose_stride.
     """
     if pose_stride < 1:
         raise ValueError(f"pose_stride must be >= 1, got {pose_stride}")
+    if spin_forward_override is not None and quant_backbone is not None:
+        raise ValueError(
+            "spin_forward_override (pipeline parallelism) and quant_backbone "
+            "(int8 SPIN) are mutually exclusive")
     # stem_s2d: space-to-depth stem layout (models/resnet.StemConv) --
     # same weights/outputs, measured A/B in docs/PERF.md round 4. Applies
     # to the float/bf16 tower; the int8 path keeps its own raw-weight stem.
-    model = HMR(n_iter=n_iter, dtype=compute_dtype, stem_s2d=stem_s2d)
+    model = None if spin_forward_override is not None else HMR(
+        n_iter=n_iter, dtype=compute_dtype, stem_s2d=stem_s2d)
 
     def spin_forward(spin_variables, crops):
+        if spin_forward_override is not None:
+            return spin_forward_override(spin_variables, crops)
         if quant_backbone is not None:
             from poserisk_release_tpu.models.spin import hmr_forward_quant
 
@@ -85,7 +107,18 @@ def make_pose_core(n_iter: int, parents: Tuple[int, ...], compute_dtype=jnp.floa
         euler = rotmat_to_euler_deg(rotmat)
         aa = rotmat_to_axis_angle(rotmat)
         aa_forced = aa.at[:, 0, :].set(jnp.asarray(ROOT_POSE, aa.dtype))
-        joints = joints_only(smpl_params, aa_forced.reshape(aa.shape[0], -1), parents)
+        if expert_joints is None:
+            joints = joints_only(
+                smpl_params, aa_forced.reshape(aa.shape[0], -1), parents)
+        else:
+            from poserisk_release_tpu.ops.rotations import axis_angle_to_rotmat_smpl
+
+            stacked = {k: v for k, v in smpl_params.items() if k != "gender_id"}
+            gids = jnp.broadcast_to(
+                jnp.asarray(smpl_params["gender_id"], jnp.int32),
+                (aa_forced.shape[0],))
+            joints = expert_joints(
+                stacked, axis_angle_to_rotmat_smpl(aa_forced), gids)
         joints = joints * 1000.0
         joint_cam = joints - joints[:, :1]
         return euler, joint_cam, aa_forced

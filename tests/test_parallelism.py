@@ -25,7 +25,12 @@ from poserisk_release_tpu.parallel.expert import (
     stack_expert_trees,
     stack_gender_experts,
 )
-from poserisk_release_tpu.parallel.pipeline import hmr_stage_shapes, make_hmr_pipeline
+from poserisk_release_tpu.parallel.pipeline import (
+    balanced_split,
+    hmr_stage_shapes,
+    make_hmr_pipeline,
+    make_hmr_pipeline_sharded,
+)
 from poserisk_release_tpu.parallel.spmd import (
     make_axes_mesh,
     spin_tp_specs,
@@ -125,6 +130,134 @@ def test_pipeline_parallel_with_data_axis(setup):
 def test_stage_shapes_contract():
     assert hmr_stage_shapes(64) == ((64, 64, 3), (16, 16, 256),
                                     (8, 8, 512), (4, 4, 1024))
+
+
+def test_pipeline_stage_sharded_params_memory_and_parity(setup):
+    """The pp MEMORY story: with the stage-sharded placement each device's
+    addressable parameter bytes are ~total/4 (balanced block split), and the
+    outputs still match the monolithic HMR.apply."""
+    _cfg, _family, est, _step, _ir, _iu, crops, _ref = setup
+    mesh = make_axes_mesh({"stage": 4})
+    fn, place, split = make_hmr_pipeline_sharded(
+        mesh, est.variables, hw=64, microbatch=2, n_microbatches=4)
+    assert split == balanced_split(est.variables, 4)
+    buf = place(est.variables)
+
+    total = sum(np.size(l) * np.dtype(l.dtype).itemsize
+                for l in jax.tree_util.tree_leaves(est.variables))
+    per_dev = max(s.data.nbytes for s in buf.addressable_shards)
+    # Replicated placement would be ratio 1.0; the balanced block split of
+    # ResNet-50+head measures 0.294 (block granularity bounds it below by
+    # the largest single bottleneck block, ~0.22).
+    assert per_dev < 0.31 * total, (per_dev, total)
+
+    want = jax.tree_util.tree_map(
+        np.asarray, HMR(n_iter=3).apply(est.variables, crops))
+    got = jax.tree_util.tree_map(np.asarray, jax.jit(fn)(buf, crops))
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(w, g, atol=5e-5)
+
+
+# --- config-driven product path (ParallelConfig axes) ----------------------
+
+def _est(setup, parallel):
+    from poserisk_release_tpu.pipeline import PoseEstimator
+
+    cfg, family, *_ = setup
+    return PoseEstimator(
+        cfg.replace(MODEL={"input_shape": (64, 64)},
+                    PARALLEL={"frames_per_step": 8, **parallel}),
+        family)
+
+
+def _frames_case(seed=0, n=16):
+    rng = np.random.RandomState(seed)
+    frames = rng.randint(0, 256, (n, 64, 96, 3)).astype(np.uint8)
+    boxes = (np.tile(np.array([48.0, 32.0, 24.0, 24.0], np.float32), (n, 1))
+             + rng.rand(n, 4).astype(np.float32))
+    return frames, np.arange(n), boxes
+
+
+@pytest.mark.parametrize("parallel,atol", [
+    ({"model": 4, "num_devices": 2}, 5e-3),       # dp x tp
+    ({"spatial": 4, "num_devices": 2}, 5e-3),     # dp x sp
+    ({"stage": 4, "num_devices": 2,
+      "stage_microbatches": 2}, 1e-3),            # dp x pp (stage-sharded)
+    ({"expert": 4, "num_devices": 2}, 1e-3),      # dp x ep
+])
+def test_config_driven_estimator_matches_single_device(setup, parallel, atol):
+    """PoseEstimator builds the N-D mesh and placements from ParallelConfig
+    alone (the product path: cfg/CLI-reachable, no bespoke harness code) and
+    matches the single-device estimator within the collective
+    reduction-order class."""
+    cfg, family, *_ = setup
+    base = PoseEstimator(
+        cfg.replace(MODEL={"input_shape": (64, 64)},
+                    PARALLEL={"frames_per_step": 8}), family)
+    frames, ids, boxes = _frames_case()
+    ref = base.run_from_frames(frames, ids, boxes)
+
+    est = _est(setup, parallel)
+    assert est.mesh is not None
+    assert dict(est.mesh.shape)["data"] == 2
+    out = est.run_from_frames(frames, ids, boxes)
+    for r, o in zip(ref[:2], out[:2]):
+        np.testing.assert_allclose(r.astype(np.float64), o, atol=atol)
+
+
+def test_config_ep_gender_switch_routes_to_expert(setup):
+    """set_gender under expert parallelism flips only the routing scalar;
+    joints must equal the single-device estimator built FOR that gender."""
+    from poserisk_release_tpu.pipeline import PoseEstimator
+
+    cfg, family, *_ = setup
+    frames, ids, boxes = _frames_case(seed=5, n=8)
+    est = _est(setup, {"expert": 4, "num_devices": 2})
+    est.set_gender("male")
+    out = est.run_from_frames(frames, ids, boxes)
+    ref = PoseEstimator(
+        cfg.replace(MODEL={"input_shape": (64, 64)},
+                    PARALLEL={"frames_per_step": 8}),
+        family, gender="male").run_from_frames(frames, ids, boxes)
+    np.testing.assert_allclose(ref[1].astype(np.float64), out[1], atol=1e-3)
+    with pytest.raises(ValueError):
+        est.set_gender("unknown")
+
+
+@pytest.mark.smoke
+def test_parallel_config_validation(setup):
+    """Invalid axis combinations fail loudly at construction, not mid-run."""
+    from poserisk_release_tpu.config import default_config
+    from poserisk_release_tpu.pipeline import PoseEstimator
+
+    cfg, family, *_ = setup
+    with pytest.raises(ValueError, match="expert"):
+        default_config().replace(PARALLEL={"expert": 2})
+    with pytest.raises(ValueError, match="must be >= 1"):
+        default_config().replace(PARALLEL={"model": 0})
+    with pytest.raises(ValueError, match="cannot combine"):
+        PoseEstimator(
+            cfg.replace(PARALLEL={"stage": 4, "model": 2, "num_devices": 1}),
+            family)
+    with pytest.raises(ValueError, match="spin_int8"):
+        PoseEstimator(
+            cfg.replace(PARALLEL={"model": 4, "num_devices": 2}),
+            family, spin_int8=True)
+
+
+@pytest.mark.smoke
+def test_mesh_from_config_shapes(setup):
+    """num_devices=0 gives the data axis all devices left over after the
+    model axes; no axes + one device means no mesh at all."""
+    from poserisk_release_tpu.config import default_config
+    from poserisk_release_tpu.parallel.spmd import mesh_from_config
+
+    pcfg = default_config().replace(PARALLEL={"model": 4}).PARALLEL
+    mesh = mesh_from_config(pcfg)
+    assert dict(mesh.shape) == {"data": 2, "model": 4}
+    pcfg = default_config().replace(
+        PARALLEL={"num_devices": 1}).PARALLEL
+    assert mesh_from_config(pcfg) is None
 
 
 @pytest.mark.smoke
