@@ -29,8 +29,10 @@ Two target-selection modes:
     detection_stride > 1 skipped frames wait in a bounded ring (one window
     of pixels) and are scored with boxes interpolated between the
     surrounding detections -- the same gap rule as the two-pass/batch modes
-    (tracking.mpt.interpolate_track_gaps), so every frame between the
-    target's first and last detection is scored.
+    (tracking.mpt.interpolate_track_gaps) -- so EVERY frame between the
+    target's first and last detection is scored; gaps that outgrow the ring
+    and identity switches degrade only the box rule (last detection's box
+    held instead of interpolated; see _run_online), never the coverage.
 
 Pipeline per window: decode -> [detect+track] -> crop -> fused pose+score
 step -> accumulate per-frame scores/stats. The final aggregation matches
@@ -774,15 +776,21 @@ class StreamingScorer:
         # linearly interpolated between the surrounding detections -- the
         # same per-column cxcywh rule as interpolate_track_gaps, so online
         # scores every frame just like the two-pass/batch modes instead of
-        # silently dropping (stride-1)/stride of them. Bounds/limits:
+        # silently dropping (stride-1)/stride of them. EVERY frame between
+        # the first and last target detection is scored; the single-pass
+        # bounded-memory deviations are in the BOXES, not coverage:
         #  * the ring holds at most one window of pixels (peak memory stays
-        #    O(window)); an occlusion gap longer than that loses its oldest
-        #    frames (the two-pass mode, with complete tracks, has no such
-        #    cap -- the price of single-pass bounded memory);
+        #    O(window)); when a gap outgrows it, the OLDEST pending frames
+        #    flush with the last detection's box HELD (anchor-hold) -- the
+        #    two-pass mode, holding complete tracks, interpolates them
+        #    linearly instead;
+        #  * on a target-identity switch the pending gap (frames after the
+        #    OLD identity's last detection) scores with that identity's last
+        #    box held before re-locking -- never a blend of two people's
+        #    boxes; the two-pass mode, following one selected track for the
+        #    whole clip, has no switches;
         #  * no extrapolation: frames before the first or after the last
-        #    target detection are unscored (interpolate_track_gaps rule);
-        #  * on a target-identity switch the pending gap is dropped, not
-        #    scored: blending boxes of two different people is meaningless.
+        #    target detection are unscored (interpolate_track_gaps rule).
         pending: List[Tuple[int, np.ndarray]] = []  # (global_idx, rgb)
         last_det: Optional[Tuple[int, np.ndarray]] = None  # (idx, cxcywh f64)
 
@@ -855,12 +863,19 @@ class StreamingScorer:
                     row, switched = follow_target(tracks)
                     if row is not None:
                         box = squared_cxcywh(row[0], row[1], row[2], row[3])
-                        if last_det is not None and pending and not switched:
+                        if last_det is not None and pending:
                             g0, b0 = last_det
                             for pg, prgb in pending:
-                                t = (pg - g0) / (gidx - g0)
                                 buf_px.append(prgb)
-                                buf_boxes.append(b0 + (box - b0) * t)
+                                if switched:
+                                    # The pending gap belongs to the OLD
+                                    # identity's era: score it with that
+                                    # identity's last box held -- never a
+                                    # blend of two people's boxes.
+                                    buf_boxes.append(b0.copy())
+                                else:
+                                    t = (pg - g0) / (gidx - g0)
+                                    buf_boxes.append(b0 + (box - b0) * t)
                                 buf_ids.append(pg)
                         pending.clear()
                         buf_px.append(frames[local])
@@ -876,7 +891,17 @@ class StreamingScorer:
                 # here would tax every skipped frame for no bound change.)
                 pending.append((gidx, frames[local]))
                 if len(pending) > self.window:
-                    pending.pop(0)
+                    # Ring overflow: flush the oldest frame with the last
+                    # detection's box held (anchor-hold) instead of dropping
+                    # its pixels -- coverage stays complete, only the box
+                    # rule degrades from interpolation to hold. Frames
+                    # before the FIRST detection stay unscored (the no-
+                    # extrapolation rule).
+                    pg, prgb = pending.pop(0)
+                    if last_det is not None:
+                        buf_px.append(prgb)
+                        buf_boxes.append(last_det[1].copy())
+                        buf_ids.append(pg)
             if buf_px:
                 # Boxes stay the tracker's native float64 all the way to
                 # _score_window (which casts to f32 at the same point the

@@ -694,26 +694,37 @@ def test_online_stride_occlusion_gap_matches_two_pass(long_clip):
     assert r_online.rula_scores == r_two.rula_scores
 
 
-def test_online_stride_ring_is_bounded(long_clip):
-    """A gap longer than one window of pixels loses its OLDEST frames (the
-    documented price of single-pass bounded memory) but still scores the
-    most recent `window` of them with interpolated boxes."""
+def test_online_stride_over_window_gap_scores_every_frame(long_clip):
+    """A gap longer than one window of pixels no longer loses its oldest
+    frames: the ring flushes them with the last detection's box HELD
+    (anchor-hold), and the newest `window` of them still interpolate to the
+    resuming detection -- coverage is complete, only the box rule degrades
+    for the flushed prefix."""
     cfg = default_config().replace(DETECTOR={"detection_stride": 4})
     # miss the step at frame 16; SORT's min_hits=3 means outputs resume at
-    # frame 28, so the pending gap 13..27 (15 frames) exceeds window=4 and
-    # keeps only its newest 4 entries (24..27).
+    # frame 28, so the pending gap 13..27 (15 frames) exceeds window=4:
+    # 13..23 evict with the frame-12 box held, 24..27 interpolate 12 -> 28.
     dets = _strided_dets(40, 4, missing={16})
     online = StreamingScorer(
         cfg=cfg, detector=_ScriptedStreamDetector(dets), window=4,
         selection="online")
+    boxes = _capture_score_boxes(online)
     r = online(long_clip, INFO)
-    assert r.frames == list(range(13)) + list(range(24, 37))
+    assert r.frames == list(range(37))
+    b12, b28 = boxes[12], boxes[28]  # the tracker's own anchor boxes
+    assert np.abs(b28 - b12).max() > 1.0  # the target moved: hold != interp
+    for g in range(13, 24):  # flushed prefix: anchor-hold
+        np.testing.assert_allclose(boxes[g], b12, atol=1e-9)
+    for g in range(24, 28):  # ring remainder: two-pass linear rule
+        np.testing.assert_allclose(
+            boxes[g], b12 + (b28 - b12) * (g - 12) / 16.0, atol=1e-9)
 
 
-def test_online_stride_target_switch_drops_gap(long_clip):
+def test_online_stride_target_switch_scores_pending_gap(long_clip):
     """When the followed identity dies and a NEW person becomes the target,
-    the pending gap is dropped -- interpolating between two different
-    people's boxes would be meaningless."""
+    the pending gap (frames after the old identity's last detection) is
+    scored with the OLD identity's last box held before re-locking -- never
+    a blend of two people's boxes, and never dropped pixels."""
     cfg = default_config().replace(DETECTOR={"detection_stride": 4})
     dets = []
     for g in range(0, 40, 4):
@@ -724,10 +735,16 @@ def test_online_stride_target_switch_drops_gap(long_clip):
     online = StreamingScorer(
         cfg=cfg, detector=_ScriptedStreamDetector(dets), window=16,
         selection="online")
+    boxes = _capture_score_boxes(online)
     r = online(long_clip, INFO)
     # A output at 0..12 (backfilled); B's track outputs start at 28
-    # (min_hits=3); the 13..27 gap spans the switch and must be unscored.
-    assert r.frames == list(range(13)) + list(range(28, 37))
+    # (min_hits=3); the 13..27 gap spans the switch: scored with A's last
+    # box held, then B takes over at 28.
+    assert r.frames == list(range(37))
+    a_last, b_first = boxes[12], boxes[28]
+    assert np.abs(b_first - a_last).max() > 10.0  # two different people
+    for g in range(13, 28):
+        np.testing.assert_allclose(boxes[g], a_last, atol=1e-9)
 
 
 # -- pose-stride anchor-phase unification (streaming == batch) ------------
