@@ -24,11 +24,16 @@ built the way TPU serving systems are:
     uint8 frames up, scores/angles down — the same single-upload contract
     as the batch Predictor's production path (pipeline.run_from_frames).
 
-Scope: pose scoring only. Detection/tracking are per-STREAM stateful (a
-SORT filter per camera), not per-request — a deployment runs the existing
-StreamingScorer per stream, or its own tracker, and feeds the tracked
-boxes here. ``pose_stride`` must be 1: requests are independent frames, so
-anchor interpolation between unrelated requests would be meaningless.
+Detection/tracking are per-STREAM stateful (a SORT filter per camera), not
+per-request, so they live in ``StreamSession``: one session per camera owns
+its detector, SORT filter, online target lock, and detection-stride
+backfill ring (the exact machinery of StreamingScorer's online mode, via
+the shared streaming.OnlineTargetTracker), and feeds the tracked boxes into
+THIS server's bucket ladder — so N cameras share one warm set of pose
+graphs, batched across streams. Callers with their own tracker can still
+submit (frame, bbox) requests directly. ``pose_stride`` must be 1: requests
+are independent frames, so anchor interpolation between unrelated requests
+would be meaningless.
 
 Numerics: bucket padding edge-repeats the last request — the same padding
 rule as pipeline._run_chunked — and padded rows are dropped, so a request's
@@ -372,3 +377,94 @@ class PoseScoringServer:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+class StreamSession:
+    """Per-camera online session over a shared PoseScoringServer.
+
+    Owns the per-STREAM state the request-batched server deliberately does
+    not: a detector instance (so int8 activation scales can be per-camera),
+    a SORT filter, the largest-box target lock, and the detection-stride
+    backfill ring — the EXACT policy of StreamingScorer's online mode
+    (streaming.OnlineTargetTracker is the one shared implementation), so a
+    session's (frame, box) sequence equals the online scorer's on the same
+    feed. Pose + REBA/RULA ride the server's bucket ladder, batched ACROSS
+    all sessions sharing it.
+
+    >>> with PoseScoringServer(frame_hw=(450, 800)) as server:
+    ...     cams = [StreamSession(server) for _ in range(4)]
+    ...     for idx, fut in cams[0].push(frame_u8):
+    ...         results[idx] = fut.result()
+
+    Parameters
+    ----------
+    server:
+        The shared PoseScoringServer (frames must match its frame_hw).
+    detector:
+        Person detector for THIS stream; defaults to the Predictor's
+        detector policy (pipeline.build_detector on server.cfg: YOLOv3 when
+        weights exist, else the full-frame stub). An int8 detector
+        calibrates implicitly on this stream's first detected frame —
+        prefer an explicit ``calibrate(frames)`` with representative frames
+        (a dark opening frame pins the scales either way).
+    detection_stride:
+        Detect every Nth pushed frame (defaults to the server config's
+        DETECTOR.detection_stride); skipped frames backfill through the
+        pending ring exactly like the online streaming mode.
+    ring_capacity:
+        Pending-ring bound in frames (the online mode's window): gaps that
+        outgrow it flush oldest-first with the last detection's box held.
+    """
+
+    def __init__(self, server: PoseScoringServer, detector=None,
+                 detection_stride: Optional[int] = None,
+                 ring_capacity: int = 256):
+        from poserisk_release_tpu.pipeline import build_detector
+        from poserisk_release_tpu.streaming import OnlineTargetTracker
+
+        self.server = server
+        self.detector = (detector if detector is not None
+                         else build_detector(server.cfg))
+        self.stride = int(server.cfg.DETECTOR.detection_stride
+                          if detection_stride is None else detection_stride)
+        if self.stride < 1:
+            raise ValueError(f"detection_stride must be >= 1, got {self.stride}")
+        self._tracker = OnlineTargetTracker(
+            ring_capacity=int(ring_capacity), backfill=self.stride > 1)
+        self._next_idx = 0
+
+    def calibrate(self, frames: np.ndarray) -> None:
+        """Explicit int8 detector calibration on representative frames for
+        this camera. No-op for detectors without calibration state."""
+        if getattr(self.detector, "needs_calibration", False):
+            self.detector.calibrate(np.asarray(frames))
+
+    @property
+    def target_id(self) -> Optional[int]:
+        """The currently followed SORT identity (None before lock-on)."""
+        return self._tracker.target_id
+
+    def push(self, frame: np.ndarray) -> List[Tuple[int, "Future[ScoredPose]"]]:
+        """Feed the stream's next frame (H, W, 3 uint8, server frame_hw).
+
+        Returns [(frame_idx, future)] for every frame that became scoreable
+        — possibly empty (no target yet / waiting in the backfill ring),
+        possibly covering EARLIER frames (a detection resolves the pending
+        gap's interpolated boxes), in frame order. Frame indices count
+        pushes from 0."""
+        from poserisk_release_tpu.tracking.mpt import detect_frames
+
+        frame = np.asarray(frame)
+        idx = self._next_idx
+        self._next_idx += 1
+        dets = None
+        if idx % self.stride == 0:
+            if getattr(self.detector, "needs_calibration", False):
+                # Implicit per-stream lifecycle: first detected frame pins
+                # this camera's scales (see calibrate()).
+                self.detector.calibrate(frame[None])
+            dets = detect_frames(self.detector, frame[None])[0]
+        return [
+            (gidx, self.server.submit(rgb, np.asarray(box, np.float32)))
+            for gidx, rgb, box in self._tracker.observe(idx, frame, dets)
+        ]

@@ -178,6 +178,96 @@ def _window_stream(video_path: str, window: int, max_frames: Optional[int],
         thread.join(timeout=5)
 
 
+class OnlineTargetTracker:
+    """Single-pass target-follow + detection-stride backfill state machine.
+
+    THE one implementation of the online selection policy (largest-box
+    lock-on, re-lock on identity loss) and the bounded-ring gap rules --
+    shared by StreamingScorer's online mode and serving.StreamSession so
+    their box sequences cannot fork. Feed every frame in order through
+    ``observe``; it returns the frames that became scoreable, each with its
+    f64 cxcywh box:
+
+      * a frame whose detections contain the followed target returns
+        itself, plus any pending gap frames -- boxes linearly interpolated
+        between the surrounding detections (interpolate_track_gaps rule),
+        or HELD at the old identity's last box when the target identity
+        switched (never a blend of two people);
+      * a frame without detections (a stride-skipped frame, or a detection
+        step that missed the target) waits in the bounded pending ring;
+        when the ring outgrows ``ring_capacity`` the oldest frame flushes
+        with the last detection's box held (anchor-hold);
+      * frames before the first detection are never scored (the
+        no-extrapolation rule); frames after the last one stay pending.
+
+    ``backfill=False`` (the detection-stride-1 contract) disables the
+    pending ring entirely: only directly tracked frames score, exactly like
+    the two-pass mode at stride 1.
+    """
+
+    def __init__(self, ring_capacity: int, backfill: bool = True):
+        from poserisk_release_tpu.tracking.sort import Sort
+
+        self.sort = Sort()
+        self.ring = int(ring_capacity)
+        self.backfill = backfill
+        self.target_id: Optional[int] = None
+        self.pending: List[Tuple[int, np.ndarray]] = []
+        self.last_det: Optional[Tuple[int, np.ndarray]] = None
+
+    def _follow(self, tracks: np.ndarray):
+        """Largest-box lock-on; returns (row, switched)."""
+        if tracks.shape[0] == 0:
+            return None, False
+        switched = False
+        if self.target_id is None or not np.any(tracks[:, 4] == self.target_id):
+            areas = (tracks[:, 2] - tracks[:, 0]) * (tracks[:, 3] - tracks[:, 1])
+            new_id = int(tracks[int(np.argmax(areas)), 4])
+            switched = self.target_id is not None
+            self.target_id = new_id
+        return tracks[tracks[:, 4] == self.target_id][0], switched
+
+    def observe(self, gidx: int, frame: np.ndarray,
+                dets: Optional[np.ndarray]
+                ) -> List[Tuple[int, np.ndarray, np.ndarray]]:
+        """Advance by one frame. dets: this frame's (N, 5) detections, or
+        None for a stride-skipped frame. Returns [(global_idx, rgb, box)]
+        newly scoreable, in frame order."""
+        from poserisk_release_tpu.tracking.mpt import squared_cxcywh
+
+        out: List[Tuple[int, np.ndarray, np.ndarray]] = []
+        if dets is not None:
+            tracks = self.sort.update(
+                np.asarray(dets, np.float64).reshape(-1, 5))
+            row, switched = self._follow(tracks)
+            if row is not None:
+                box = squared_cxcywh(row[0], row[1], row[2], row[3])
+                if self.last_det is not None and self.pending:
+                    g0, b0 = self.last_det
+                    for pg, prgb in self.pending:
+                        if switched:
+                            # The pending gap belongs to the OLD identity's
+                            # era: its last box held, never a blend.
+                            out.append((pg, prgb, b0.copy()))
+                        else:
+                            t = (pg - g0) / (gidx - g0)
+                            out.append((pg, prgb, b0 + (box - b0) * t))
+                self.pending.clear()
+                out.append((gidx, frame, box))
+                self.last_det = (gidx, box)
+                return out
+        if not self.backfill:
+            return out
+        self.pending.append((gidx, frame))
+        if len(self.pending) > self.ring:
+            # Ring overflow: flush the oldest frame with the last
+            # detection's box held instead of dropping its pixels.
+            pg, prgb = self.pending.pop(0)
+            if self.last_det is not None:
+                out.append((pg, prgb, self.last_det[1].copy()))
+        return out
+
+
 class _SpinCalibrator:
     """Shared int8-PTQ calibration source for chunk-aligned streaming.
 
@@ -756,16 +846,10 @@ class StreamingScorer:
     # -- single-pass online mode ------------------------------------------
     def _run_online(self, video_path: str, add_info: Dict,
                     max_frames: Optional[int]) -> StreamResult:
-        from poserisk_release_tpu.tracking.mpt import (
-            squared_cxcywh,
-            strided_local_indices,
-        )
-        from poserisk_release_tpu.tracking.sort import Sort
+        from poserisk_release_tpu.tracking.mpt import strided_local_indices
 
         stride = int(self.cfg.DETECTOR.detection_stride)
         result = StreamResult()
-        sort = Sort()  # persistent across windows -> stable identities
-        target_id: Optional[int] = None
         reba, rula = self._scorers()
         # First-window int8 calibration, same lifecycle as _track_pass.
         needs_cal = getattr(self.detector, "needs_calibration", False)
@@ -791,21 +875,16 @@ class StreamingScorer:
         #    whole clip, has no switches;
         #  * no extrapolation: frames before the first or after the last
         #    target detection are unscored (interpolate_track_gaps rule).
-        pending: List[Tuple[int, np.ndarray]] = []  # (global_idx, rgb)
-        last_det: Optional[Tuple[int, np.ndarray]] = None  # (idx, cxcywh f64)
-
-        def follow_target(tracks: np.ndarray):
-            """Largest-box lock-on; returns (row, switched)."""
-            nonlocal target_id
-            if tracks.shape[0] == 0:
-                return None, False
-            switched = False
-            if target_id is None or not np.any(tracks[:, 4] == target_id):
-                areas = (tracks[:, 2] - tracks[:, 0]) * (tracks[:, 3] - tracks[:, 1])
-                new_id = int(tracks[int(np.argmax(areas)), 4])
-                switched = target_id is not None
-                target_id = new_id
-            return tracks[tracks[:, 4] == target_id][0], switched
+        # The whole policy lives in OnlineTargetTracker (shared with
+        # serving.StreamSession); backfill is off at stride 1, where every
+        # frame is a detection step and occlusion gaps stay unscored --
+        # exactly like the two-pass mode at stride 1 (interpolate_track_gaps
+        # only runs under a stride there). Pending entries are VIEWS into
+        # the decode window; they are consecutive frames, so at most ~2
+        # window buffers stay referenced -- the decode lookahead's own
+        # order. Copying would tax every skipped frame for no bound change.
+        tracker = OnlineTargetTracker(ring_capacity=self.window,
+                                      backfill=stride > 1)
 
         for item in _window_stream(video_path, self.window, max_frames,
                                    self.cfg.DATASET.decode_workers):
@@ -820,88 +899,21 @@ class StreamingScorer:
                 self.detector.calibrate(frames)
                 needs_cal = False
 
-            if stride == 1:
-                # Every frame is a detection step: no backfill, no pixel
-                # copies -- score straight off the window. Occlusion gaps
-                # stay unscored, exactly like the two-pass mode at stride 1
-                # (interpolate_track_gaps only runs under a stride there).
-                detections = self._detect(frames)
-                track_local: List[int] = []
-                track_boxes: List[np.ndarray] = []
-                for local_idx, dets in enumerate(detections):
-                    tracks = sort.update(
-                        np.asarray(dets, np.float64).reshape(-1, 5))
-                    row, _switched = follow_target(tracks)
-                    if row is None:
-                        continue
-                    track_boxes.append(
-                        squared_cxcywh(row[0], row[1], row[2], row[3])
-                        .astype(np.float32))
-                    track_local.append(local_idx)
-                if track_local:
-                    self._score_window(
-                        frames, np.asarray(track_local),
-                        np.stack(track_boxes), int(start_idx), add_info,
-                        reba, rula, result,
-                    )
-                continue
-
-            # stride > 1: detect the strided subsample (shared phase rule),
-            # walk ALL frames in order, backfilling gaps at each detection.
-            det_local = strided_local_indices(start_idx, len(frames), stride)
+            det_local = (list(range(len(frames))) if stride == 1 else
+                         strided_local_indices(start_idx, len(frames), stride))
             det_map = dict(zip(
                 det_local,
-                self._detect(frames[det_local]) if det_local else []))
+                self._detect(frames[det_local]) if len(det_local) else []))
             buf_px: List[np.ndarray] = []
             buf_boxes: List[np.ndarray] = []
             buf_ids: List[int] = []
             for local in range(len(frames)):
-                gidx = start_idx + local
-                if local in det_map:
-                    tracks = sort.update(
-                        np.asarray(det_map[local], np.float64).reshape(-1, 5))
-                    row, switched = follow_target(tracks)
-                    if row is not None:
-                        box = squared_cxcywh(row[0], row[1], row[2], row[3])
-                        if last_det is not None and pending:
-                            g0, b0 = last_det
-                            for pg, prgb in pending:
-                                buf_px.append(prgb)
-                                if switched:
-                                    # The pending gap belongs to the OLD
-                                    # identity's era: score it with that
-                                    # identity's last box held -- never a
-                                    # blend of two people's boxes.
-                                    buf_boxes.append(b0.copy())
-                                else:
-                                    t = (pg - g0) / (gidx - g0)
-                                    buf_boxes.append(b0 + (box - b0) * t)
-                                buf_ids.append(pg)
-                        pending.clear()
-                        buf_px.append(frames[local])
-                        buf_boxes.append(box)
-                        buf_ids.append(gidx)
-                        last_det = (gidx, box)
-                        continue
-                # Skipped frame, or a detection step without the target:
-                # wait for the next target detection to interpolate.
-                # (Entries are VIEWS into the decode window; they are
-                # consecutive frames, so at most ~2 window buffers stay
-                # referenced -- the decode lookahead's own order. Copying
-                # here would tax every skipped frame for no bound change.)
-                pending.append((gidx, frames[local]))
-                if len(pending) > self.window:
-                    # Ring overflow: flush the oldest frame with the last
-                    # detection's box held (anchor-hold) instead of dropping
-                    # its pixels -- coverage stays complete, only the box
-                    # rule degrades from interpolation to hold. Frames
-                    # before the FIRST detection stay unscored (the no-
-                    # extrapolation rule).
-                    pg, prgb = pending.pop(0)
-                    if last_det is not None:
-                        buf_px.append(prgb)
-                        buf_boxes.append(last_det[1].copy())
-                        buf_ids.append(pg)
+                for gidx, rgb, box in tracker.observe(
+                        start_idx + local, frames[local],
+                        det_map.get(local)):
+                    buf_px.append(rgb)
+                    buf_boxes.append(box)
+                    buf_ids.append(gidx)
             if buf_px:
                 # Boxes stay the tracker's native float64 all the way to
                 # _score_window (which casts to f32 at the same point the

@@ -218,6 +218,130 @@ def test_prefailed_future_does_not_poison_its_batch():
         srv.close()
 
 
+class _ContentBoxDetector:
+    """Deterministic content-derived person box (bounding box of bright
+    pixels): identical results no matter how calls are batched, so the
+    per-frame session path and the windowed streaming path can't fork."""
+
+    def __call__(self, frames_rgb):
+        out = []
+        for f in np.asarray(frames_rgb):
+            ys, xs = np.where(f.mean(axis=2) > 100)
+            if len(xs) < 10:
+                out.append(np.zeros((0, 5), np.float32))
+            else:
+                out.append(np.asarray(
+                    [[xs.min(), ys.min(), xs.max(), ys.max(), 0.9]],
+                    np.float32))
+        return out
+
+
+def _stream_clip(tmp_path, name, speed, start, n=40):
+    import cv2
+
+    from poserisk_release_tpu.io.video import read_video, write_video
+
+    frames = []
+    for i in range(n):
+        img = np.full((*HW, 3), 25, np.uint8)
+        x = start + speed * i
+        cv2.rectangle(img, (x, 10), (x + 28, 54), (190, 160, 140), -1)
+        frames.append(img)
+    path = str(tmp_path / f"{name}.mp4")
+    write_video(frames, fps=10.0, file_path=path)
+    return path, read_video(path).frames
+
+
+def test_stream_sessions_match_online_streaming(tmp_path):
+    """N concurrent camera sessions over ONE shared server: each session's
+    (frame, score) stream must equal the online StreamingScorer on the same
+    clip — the session owns exactly the online machinery (shared
+    OnlineTargetTracker), the server only batches the pose stage."""
+    import threading
+
+    from poserisk_release_tpu.config import default_config
+    from poserisk_release_tpu.serving import StreamSession
+    from poserisk_release_tpu.streaming import StreamingScorer
+
+    streams = [  # (name, speed, start, detection_stride)
+        ("cam0", 1, 10, 1),
+        ("cam1", 2, 4, 4),
+        ("cam2", 1, 40, 4),
+    ]
+    clips = {name: _stream_clip(tmp_path, name, speed, start)
+             for name, speed, start, _ in streams}
+
+    with PoseScoringServer(cfg=_cfg(), batch_sizes=(1, 4, 16),
+                           max_delay_ms=2.0, frame_hw=HW,
+                           warm=True) as server:
+        sessions = {name: StreamSession(server,
+                                        detector=_ContentBoxDetector(),
+                                        detection_stride=stride,
+                                        ring_capacity=16)
+                    for name, _, _, stride in streams}
+        futures = {name: [] for name, *_ in streams}
+
+        def feed(name):
+            _, frames = clips[name]
+            for frame in frames:
+                futures[name].extend(sessions[name].push(frame))
+
+        threads = [threading.Thread(target=feed, args=(name,))
+                   for name, *_ in streams]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        results = {
+            name: [(idx, f.result(timeout=300)) for idx, f in futs]
+            for name, futs in futures.items()
+        }
+
+    for name, _, _, stride in streams:
+        cfg = default_config().replace(
+            MODEL={"input_shape": (64, 64)}, PARALLEL={"frames_per_step": 4},
+            DETECTOR={"detection_stride": stride})
+        oracle = StreamingScorer(cfg=cfg, detector=_ContentBoxDetector(),
+                                 window=16, selection="online")(
+            clips[name][0], INFO)
+        got = results[name]
+        assert [idx for idx, _ in got] == oracle.frames, name
+        assert [r.reba for _, r in got] == oracle.reba_scores, name
+        assert [r.rula for _, r in got] == oracle.rula_scores, name
+
+
+def test_stream_session_backfill_covers_gaps():
+    """A session at detection_stride 4 resolves skipped frames when the next
+    detection arrives: pushes in between return empty, then the detection
+    push returns the whole gap in frame order."""
+    from poserisk_release_tpu.serving import StreamSession
+
+    srv = PoseScoringServer(cfg=_cfg(), batch_sizes=(4,), frame_hw=HW,
+                            warm=True, max_delay_ms=0.0)
+    try:
+        rng = np.random.default_rng(9)
+        import cv2
+
+        def frame(x):
+            img = np.full((*HW, 3), 25, np.uint8)
+            cv2.rectangle(img, (x, 10), (x + 28, 54), (190, 160, 140), -1)
+            return img
+
+        sess = StreamSession(srv, detector=_ContentBoxDetector(),
+                             detection_stride=4, ring_capacity=16)
+        out = sess.push(frame(8))        # detection step 0: locks + scores
+        assert [i for i, _ in out] == [0]
+        for j in (1, 2, 3):
+            assert sess.push(frame(8 + j)) == []   # pending in the ring
+        out = sess.push(frame(12))       # detection step 4: backfills 1..3
+        assert [i for i, _ in out] == [1, 2, 3, 4]
+        for _i, fut in out:
+            assert isinstance(fut.result(timeout=120), ScoredPose)
+        assert sess.target_id is not None
+    finally:
+        srv.close()
+
+
 def test_submit_racing_close_never_leaves_a_hung_future():
     """If close() runs between submit()'s entry check and its queue put, the
     request lands in a queue close() has already drained -- nothing would
