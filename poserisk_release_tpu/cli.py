@@ -65,6 +65,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="detect only every Nth frame and interpolate "
                              "track boxes across the gaps (throughput mode; "
                              "1 = reference detect-every-frame contract)")
+    parser.add_argument("--adaptive_stride", action="store_true",
+                        help="motion-adaptive upgrade of --detection_stride "
+                             "(its value becomes the MAX interval): "
+                             "intervals whose boxes move probe their "
+                             "midpoint and bisect until linear "
+                             "interpolation is accurate, so detections "
+                             "concentrate at reversals/entrances while "
+                             "static scenes cost the fixed stride")
     parser.add_argument("--pose_stride", type=int, default=1,
                         help="run crop+SPIN only on every Nth tracked frame "
                              "and slerp-interpolate the skipped frames' joint "
@@ -318,8 +326,11 @@ def main(argv=None) -> int:
         cfg = cfg.replace(DETECTOR={"rect_letterbox": True, "int8": True})
     if args.jpeg_ingest:
         cfg = cfg.replace(DATASET={"jpeg_ingest": True})
-    if args.detection_stride != 1:
-        cfg = cfg.replace(DETECTOR={"detection_stride": args.detection_stride})
+    if args.detection_stride != 1 or args.adaptive_stride:
+        cfg = cfg.replace(DETECTOR={
+            "detection_stride": args.detection_stride,
+            "adaptive_stride": args.adaptive_stride,
+        })
     if args.pose_stride != 1:
         cfg = cfg.replace(SPIN={"pose_stride": args.pose_stride})
     if args.decode_workers != 1:

@@ -149,6 +149,16 @@ class DetectorConfig:
     # box error, but fast in-plane motion can drift crops between
     # detections.
     detection_stride: int = 1
+    # Motion-adaptive upgrade of detection_stride (opt-in,
+    # tracking/mpt.adaptive_window_detections): detection_stride becomes
+    # the MAX interval; intervals whose endpoint boxes move probe their
+    # midpoint and keep bisecting while the midpoint detection disagrees
+    # with linear interpolation by more than adaptive_tol of the box side.
+    # Detections concentrate where the fixed stride's interpolation would
+    # silently drift (reversals, accelerations, entrances); a static scene
+    # costs exactly the fixed stride. Requires detection_stride > 1.
+    adaptive_stride: bool = False
+    adaptive_tol: float = 0.2
     # Explicit int8 calibration source (io/video.load_calibration_frames):
     # a video file, an image directory, or a .npy/.npz of (N, H, W, 3)
     # uint8 frames. When set, activation scales for the int8 detector (and
@@ -174,6 +184,10 @@ class DetectorConfig:
         if self.detection_stride < 1:
             raise ValueError(
                 f"DETECTOR.detection_stride must be >= 1, got {self.detection_stride}")
+        if self.adaptive_stride and self.detection_stride <= 1:
+            raise ValueError(
+                "DETECTOR.adaptive_stride needs detection_stride > 1 (the "
+                "stride is the adaptive schedule's MAX interval)")
 
 
 @dataclass(frozen=True)

@@ -716,7 +716,9 @@ class Predictor:
         if detector is None:
             detector = build_detector(self.cfg)
         self.tracker = MultiPersonTracker(
-            detector, detection_stride=int(self.cfg.DETECTOR.detection_stride))
+            detector, detection_stride=int(self.cfg.DETECTOR.detection_stride),
+            adaptive=bool(self.cfg.DETECTOR.adaptive_stride),
+            adaptive_tol=float(self.cfg.DETECTOR.adaptive_tol))
 
         self.reba, self.rula = REBAScorer(debug), RULAScorer(debug)
         scores = score_type.replace(" ", "").upper().split(",")

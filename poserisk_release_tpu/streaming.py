@@ -665,8 +665,10 @@ class StreamingScorer:
                 if needs_cal:
                     self.detector.calibrate(frames)
                     needs_cal = False
-                update_window_tracks(sort, people, start_idx, frames,
-                                     self.detector, stride)
+                update_window_tracks(
+                    sort, people, start_idx, frames, self.detector, stride,
+                    adaptive=bool(self.cfg.DETECTOR.adaptive_stride),
+                    adaptive_tol=float(self.cfg.DETECTOR.adaptive_tol))
             else:  # end
                 total = int(item[1])
         results = finalize_tracks(people)

@@ -30,14 +30,21 @@ class MultiPersonTracker:
         min_hits: int = 3,
         iou_threshold: float = 0.3,
         detection_stride: int = 1,
+        adaptive: bool = False,
+        adaptive_tol: float = 0.2,
     ):
         if detection_stride < 1:
             raise ValueError(f"detection_stride must be >= 1, got {detection_stride}")
+        if adaptive and detection_stride <= 1:
+            raise ValueError(
+                "adaptive stride needs detection_stride > 1 (its MAX interval)")
         self.detector = detector
         self.max_age = max_age
         self.min_hits = min_hits
         self.iou_threshold = iou_threshold
         self.detection_stride = detection_stride
+        self.adaptive = adaptive
+        self.adaptive_tol = adaptive_tol
 
     def __call__(self, frames_rgb: np.ndarray) -> Dict[int, Dict[str, np.ndarray]]:
         return self.track_windows([(0, frames_rgb)])
@@ -58,7 +65,9 @@ class MultiPersonTracker:
         people: Dict[int, Dict[str, list]] = {}
         for start_idx, frames_rgb in windows:
             update_window_tracks(tracker, people, start_idx, frames_rgb,
-                                 self.detector, self.detection_stride)
+                                 self.detector, self.detection_stride,
+                                 adaptive=self.adaptive,
+                                 adaptive_tol=self.adaptive_tol)
         results = finalize_tracks(people)
         if self.detection_stride > 1:
             results = interpolate_track_gaps(results)
@@ -96,15 +105,25 @@ def strided_local_indices(start_idx: int, n_frames: int, stride: int) -> List[in
 
 def update_window_tracks(sort, people: Dict[int, Dict[str, list]],
                          start_idx: int, frames_rgb, detector,
-                         stride: int = 1) -> None:
+                         stride: int = 1, adaptive: bool = False,
+                         adaptive_tol: float = 0.2) -> None:
     """Detect + SORT-update one decoded window into the shared accumulator.
 
     stride > 1 detects only frames at GLOBAL indices that are stride
     multiples (strided_local_indices); SORT then sees a uniformly
     downsampled clip -- its constant-velocity state is per detection step,
     which is exactly the canonical tracker run at 1/stride frame rate.
-    Shared by the batch tracker and the streaming scorer so the strided
-    semantics cannot fork."""
+    adaptive=True upgrades the fixed stride to the motion-adaptive schedule
+    (adaptive_window_detections: stride is the MAX interval; intervals
+    whose boxes move get bisected until linear interpolation is accurate
+    to adaptive_tol). Shared by the batch tracker and the streaming scorer
+    so the strided semantics cannot fork."""
+    if adaptive and stride > 1:
+        for local_idx, dets in adaptive_window_detections(
+                detector, frames_rgb, start_idx, stride, adaptive_tol):
+            tracks = sort.update(dets.reshape(-1, 5))
+            accumulate_tracks(people, start_idx + local_idx, tracks)
+        return
     if stride == 1:
         sel = range(len(frames_rgb))
         detections = detect_frames(detector, frames_rgb)
@@ -116,6 +135,124 @@ def update_window_tracks(sort, people: Dict[int, Dict[str, list]],
     for local_idx, dets in zip(sel, detections):
         tracks = sort.update(np.asarray(dets, np.float64).reshape(-1, 5))
         accumulate_tracks(people, start_idx + local_idx, tracks)
+
+
+# -- motion-adaptive detection stride ---------------------------------------
+
+def _iou_xyxy(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """IoU of one xyxy box against (k, >=4) rows."""
+    if boxes.shape[0] == 0:
+        return np.zeros((0,), np.float64)
+    x1 = np.maximum(box[0], boxes[:, 0])
+    y1 = np.maximum(box[1], boxes[:, 1])
+    x2 = np.minimum(box[2], boxes[:, 2])
+    y2 = np.minimum(box[3], boxes[:, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    area = lambda b: np.clip(b[..., 2] - b[..., 0], 0, None) * np.clip(
+        b[..., 3] - b[..., 1], 0, None)
+    union = area(box[None]) + area(boxes) - inter
+    return inter / np.maximum(union, 1e-9)
+
+
+def _box_motion(da: np.ndarray, db: np.ndarray, rel_tol: float) -> bool:
+    """True when the interval's endpoint detections differ enough to warrant
+    probing: a box appeared/disappeared, or any matched box's center moved
+    by more than rel_tol of its side."""
+    if da.shape[0] != db.shape[0]:
+        return True
+    for ba in da:
+        ious = _iou_xyxy(ba, db)
+        if ious.size == 0:
+            return True
+        bb = db[int(np.argmax(ious))]
+        side = max(ba[2] - ba[0], ba[3] - ba[1], 1e-9)
+        dc = np.hypot((ba[0] + ba[2]) - (bb[0] + bb[2]),
+                      (ba[1] + ba[3]) - (bb[1] + bb[3])) / 2.0
+        if dc > rel_tol * side or float(np.max(ious)) < 0.3:
+            return True
+    return False
+
+
+def _interp_error_exceeds(da: np.ndarray, db: np.ndarray, dm: np.ndarray,
+                          frac: float, tol: float) -> bool:
+    """True when the midpoint detections disagree with linear interpolation
+    of the endpoint boxes by more than tol (center error relative to box
+    side), or a box has no counterpart at the midpoint/endpoints."""
+    if da.shape[0] != db.shape[0] or dm.shape[0] != da.shape[0]:
+        return True
+    for ba in da:
+        ious = _iou_xyxy(ba, db)
+        if ious.size == 0 or float(np.max(ious)) < 0.1:
+            return True
+        bb = db[int(np.argmax(ious))]
+        pred = ba[:4] + (bb[:4] - ba[:4]) * frac
+        side = max(pred[2] - pred[0], pred[3] - pred[1], 1e-9)
+        if dm.shape[0] == 0:
+            return True
+        errs = []
+        for bm in dm:
+            dc = np.hypot((pred[0] + pred[2]) - (bm[0] + bm[2]),
+                          (pred[1] + pred[3]) - (bm[1] + bm[3])) / 2.0
+            ds = abs((pred[2] - pred[0]) - (bm[2] - bm[0])) + abs(
+                (pred[3] - pred[1]) - (bm[3] - bm[1]))
+            errs.append(dc + 0.5 * ds)
+        if min(errs) > tol * side:
+            return True
+    return False
+
+
+def adaptive_window_detections(detector, frames_rgb, start_idx: int,
+                               max_stride: int, tol: float = 0.2,
+                               vel_tol: float = 0.05):
+    """Motion-adaptive detection schedule for one window (the opt-in
+    upgrade of the fixed detection stride, DetectorConfig.adaptive_stride).
+
+    Round 0 detects the fixed-stride frames (strided_local_indices at
+    max_stride -- the same phase rule, so a static scene costs exactly the
+    fixed stride). Each interval whose endpoint boxes MOVED (more than
+    vel_tol of the box side, or appeared/disappeared) then probes its
+    midpoint, and keeps bisecting while the midpoint detection disagrees
+    with linear interpolation of the endpoints by more than tol of the box
+    side -- the criterion IS the error the fixed stride would silently
+    commit, so detections concentrate exactly where interpolation fails
+    (direction reversals, accelerations, entrances). Every probe is batched
+    per bisection round (one detector call per depth level, not per frame).
+
+    Returns [(local_idx, dets_f64 (k, 5))] sorted by frame, for SORT to
+    consume in order. Limits: refinement is window-local (the interval
+    spanning a window boundary stays at the base stride), and a person both
+    entering AND leaving strictly inside a motion-free interval is not
+    probed (the fixed stride misses them too)."""
+    n = len(frames_rgb)
+    base = strided_local_indices(start_idx, n, max_stride)
+    if not base:
+        return []
+    cache: Dict[int, np.ndarray] = {}
+
+    def detect(ids):
+        new = sorted(i for i in set(ids) if i not in cache)
+        if new:
+            for i, d in zip(new, detect_frames(detector, frames_rgb[new])):
+                cache[i] = np.asarray(d, np.float64).reshape(-1, 5)
+
+    detect(base)
+    intervals = [
+        (a, b) for a, b in zip(base[:-1], base[1:])
+        if b - a >= 2 and _box_motion(cache[a], cache[b], vel_tol)
+    ]
+    while intervals:
+        detect([(a + b) // 2 for a, b in intervals])
+        nxt = []
+        for a, b in intervals:
+            m = (a + b) // 2
+            if _interp_error_exceeds(cache[a], cache[b], cache[m],
+                                     (m - a) / (b - a), tol):
+                if m - a >= 2:
+                    nxt.append((a, m))
+                if b - m >= 2:
+                    nxt.append((m, b))
+        intervals = nxt
+    return sorted(cache.items())
 
 
 def interpolate_track_gaps(

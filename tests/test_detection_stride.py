@@ -171,6 +171,117 @@ class TestStridedTracking:
         np.testing.assert_allclose(ts["bbox"], tb["bbox"], atol=1e-9)
 
 
+def make_reversing_clip(n=56, H=160, W=240, turn=26, speed=3):
+    """Rectangle translating +speed px/frame, sharply reversing at `turn` --
+    the motion class where a fixed detection stride fails hardest: SORT's
+    constant-velocity prediction overshoots the turn by speed*stride px, the
+    IoU association breaks, and the track DIES mid-clip."""
+    frames = np.zeros((n, H, W, 3), np.uint8)
+    xs = []
+    for i in range(n):
+        x = 30 + speed * (i if i <= turn else 2 * turn - i)
+        xs.append(x)
+        frames[i, 30:110, x : x + 60] = 200
+    return frames, np.asarray(xs, np.float64)
+
+
+class TestAdaptiveStride:
+    def test_static_scene_costs_exactly_the_fixed_stride(self):
+        """The velocity gate: no motion between endpoints -> zero probes, so
+        the adaptive schedule's cost floor IS the fixed stride."""
+        frames = np.zeros((32, 120, 160, 3), np.uint8)
+        frames[:, 20:80, 40:70] = 200
+        det = PixelDetector()
+        MultiPersonTracker(det, detection_stride=8, adaptive=True)(frames)
+        assert sum(det.seen) == 4  # frames 0, 8, 16, 24 only
+
+    def test_reversing_motion_dominates_fixed_stride(self):
+        """The accuracy/throughput frontier claim, measured (docs/PERF.md
+        round 5): at max stride 8 on a sharp reversal, the FIXED stride's
+        track dies at the turn (constant-velocity overshoot breaks IoU
+        association), losing more than half the person's frames; the
+        adaptive schedule spends ~6 extra detections (still < 1/4 of the
+        stride-1 cost) bisecting the turn, keeps ONE live track covering
+        every strided frame, and bounds the box error."""
+        frames, xs = make_reversing_clip()
+
+        def run(adaptive, stride=8, tol=0.1):
+            det = PixelDetector()
+            results = MultiPersonTracker(
+                det, detection_stride=stride, adaptive=adaptive,
+                adaptive_tol=tol)(frames)
+            bbox, fidx = filter_and_select_target(results, len(frames))
+            err = {int(f): abs(b[0] - (xs[int(f)] + 30.0))
+                   for f, b in zip(fidx, bbox)}
+            return err, sum(det.seen)
+
+        err_fixed, n_fixed = run(adaptive=False)
+        err_adap, n_adap = run(adaptive=True)
+        # Fixed stride: the selected track ends AT the reversal (frame 24)
+        # -- the clip's second half is silently lost.
+        assert max(err_fixed) == 24
+        # Adaptive: one track spanning first to last strided detection
+        # (48 = last stride-8 multiple; no extrapolation past it),
+        # contiguous coverage, bounded box error even through the turn.
+        assert min(err_adap) == 0 and max(err_adap) == 48
+        assert sorted(err_adap) == list(range(0, 49))
+        assert max(err_adap.values()) < 10.0  # px, on an 80-px box
+        # Cost: a handful of probes concentrated at the turn, far below
+        # the stride-1 contract's 56 detections.
+        assert n_fixed <= n_adap <= n_fixed + 8, (n_fixed, n_adap)
+        assert n_adap <= len(frames) // 4
+
+    def test_adaptive_streaming_matches_batch_tracker_same_windows(self,
+                                                                   tmp_path):
+        """The adaptive schedule is deterministic per windowing: streaming
+        _track_pass and the batch tracker fed the SAME windows agree
+        exactly (refinement is window-local by design, so different window
+        sizes may probe differently -- documented in
+        adaptive_window_detections)."""
+        import cv2
+
+        from poserisk_release_tpu.config import default_config
+        from poserisk_release_tpu.streaming import StreamingScorer
+
+        frames, _ = make_reversing_clip(n=28)
+        video = str(tmp_path / "v.mp4")
+        wr = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (frames.shape[2], frames.shape[1]))
+        for f in frames:
+            wr.write(f[..., ::-1])
+        wr.release()
+        cap = cv2.VideoCapture(video)
+        decoded = []
+        while True:
+            ok, img = cap.read()
+            if not ok:
+                break
+            decoded.append(img[..., ::-1])
+        cap.release()
+        decoded = np.asarray(decoded)
+
+        cfg = default_config().replace(
+            DETECTOR={"detection_stride": 4, "adaptive_stride": True})
+        scorer = StreamingScorer(cfg=cfg, detector=PixelDetector(), window=7)
+        stream_tracks, total, _fps = scorer._track_pass(video, None)
+        windows = [(s, decoded[s: s + 7]) for s in range(0, len(decoded), 7)]
+        batch_tracks = MultiPersonTracker(
+            PixelDetector(), detection_stride=4,
+            adaptive=True).track_windows(windows)
+        assert total == 28
+        (ts,), (tb,) = stream_tracks.values(), batch_tracks.values()
+        np.testing.assert_array_equal(ts["frames"], tb["frames"])
+        np.testing.assert_allclose(ts["bbox"], tb["bbox"], atol=1e-9)
+
+    def test_adaptive_validation(self):
+        from poserisk_release_tpu.config import default_config
+
+        with pytest.raises(ValueError, match="adaptive"):
+            MultiPersonTracker(PixelDetector(), adaptive=True)
+        with pytest.raises(ValueError, match="adaptive_stride"):
+            default_config().replace(DETECTOR={"adaptive_stride": True})
+
+
 class TestFullFrameStepStride:
     def test_det_stride_shapes_and_pose_parity(self, small_chunk_config):
         """det_stride changes ONLY the detector coverage: scores equal the
