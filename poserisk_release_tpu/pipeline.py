@@ -136,7 +136,13 @@ class PoseEstimator:
         self.cfg = cfg
         self._dtype = dtype = jnp.bfloat16 if fast else jnp.float32
         pcfg = cfg.PARALLEL
-        if mesh is None and pspmd.model_axes_from_config(pcfg):
+        if mesh is None and (pspmd.model_axes_from_config(pcfg)
+                             or int(pcfg.num_devices) > 1):
+            # Config-reachable meshes: any model axis, or an explicit
+            # multi-device data axis, makes the estimator build the mesh
+            # itself. num_devices == 0 keeps the historical default (no
+            # mesh unless one is passed) so single-device callers are
+            # untouched.
             mesh = pspmd.mesh_from_config(pcfg)
         self.mesh = mesh
         axis_names = () if mesh is None else mesh.axis_names

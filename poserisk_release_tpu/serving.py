@@ -224,6 +224,22 @@ class PoseScoringServer:
                     allow_calibration: bool = True):
         import jax
 
+        mesh = self.estimator.mesh
+        if mesh is not None:
+            # Multi-chip serving: the bucket batch shards over the DATA
+            # axis of the estimator's config-built mesh (per-sample math is
+            # untouched, so results equal the single-device server's --
+            # test_serving_data_parallel_buckets). Buckets not divisible by
+            # the data-axis size stay replicated (correct, just unsharded);
+            # size the ladder in data-axis multiples to avoid that.
+            from poserisk_release_tpu.parallel import mesh as pmesh
+
+            n_data = int(mesh.shape[self.estimator._data_axis])
+            if frames.shape[0] % n_data == 0:
+                frames = pmesh.shard_batch(mesh, np.asarray(frames),
+                                           self.estimator._data_axis)
+                bboxes = pmesh.shard_batch(mesh, np.asarray(bboxes),
+                                           self.estimator._data_axis)
         if allow_calibration and self.estimator.spin_needs_calibration:
             # Same implicit first-batch lifecycle as run_from_frames; the
             # quantized core replaces the f32 one, so the bucket graphs are

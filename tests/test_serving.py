@@ -126,6 +126,26 @@ def test_shape_and_dtype_contract(server):
         server.submit(frames[0], np.zeros((2,), np.float32))
 
 
+def test_serving_data_parallel_buckets():
+    """PARALLEL.num_devices=2 makes the estimator build a 2-device data
+    mesh and bucket batches shard across it (multi-chip serving dispatch);
+    scores equal the single-device server (euler within the documented
+    sharded-executable compile class)."""
+    frames, boxes = _requests(4, seed=7)
+    dp_cfg = _cfg().replace(PARALLEL={"num_devices": 2})
+    with PoseScoringServer(cfg=_cfg(), batch_sizes=(2, 4), frame_hw=HW,
+                           warm=False) as plain, \
+            PoseScoringServer(cfg=dp_cfg, batch_sizes=(2, 4), frame_hw=HW,
+                              warm=False) as dp:
+        assert plain.estimator.mesh is None
+        assert dict(dp.estimator.mesh.shape) == {"data": 2}
+        for i in range(4):
+            a = plain.score(frames[i], boxes[i], timeout=240)
+            b = dp.score(frames[i], boxes[i], timeout=240)
+            assert (a.reba, a.rula) == (b.reba, b.rula)
+            np.testing.assert_allclose(a.euler_deg, b.euler_deg, atol=2e-3)
+
+
 def test_constructor_contracts():
     with pytest.raises(ValueError, match="batch_sizes"):
         PoseScoringServer(cfg=_cfg(), batch_sizes=(4, 1), warm=False)
