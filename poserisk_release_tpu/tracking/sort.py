@@ -60,23 +60,27 @@ def iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 class _KalmanBoxTrack:
-    _count = 0
-
     F = np.eye(7)
     for _i in range(3):
         F[_i, _i + 4] = 1.0
     H = np.zeros((4, 7))
     H[:4, :4] = np.eye(4)
 
-    def __init__(self, bbox_xyxy: np.ndarray):
+    def __init__(self, bbox_xyxy: np.ndarray, track_id: int):
         self.x = np.zeros((7, 1))
         self.x[:4] = _xyxy_to_z(bbox_xyxy)
         self.P = np.diag([10.0, 10.0, 10.0, 10.0, 1e4, 1e4, 1e4])
         self.Q = np.diag([1.0, 1.0, 1.0, 1.0, 0.01, 0.01, 1e-4])
         self.R = np.diag([1.0, 1.0, 10.0, 10.0])
 
-        _KalmanBoxTrack._count += 1
-        self.id = _KalmanBoxTrack._count
+        # Ids are PER-SORT-INSTANCE (assigned by Sort.update), unlike the
+        # upstream SORT's process-global KalmanBoxTracker.count: the
+        # reference runs one video per process, so the observable contract
+        # is "ids start at 1 for every video" -- a shared warm Predictor
+        # scoring a directory (cli.py) must reproduce that, or person_<id>
+        # output dirs and --person_genders mappings would depend on how
+        # many tracks every EARLIER video in the process happened to spawn.
+        self.id = track_id
         self.time_since_update = 0
         self.hit_streak = 0
         self.age = 0
@@ -144,6 +148,7 @@ class Sort:
         self.iou_threshold = iou_threshold
         self.tracks: List[_KalmanBoxTrack] = []
         self.frame_count = 0
+        self._next_id = 0
 
     def update(self, dets: np.ndarray) -> np.ndarray:
         """dets: (k, 5) [x1, y1, x2, y2, score] for one frame.
@@ -167,7 +172,8 @@ class Sort:
         for d, t in matches:
             self.tracks[t].update(dets[d, :4])
         for d in unmatched_d:
-            self.tracks.append(_KalmanBoxTrack(dets[d, :4]))
+            self._next_id += 1
+            self.tracks.append(_KalmanBoxTrack(dets[d, :4], self._next_id))
 
         out = []
         for track in reversed(self.tracks):

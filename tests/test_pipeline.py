@@ -209,6 +209,94 @@ def test_config_driven_parallel_predictor(synthetic_video, info_path, tmp_path):
         assert out["REBA"][0] == ref["REBA"][0], name
 
 
+class _TwoPersonDetector:
+    """Two deterministic content-derived boxes: bright pixels in the left
+    and right frame halves (stable across any call batching)."""
+
+    def __call__(self, frames_rgb):
+        out = []
+        for f in np.asarray(frames_rgb):
+            w = f.shape[1]
+            dets = []
+            for x0, x1 in ((0, w // 2), (w // 2, w)):
+                ys, xs = np.nonzero(f[:, x0:x1, 0] > 100)
+                if len(xs) > 10:
+                    dets.append([xs.min() + x0, ys.min(),
+                                 xs.max() + x0, ys.max(), 0.9])
+            out.append(np.asarray(dets, np.float32).reshape(-1, 5))
+        return out
+
+
+def test_multi_person_person_genders(tmp_path):
+    """--person_genders end-to-end: in --multi_person mode each track is
+    scored with ITS SMPL gender (estimator.set_gender between tracks), and
+    each person's result equals a single-person run of that gender on a
+    clip containing only them. The same run under PARALLEL.expert routes
+    through the sharded gender tables and must agree."""
+    import cv2
+
+    from poserisk_release_tpu.io.video import write_video
+
+    def clip(path, left=True, right=True):
+        frames = []
+        for i in range(24):
+            img = np.full((120, 200, 3), 25, np.uint8)
+            if left:
+                cv2.rectangle(img, (15 + i // 4, 25), (65 + i // 4, 105),
+                              (190, 160, 140), -1)
+            if right:
+                cv2.rectangle(img, (130, 20 + i // 6), (185, 100 + i // 6),
+                              (190, 160, 140), -1)
+            frames.append(img)
+        write_video(frames, fps=10.0, file_path=str(path))
+        return str(path)
+
+    both = clip(tmp_path / "both.mp4")
+    small = default_config().replace(
+        MODEL={"input_shape": (64, 64)}, PARALLEL={"frames_per_step": 8})
+    genders = {1: "male", 2: "female"}
+
+    pred = Predictor(cfg=small, score_type="REBA", multi_person=True,
+                     person_genders=genders, detector=_TwoPersonDetector(),
+                     visualize=False)
+    combined = pred(both, "/nonexistent.json", str(tmp_path / "combined"))
+    assert set(combined) == {1, 2}
+    # The run leaves the estimator back on the run-level gender.
+    assert pred.pose_estimator.gender == "neutral"
+
+    solo = {}
+    for pid, (only_left, g) in {1: (True, "male"),
+                                2: (False, "female")}.items():
+        solo_clip = clip(tmp_path / f"solo{pid}.mp4",
+                         left=only_left, right=not only_left)
+        p = Predictor(cfg=small, score_type="REBA", gender=g,
+                      detector=_TwoPersonDetector(), visualize=False)
+        solo[pid] = p(solo_clip, "/nonexistent.json",
+                      str(tmp_path / f"solo{pid}"))
+        assert combined[pid]["REBA"][0] == solo[pid]["REBA"][0], pid
+
+    ep_pred = Predictor(
+        cfg=small.replace(PARALLEL={"expert": 4, "num_devices": 2}),
+        score_type="REBA", multi_person=True, person_genders=genders,
+        detector=_TwoPersonDetector(), visualize=False)
+    ep = ep_pred(both, "/nonexistent.json", str(tmp_path / "ep"))
+    for pid in (1, 2):
+        assert ep[pid]["REBA"][0] == combined[pid]["REBA"][0], pid
+
+
+def test_parse_person_genders_cli():
+    from poserisk_release_tpu.cli import parse_person_genders
+
+    assert parse_person_genders("") == {}
+    assert parse_person_genders("1:male, 3: female") == {1: "male",
+                                                         3: "female"}
+    with pytest.raises(ValueError, match="person_genders"):
+        parse_person_genders("male")
+    with pytest.raises(ValueError, match="Invalid gender"):
+        Predictor(cfg=_test_config(), detector=StubDetector(),
+                  person_genders={1: "robot"})
+
+
 def test_run_from_frames_device_source_matches_host(rng):
     """run_from_frames with a device-resident frames array (the streaming
     scorer's shared per-window union upload) must equal the host-ndarray
