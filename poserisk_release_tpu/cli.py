@@ -147,6 +147,24 @@ def build_parser() -> argparse.ArgumentParser:
 VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
 
 
+def resolve_mesh(cfg, num_devices: int):
+    """THE one config-vs-legacy mesh decision for both CLI paths: with
+    model axes configured, return None (PoseEstimator builds the N-D mesh
+    from cfg.PARALLEL itself); otherwise build the legacy 1-D data mesh
+    from --num_devices. Prints the device line either way."""
+    import jax
+
+    from poserisk_release_tpu.parallel.mesh import make_mesh
+    from poserisk_release_tpu.parallel.spmd import model_axes_from_config
+
+    if model_axes_from_config(cfg.PARALLEL):
+        print("Work on devices: ", jax.devices())
+        return None
+    n_devices = num_devices or len(jax.devices())
+    print("Work on devices: ", jax.devices()[: n_devices or None])
+    return make_mesh(n_devices) if n_devices > 1 else None
+
+
 def parse_person_genders(spec: str) -> dict:
     """'1:male,3:female' -> {1: 'male', 3: 'female'} (Predictor validates
     the gender names)."""
@@ -227,10 +245,7 @@ def run_streaming(args, cfg) -> int:
     """--streaming entry: StreamingScorer with the Predictor's detector
     policy, info fallback, and int8 calibration lifecycle, emitting
     reference-format result files."""
-    import jax
-
     from poserisk_release_tpu.outputs.stats import print_result_summary
-    from poserisk_release_tpu.parallel.mesh import make_mesh
     from poserisk_release_tpu.pipeline import (
         apply_explicit_calibration,
         build_detector,
@@ -242,15 +257,7 @@ def run_streaming(args, cfg) -> int:
         if getattr(args, flag):
             print(f"[streaming] --{flag} is ignored in streaming mode "
                   "(use the batch path for stage timings / debug dumps)")
-    from poserisk_release_tpu.parallel.spmd import model_axes_from_config
-
-    if model_axes_from_config(cfg.PARALLEL):
-        mesh = None  # PoseEstimator builds the N-D mesh from cfg.PARALLEL
-        print("Work on devices: ", jax.devices())
-    else:
-        n_devices = args.num_devices or len(jax.devices())
-        mesh = make_mesh(n_devices) if n_devices > 1 else None
-        print("Work on devices: ", jax.devices()[: n_devices or None])
+    mesh = resolve_mesh(cfg, args.num_devices)
     scorer = StreamingScorer(
         cfg=cfg,
         detector=build_detector(cfg),
@@ -318,7 +325,6 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     from poserisk_release_tpu.config import default_config, load_yaml_config
-    from poserisk_release_tpu.parallel.mesh import make_mesh
     from poserisk_release_tpu.pipeline import Predictor
 
     cfg = load_yaml_config(args.cfg) if args.cfg else default_config()
@@ -355,13 +361,7 @@ def main(argv=None) -> int:
     if args.streaming:
         return run_streaming(args, cfg)
 
-    if par_axes:
-        mesh = None  # the estimator builds the N-D mesh from cfg.PARALLEL
-        print("Work on devices: ", jax.devices())
-    else:
-        n_devices = args.num_devices or len(jax.devices())
-        mesh = make_mesh(n_devices) if n_devices > 1 else None
-        print("Work on devices: ", jax.devices()[: n_devices or None])
+    mesh = resolve_mesh(cfg, args.num_devices)
 
     predictor = Predictor(
         cfg=cfg,

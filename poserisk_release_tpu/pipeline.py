@@ -830,17 +830,23 @@ class Predictor:
             if not survivors:
                 raise ValueError("no person tracks found in the clip")
             summaries = {}
-            for pid, track in survivors.items():
-                person_out = osp.join(output_path, f"person_{pid}")
-                os.makedirs(person_out, exist_ok=True)
-                # Per-track SMPL gender: under PARALLEL.expert this flips a
-                # routing scalar; otherwise it re-places the gender's tree.
-                self.pose_estimator.set_gender(
-                    self.person_genders.get(int(pid), self.gender))
-                summaries[pid] = self._process_track(
-                    clip, track["bbox"], track["frames"], info_path, person_out
-                )
-            self.pose_estimator.set_gender(self.gender)
+            try:
+                for pid, track in survivors.items():
+                    person_out = osp.join(output_path, f"person_{pid}")
+                    os.makedirs(person_out, exist_ok=True)
+                    # Per-track SMPL gender: under PARALLEL.expert this flips
+                    # a routing scalar; otherwise it re-places the gender's
+                    # tree.
+                    self.pose_estimator.set_gender(
+                        self.person_genders.get(int(pid), self.gender))
+                    summaries[pid] = self._process_track(
+                        clip, track["bbox"], track["frames"], info_path,
+                        person_out
+                    )
+            finally:
+                # A failed track must not leave the shared warm estimator
+                # stuck on ITS gender for the caller's next video.
+                self.pose_estimator.set_gender(self.gender)
             return summaries
 
         bboxes, frames = filter_and_select_target(

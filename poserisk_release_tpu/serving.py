@@ -151,6 +151,18 @@ class PoseScoringServer:
         self.estimator = PoseEstimator(
             self.cfg, SMPLFamily(self.cfg.SPIN.smpl_model_dir),
             fast=fast, spin_int8=spin_int8, gender=gender)
+        if self.estimator.mesh is not None:
+            # Mesh quantum: the expert/pipeline shard_maps (and the data
+            # sharding) need every bucket divisible by the data-axis size
+            # (times stage_microbatches under pp). Buckets round UP to the
+            # quantum -- request padding already edge-repeats up to the
+            # bucket, so this only widens the pad, never drops requests.
+            q = int(self.estimator.mesh.shape[self.estimator._data_axis])
+            if self.estimator._pp:
+                q *= int(self.cfg.PARALLEL.stage_microbatches)
+            if q > 1:
+                self.batch_sizes = tuple(sorted(
+                    {((b + q - 1) // q) * q for b in self.batch_sizes}))
         if calibration_crops is not None:
             self.estimator.calibrate_spin(calibration_crops)
         if add_info is None:
@@ -445,8 +457,11 @@ class StreamSession:
                           if detection_stride is None else detection_stride)
         if self.stride < 1:
             raise ValueError(f"detection_stride must be >= 1, got {self.stride}")
+        # copy_pending: a pushed frame may be the caller's reused capture
+        # buffer; frames waiting in the backfill ring must not alias it.
         self._tracker = OnlineTargetTracker(
-            ring_capacity=int(ring_capacity), backfill=self.stride > 1)
+            ring_capacity=int(ring_capacity), backfill=self.stride > 1,
+            copy_pending=True)
         self._next_idx = 0
 
     def calibrate(self, frames: np.ndarray) -> None:

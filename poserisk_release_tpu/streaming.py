@@ -203,14 +203,23 @@ class OnlineTargetTracker:
     ``backfill=False`` (the detection-stride-1 contract) disables the
     pending ring entirely: only directly tracked frames score, exactly like
     the two-pass mode at stride 1.
+
+    ``copy_pending=True`` copies each frame as it enters the pending ring:
+    required when the caller may reuse its frame buffer between calls
+    (serving.StreamSession's per-push API). The streaming scorer keeps the
+    zero-copy default -- its pending entries are views into immutable
+    decode windows, consecutive by construction, so at most ~2 window
+    buffers stay referenced.
     """
 
-    def __init__(self, ring_capacity: int, backfill: bool = True):
+    def __init__(self, ring_capacity: int, backfill: bool = True,
+                 copy_pending: bool = False):
         from poserisk_release_tpu.tracking.sort import Sort
 
         self.sort = Sort()
         self.ring = int(ring_capacity)
         self.backfill = backfill
+        self.copy_pending = copy_pending
         self.target_id: Optional[int] = None
         self.pending: List[Tuple[int, np.ndarray]] = []
         self.last_det: Optional[Tuple[int, np.ndarray]] = None
@@ -258,7 +267,8 @@ class OnlineTargetTracker:
                 return out
         if not self.backfill:
             return out
-        self.pending.append((gidx, frame))
+        self.pending.append(
+            (gidx, np.array(frame, copy=True) if self.copy_pending else frame))
         if len(self.pending) > self.ring:
             # Ring overflow: flush the oldest frame with the last
             # detection's box held instead of dropping its pixels.
@@ -901,11 +911,16 @@ class StreamingScorer:
                 self.detector.calibrate(frames)
                 needs_cal = False
 
-            det_local = (list(range(len(frames))) if stride == 1 else
-                         strided_local_indices(start_idx, len(frames), stride))
-            det_map = dict(zip(
-                det_local,
-                self._detect(frames[det_local]) if len(det_local) else []))
+            if stride == 1:
+                # Detect straight off the window (frames[list] would copy
+                # the whole window just to select every frame).
+                det_map = dict(enumerate(self._detect(frames)))
+            else:
+                det_local = strided_local_indices(
+                    start_idx, len(frames), stride)
+                det_map = dict(zip(
+                    det_local,
+                    self._detect(frames[det_local]) if det_local else []))
             buf_px: List[np.ndarray] = []
             buf_boxes: List[np.ndarray] = []
             buf_ids: List[int] = []

@@ -17,7 +17,7 @@ from typing import Callable, Dict, List
 
 import numpy as np
 
-from poserisk_release_tpu.tracking.sort import Sort
+from poserisk_release_tpu.tracking.sort import Sort, iou_xyxy
 
 
 class MultiPersonTracker:
@@ -140,18 +140,12 @@ def update_window_tracks(sort, people: Dict[int, Dict[str, list]],
 # -- motion-adaptive detection stride ---------------------------------------
 
 def _iou_xyxy(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
-    """IoU of one xyxy box against (k, >=4) rows."""
+    """IoU of one xyxy box against (k, >=4) rows -- THE one pairwise IoU
+    (tracking.sort.iou_xyxy, the association-critical implementation),
+    so the adaptive-stride geometry cannot drift from SORT's."""
     if boxes.shape[0] == 0:
         return np.zeros((0,), np.float64)
-    x1 = np.maximum(box[0], boxes[:, 0])
-    y1 = np.maximum(box[1], boxes[:, 1])
-    x2 = np.minimum(box[2], boxes[:, 2])
-    y2 = np.minimum(box[3], boxes[:, 3])
-    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
-    area = lambda b: np.clip(b[..., 2] - b[..., 0], 0, None) * np.clip(
-        b[..., 3] - b[..., 1], 0, None)
-    union = area(box[None]) + area(boxes) - inter
-    return inter / np.maximum(union, 1e-9)
+    return iou_xyxy(np.asarray(box)[None, :4], np.asarray(boxes)[:, :4])[0]
 
 
 def _box_motion(da: np.ndarray, db: np.ndarray, rel_tol: float) -> bool:

@@ -146,6 +146,66 @@ def test_serving_data_parallel_buckets():
             np.testing.assert_allclose(a.euler_deg, b.euler_deg, atol=2e-3)
 
 
+def test_serving_rounds_buckets_to_mesh_quantum():
+    """Config-reachable expert/pipeline meshes: their shard_maps need every
+    bucket divisible by the data axis (x stage_microbatches under pp), so
+    the ladder rounds UP to the quantum at construction -- a bucket-1
+    request must serve instead of crashing warm-up/dispatch."""
+    frames, boxes = _requests(1, seed=8)
+    ep_cfg = _cfg().replace(PARALLEL={"expert": 4, "num_devices": 2})
+    with PoseScoringServer(cfg=ep_cfg, batch_sizes=(1, 4), frame_hw=HW,
+                           warm=True) as srv:
+        assert srv.batch_sizes == (2, 4)
+        res = srv.score(frames[0], boxes[0], timeout=240)
+        assert isinstance(res, ScoredPose)
+    pp_cfg = _cfg().replace(PARALLEL={"stage": 4, "num_devices": 2,
+                                      "stage_microbatches": 2})
+    with PoseScoringServer(cfg=pp_cfg, batch_sizes=(1, 4), frame_hw=HW,
+                           warm=True) as srv:
+        assert srv.batch_sizes == (4,)
+        res = srv.score(frames[0], boxes[0], timeout=240)
+        assert isinstance(res, ScoredPose)
+
+
+def test_stream_session_copies_pending_frames():
+    """A caller reusing ONE capture buffer across pushes: frames waiting in
+    the backfill ring must have been copied, or the later interpolation
+    would score the buffer's newest pixels against old boxes."""
+    import cv2
+
+    from poserisk_release_tpu.serving import StreamSession
+
+    srv = PoseScoringServer(cfg=_cfg(), batch_sizes=(4,), frame_hw=HW,
+                            warm=True, max_delay_ms=0.0)
+    try:
+        def render(buf, x, shade):
+            buf[:] = 25
+            cv2.rectangle(buf, (x, 10), (x + 28, 54), (shade, 160, 140), -1)
+
+        def run(reuse):
+            sess = StreamSession(srv, detector=_ContentBoxDetector(),
+                                 detection_stride=4, ring_capacity=16)
+            buf = np.zeros((*HW, 3), np.uint8)
+            futs = []
+            for i in range(5):
+                if reuse:
+                    render(buf, 8 + i, 150 + 20 * i)
+                    futs.extend(sess.push(buf))
+                else:
+                    fresh = np.zeros((*HW, 3), np.uint8)
+                    render(fresh, 8 + i, 150 + 20 * i)
+                    futs.extend(sess.push(fresh))
+            return [(i, f.result(timeout=240)) for i, f in futs]
+
+        reused, fresh = run(True), run(False)
+        assert [i for i, _ in reused] == [i for i, _ in fresh] == list(range(5))
+        for (_, a), (_, b) in zip(reused, fresh):
+            assert (a.reba, a.rula) == (b.reba, b.rula)
+            np.testing.assert_array_equal(a.euler_deg, b.euler_deg)
+    finally:
+        srv.close()
+
+
 def test_constructor_contracts():
     with pytest.raises(ValueError, match="batch_sizes"):
         PoseScoringServer(cfg=_cfg(), batch_sizes=(4, 1), warm=False)
