@@ -266,6 +266,33 @@ def test_closed_server_rejects_and_close_is_idempotent():
         srv.submit(frames[0], boxes[0])
 
 
+def test_failed_bucket_fails_its_futures_and_server_recovers():
+    """A device/jit failure inside one bucket run must surface on THAT
+    batch's futures (with the original error) and leave the dispatcher
+    alive for subsequent requests."""
+    srv = PoseScoringServer(cfg=_cfg(), batch_sizes=(1,), frame_hw=HW,
+                            warm=True, max_delay_ms=0.0)
+    try:
+        frames, boxes = _requests(2, seed=10)
+        real = srv._run_bucket
+        calls = {"n": 0}
+
+        def flaky(frames_, boxes_, allow_calibration=True):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("transient device failure")
+            return real(frames_, boxes_, allow_calibration)
+
+        srv._run_bucket = flaky
+        with pytest.raises(RuntimeError, match="transient device failure"):
+            srv.score(frames[0], boxes[0], timeout=120)
+        # The dispatcher survived; the next request serves normally.
+        res = srv.score(frames[1], boxes[1], timeout=120)
+        assert isinstance(res, ScoredPose)
+    finally:
+        srv.close()
+
+
 def test_prefailed_future_does_not_poison_its_batch():
     """The close()/submit() race can leave one request's future already
     failed by the time the dispatcher delivers its batch. set_result on that
