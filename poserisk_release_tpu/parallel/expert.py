@@ -17,6 +17,17 @@ MoE way over an ``expert`` mesh axis:
 With three genders the axis pads by repeating the neutral model (pad slots
 are never routed to). Parity: tests/test_parallelism.py routes a mixed
 male/female/neutral batch and matches per-gender serial computation.
+
+What the axis buys (stated precisely): with E = 3 tiny experts the win is
+RESIDENCY and routing, not FLOPs -- all gendered tables stay placed once,
+one per device row, so switching a track's gender (PoseEstimator.
+set_gender under --person_genders) swaps a scalar instead of re-uploading
+a parameter tree, and a mixed-gender batch needs no host-side regrouping.
+Dense dispatch deliberately computes the full batch per row: the joints
+stage is a negligible fraction of the pose step (SPIN dominates), so
+sparse dispatch's all_to_all would cost more than the masked compute it
+saves. At expert counts where compute dominates, swap `routed` for a
+capacity-based dispatch; the placement/stacking machinery is unchanged.
 """
 
 from __future__ import annotations
