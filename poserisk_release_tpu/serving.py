@@ -274,7 +274,13 @@ class PoseScoringServer:
 
         frame: (H, W, 3) uint8 RGB matching frame_hw. bbox: (4,) squared
         cxcywh in frame pixels (tracking.mpt.squared_cxcywh convention —
-        what SORT/MPT hand the crop stage)."""
+        what SORT/MPT hand the crop stage).
+
+        submit() OWNS its inputs from the moment it returns: the frame and
+        bbox are copied at enqueue, so a caller may immediately reuse its
+        capture buffer (the dispatcher batches asynchronously — without the
+        copy, a reused buffer's NEWER pixels would race into an older
+        request's batch)."""
         if self._closed.is_set():
             raise RuntimeError("server is closed")
         frame = np.asarray(frame)
@@ -285,7 +291,8 @@ class PoseScoringServer:
                 f"with frame_hw={frame.shape[:2]}")
         if frame.dtype != np.uint8:
             raise ValueError(f"frame dtype {frame.dtype} != uint8")
-        bbox = np.asarray(bbox, np.float32).reshape(4)
+        frame = np.array(frame, copy=True)
+        bbox = np.array(np.asarray(bbox, np.float32).reshape(4), copy=True)
         fut: Future = Future()
         self._queue.put(_Request(frame, bbox, fut, time.perf_counter()))
         if self._closed.is_set() and not fut.done():

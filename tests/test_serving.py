@@ -191,6 +191,7 @@ def test_stream_session_copies_pending_frames():
                 if reuse:
                     render(buf, 8 + i, 150 + 20 * i)
                     futs.extend(sess.push(buf))
+                    buf[:] = 0  # worst case: caller recycles instantly
                 else:
                     fresh = np.zeros((*HW, 3), np.uint8)
                     render(fresh, 8 + i, 150 + 20 * i)
