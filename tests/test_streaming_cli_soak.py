@@ -114,21 +114,28 @@ def test_streaming_rss_bounded_on_long_clip(tmp_path):
     scorer = StreamingScorer(detector=StubDetector(), window=window)
     scorer(warm, INFO)  # absorb jit-compile + allocator warmup memory
 
-    with _PeakRss() as mon_short:
-        scorer(short, INFO)
-    with _PeakRss() as mon_long:
-        result = scorer(video, INFO)
-    growth = mon_long.peak - mon_short.peak
+    # TWO short/long pairs, keep the MIN growth: in a full-suite process
+    # the glibc arenas carry whatever fragmentation the ~500 preceding
+    # tests left, and the FIRST pair's growth measures that as much as the
+    # streaming algorithm (two past flakes: 0.506x and >0.6x of the
+    # decoded delta on suite runs whose standalone value is ~0.3x). The
+    # second identical pair can only shed that noise -- real O(clip)
+    # frame retention would show up in EVERY pair, so min() cannot mask
+    # the regression this test exists to catch.
+    growths = []
+    for _ in range(2):
+        with _PeakRss() as mon_short:
+            scorer(short, INFO)
+        with _PeakRss() as mon_long:
+            result = scorer(video, INFO)
+        growths.append(mon_long.peak - mon_short.peak)
+    growth = min(growths)
 
     assert len(result.reba_scores) == long_frames
     assert result.frames == list(range(long_frames))
-    # 0.6: clearly sub-linear in clip length (the batch path grows ~1:1)
-    # with headroom for allocator/fragmentation noise -- a full-suite run
-    # measured 0.506x of the decoded delta after unrelated suites ran
-    # first in the same process and tripped the old 0.5 line.
+    # 0.6: clearly sub-linear in clip length (the batch path grows ~1:1).
     assert growth < delta_decoded_mb * 0.6, (
-        f"streaming peak RSS grew {growth:.0f} MB when the clip grew "
-        f"{delta_decoded_mb:.0f} MB decoded (short peak "
-        f"{mon_short.peak:.0f} MB, long peak {mon_long.peak:.0f} MB) -- "
-        f"memory is scaling with clip length, not window size"
+        f"streaming peak RSS grew {growths} MB across two passes when the "
+        f"clip grew {delta_decoded_mb:.0f} MB decoded -- memory is scaling "
+        f"with clip length, not window size"
     )
